@@ -1,0 +1,36 @@
+"""lakeside_spark — a PySpark-native analytics engine with the query and
+data-processing capabilities of cardinalhq/lakeside.
+
+The reference engine (Scala/Akka + DuckDB, see /root/reference) compiles a
+JSON query AST to SQL pushed down to DuckDB over parquet segments. Here the
+same AST compiles to a PySpark DataFrame plan so Catalyst/Tungsten handle
+optimization, pushdown, and distribution.
+"""
+
+from lakeside_spark.ast.model import (
+    BaseExpr,
+    BinaryClause,
+    ChartOptions,
+    Compute,
+    Extractor,
+    Filter,
+    NotClause,
+    base_expr_from_json,
+)
+from lakeside_spark.engine import QueryEngine
+from lakeside_spark.session import get_spark
+
+__all__ = [
+    "BaseExpr",
+    "BinaryClause",
+    "ChartOptions",
+    "Compute",
+    "Extractor",
+    "Filter",
+    "NotClause",
+    "QueryEngine",
+    "base_expr_from_json",
+    "get_spark",
+]
+
+__version__ = "0.1.0"

@@ -1,0 +1,212 @@
+"""Query engine: compile a BaseExpr into a PySpark DataFrame plan.
+
+The reference builds a nested DuckDB SQL string per segment glob
+(BaseExpr.getBaseQuery, core BaseExpr.scala:181-242):
+
+    Chart-query( Compute-query( Extract-query( Projection + ts filter ) ) )
+
+then merges per-segment datapoint/sketch streams (PushDownAggregatorStage,
+TimeGroupedSketchAggregator). In Spark the same pipeline is one declarative
+plan: Catalyst pushes the timestamp + tag predicates into the parquet scan
+(replacing the trigram segment index), and the chart aggregation's partial
+(map-side) aggregation replaces hand-rolled sketch merging across segments.
+
+Scale notes: every stage is built-in Column expressions (whole-stage
+codegen); the only shuffle is the chart groupBy on (step_ts, name, groups) —
+the natural key, already well distributed because step_ts has high
+cardinality. Percentile/cardinality default to exact (for oracle parity) and
+switch to sketch-based approx (``approx=True``) for the 100 TB path, which
+also unlocks partial aggregation for them.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from lakeside_spark import schema as S
+from lakeside_spark.ast.compute import compute_labels, function_call_to_column
+from lakeside_spark.ast.filters import filter_to_column
+from lakeside_spark.ast.model import BaseExpr
+
+_PERCENTILE_RE = re.compile(r"^p(\d{1,2}(\.\d+)?)$")
+
+
+def _agg_column(
+    aggregation: str, target: Column, group_bys: tuple[str, ...], approx: bool
+) -> Column:
+    """Aggregation name → Column (reference: getChartSql + getFromSketch,
+    BaseExpr.scala:47-95: min/max/sum/count/avg, pNN via DDSketch, ces via
+    HLL). Approx mode = the sketch path, exact mode = the oracle path."""
+    m = _PERCENTILE_RE.match(aggregation)
+    if m:
+        q = float(m.group(1)) / 100.0
+        return (
+            F.percentile_approx(target, q, 10_000) if approx else F.percentile(target, q)
+        )
+    if aggregation == S.CARDINALITY_ESTIMATE_AGGREGATION:
+        # reference HLLAggregator keys on the ':'-joined groupBys values
+        key = (
+            F.concat_ws(":", *[F.col(g) for g in group_bys])
+            if group_bys
+            else target.cast("string")
+        )
+        return F.approx_count_distinct(key) if approx else F.countDistinct(key)
+    if aggregation == S.COUNT:
+        return F.count(target)
+    if aggregation in (S.SUM, S.AVG, S.MIN, S.MAX):
+        return getattr(F, aggregation if aggregation != S.AVG else "avg")(target)
+    raise ValueError(f"Invalid aggregation {aggregation}")
+
+
+class QueryEngine:
+    """Runs BaseExprs / tag queries over a canonical telemetry DataFrame."""
+
+    def __init__(self, spark, step_ms: int = S.DEFAULT_STEP_MS, approx: bool = False):
+        self.spark = spark
+        self.step_ms = step_ms
+        self.approx = approx
+
+    # -- pipeline stages ----------------------------------------------------
+
+    def _apply_extract(self, df: DataFrame, expr: BaseExpr) -> DataFrame:
+        """Regex named-field extraction (reference: getExtractSql,
+        BaseExpr.scala:244-265 — regexp_extract list + regexp_matches gate)."""
+        ext = expr.extractor
+        if not ext:
+            return df
+        src = F.col(ext.input_field)
+        df = df.filter(src.rlike(ext.regex))
+        for i, fld in enumerate(ext.fields, start=1):
+            col = F.regexp_extract(src, ext.regex, i)
+            if fld.data_type == S.NUMBER_TYPE:
+                col = col.cast("double")
+            df = df.withColumn(fld.name, col)
+        return df
+
+    def _apply_compute(self, df: DataFrame, expr: BaseExpr) -> DataFrame:
+        """Computed column + IS NOT NULL guard on referenced labels
+        (reference: getComputeSql, BaseExpr.scala:267-289)."""
+        comp = expr.compute
+        if not comp:
+            return df
+        for lbl in compute_labels(comp.function_call):
+            if lbl.name in df.columns:
+                df = df.filter(F.col(lbl.name).isNotNull())
+        return df.withColumn(comp.label_name, function_call_to_column(comp.function_call))
+
+    def _existing(self, df: DataFrame, expr: BaseExpr) -> set[str]:
+        names = set(df.columns)
+        if expr.extractor:
+            names |= {f.name for f in expr.extractor.fields}
+        if expr.compute:
+            names.add(expr.compute.label_name)
+        return names
+
+    def _chart_value_column(self, expr: BaseExpr) -> Column:
+        """Aggregation target (reference: getChartSql calc, BaseExpr.scala:
+        350-369): VALUE by default; else try_cast(field as double) with
+        duration ns→ms (/1e6) and datasize →KB (/1000) normalization."""
+        chart = expr.chart
+        if not chart.field_name or chart.field_name == S.VALUE:
+            return F.col(S.VALUE)
+        base = F.col(chart.field_name).cast("double")
+        if chart.field_type == S.DURATION_TYPE:
+            base = base / 1_000_000.0
+        elif chart.field_type == S.DATA_SIZE_TYPE:
+            base = base / 1000.0
+        return base
+
+    def _chart_transform(self, expr: BaseExpr, value: Column, step_ms: int) -> Column:
+        """rate↔count normalization (reference: getTransformerFunc,
+        ASTUtils.scala:190-219)."""
+        step_seconds = step_ms / 1000.0
+        ct, mt = expr.chart.chart_type, expr.metric_type
+        if expr.dataset == S.DATASET_METRICS:
+            if ct == "count" and mt == "rate":
+                return value * step_seconds
+            if ct == "rate" and mt == "count":
+                return value / step_seconds
+            return value
+        if ct == "rate":
+            return value / step_seconds
+        return value
+
+    # -- public API ----------------------------------------------------------
+
+    def run(
+        self,
+        expr: BaseExpr,
+        df: DataFrame,
+        start_ts: int | None = None,
+        end_ts: int | None = None,
+        step_ms: int | None = None,
+    ) -> DataFrame:
+        """BaseExpr → DataFrame. Chart exprs yield
+        (step_ts, value, name, *group_bys); exemplar exprs yield ordered
+        limited raw rows."""
+        step_ms = step_ms or self.step_ms
+        if start_ts is not None:
+            df = df.filter(F.col(S.TIMESTAMP) >= F.lit(start_ts))
+        if end_ts is not None:
+            df = df.filter(F.col(S.TIMESTAMP) < F.lit(end_ts))
+
+        existing = self._existing(df, expr)
+        df = self._apply_extract(df, expr)
+        df = self._apply_compute(df, expr)
+        df = df.filter(filter_to_column(expr.filter, existing))
+
+        if expr.chart:
+            return self._run_chart(expr, df, step_ms)
+        return self._run_exemplars(expr, df)
+
+    def _run_chart(self, expr: BaseExpr, df: DataFrame, step_ms: int) -> DataFrame:
+        chart = expr.chart
+        group_bys = tuple(g for g in chart.group_bys if g in df.columns)
+        if expr.dataset == S.DATASET_METRICS and chart.rollup:
+            # metrics arrive pre-rolled-up per step (rollup_sum, rollup_avg,
+            # ...); re-aggregate the rollup column (BaseExpr.scala:376-395)
+            target = F.col(f"rollup_{chart.rollup}")
+            step_col = F.col(S.TIMESTAMP)
+        else:
+            target = self._chart_value_column(expr)
+            step_col = F.col(S.TIMESTAMP) - F.col(S.TIMESTAMP) % F.lit(step_ms)
+        if chart.field_name and chart.field_name != S.VALUE:
+            df = df.filter(F.col(chart.field_name).isNotNull())
+
+        agg = _agg_column(chart.aggregation, target, group_bys, self.approx)
+        value = self._chart_transform(expr, agg.cast("double"), step_ms)
+
+        keys = [step_col.alias(S.STEP_TS)]
+        if S.NAME in df.columns:
+            keys.append(F.col(S.NAME))
+        keys += [F.col(g) for g in group_bys]
+        return (
+            df.groupBy(*keys)
+            .agg(value.alias(S.VALUE))
+            .orderBy(S.STEP_TS)
+        )
+
+    def _run_exemplars(self, expr: BaseExpr, df: DataFrame) -> DataFrame:
+        """Raw-row query (reference: BaseExpr.scala:237-239): ORDER BY
+        timestamp [DESC] LIMIT n. event_id breaks ties so limits are
+        deterministic across engines."""
+        order = [
+            F.col(S.TIMESTAMP).desc() if expr.order == "DESC" else F.col(S.TIMESTAMP).asc()
+        ]
+        if "event_id" in df.columns:
+            order.append(F.col("event_id").desc() if expr.order == "DESC" else F.col("event_id").asc())
+        return df.orderBy(*order).limit(expr.limit)
+
+    def tag_values(
+        self, expr: BaseExpr, df: DataFrame, tag_name: str
+    ) -> DataFrame:
+        """Distinct tag values + counts (reference: generateSql isTagQuery
+        path, BaseExpr.scala:127-143)."""
+        existing = self._existing(df, expr)
+        df = self._apply_extract(df, expr)
+        df = self._apply_compute(df, expr)
+        df = df.filter(filter_to_column(expr.filter, existing))
+        return df.groupBy(F.col(tag_name)).agg(F.count(F.lit(1)).alias("count"))

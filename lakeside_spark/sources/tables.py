@@ -1,0 +1,50 @@
+"""Parquet table loading.
+
+The reference reads parquet segments from a partitioned lake layout
+(``db/{customer}/{collector}/{dateint}/{dataset}/{hour}/{segment}.parquet``,
+core Commons.scala:160-177) with DuckDB ``read_parquet(union_by_name=True)``.
+Spark equivalents used here:
+
+- plain `spark.read.parquet(path)` — schema merge via
+  ``mergeSchema`` when segments disagree (union_by_name parity)
+- hive-partitioned reads get partition pruning for free when the path
+  embeds ``dateint=/hour=`` directories; time-range predicates on the
+  partition columns never touch excluded files (replaces the trigram
+  segment index for time pruning)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TPCH_TABLES = (
+    "region", "nation", "customer", "supplier", "part", "orders", "lineitem",
+)
+ALL_TABLES = TPCH_TABLES + ("events", "documents", "embeddings")
+
+# TIMESTAMP(NANOS) columns arrive as epoch-nano longs
+# (spark.sql.legacy.parquet.nanosAsLong) and are restored to timestamps here.
+_TS_COLUMNS = {
+    "events": ("ts",),
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate",),
+}
+
+
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, merge_schema: bool = False
+) -> DataFrame:
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    df = reader.parquet(f"{sf_dir}/{name}.parquet")
+    for col in _TS_COLUMNS.get(name, ()):
+        if col in df.columns and isinstance(df.schema[col].dataType, T.LongType):
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in ALL_TABLES}

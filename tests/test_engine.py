@@ -1,0 +1,105 @@
+"""Engine correctness against DuckDB on sf0.001 (fast local oracle)."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from lakeside_spark import schema as S
+from lakeside_spark.ast.model import BaseExpr, BinaryClause, ChartOptions, Filter
+from lakeside_spark.engine import QueryEngine
+from lakeside_spark.schema import load_telemetry
+
+
+@pytest.fixture(scope="module")
+def ddb(sf_dir):
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'")
+    return con
+
+
+def rows_set(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_ts_count(spark, sf_dir, ddb):
+    tele = load_telemetry(spark, sf_dir)
+    expr = BaseExpr(
+        filter=Filter(k=S.NAME, op=S.EXISTS),
+        chart=ChartOptions(aggregation="count", group_bys=()),
+    )
+    got = QueryEngine(spark).run(expr, tele)
+    exp = ddb.sql(
+        """
+        SELECT epoch_ms(ts) - epoch_ms(ts) % 10000 AS step_ts,
+               event_type AS name, CAST(count(value) AS DOUBLE) AS value
+        FROM events GROUP BY 1, 2
+        """
+    ).fetchall()
+    assert rows_set(got.select("step_ts", "name", "value")) == {tuple(r) for r in exp}
+
+
+def test_filter_and_sum(spark, sf_dir, ddb):
+    tele = load_telemetry(spark, sf_dir)
+    expr = BaseExpr(
+        filter=BinaryClause(
+            Filter(k=S.NAME, v=("error", "purchase"), op=S.IN),
+            Filter(k=S.VALUE, v=("10",), op=S.GT, data_type=S.NUMBER_TYPE),
+            "and",
+        ),
+        chart=ChartOptions(aggregation="sum", group_bys=(S.NAME,)),
+    )
+    got = QueryEngine(spark).run(expr, tele).withColumn("value", F.round("value", 4))
+    exp = ddb.sql(
+        """
+        SELECT epoch_ms(ts) - epoch_ms(ts) % 10000 AS step_ts, event_type AS name,
+               ROUND(SUM(value), 4) AS value
+        FROM events
+        WHERE event_type IN ('error','purchase') AND value > 10
+        GROUP BY 1, 2
+        """
+    ).fetchall()
+    assert rows_set(got.select("step_ts", "name", "name", "value")) == {
+        (r[0], r[1], r[1], r[2]) for r in exp
+    }
+
+
+def test_percentile_exact_matches_duckdb(spark, sf_dir, ddb):
+    tele = load_telemetry(spark, sf_dir)
+    expr = BaseExpr(
+        filter=Filter(k=S.NAME, v=("click",), op=S.EQ),
+        chart=ChartOptions(aggregation="p95"),
+    )
+    got = QueryEngine(spark, step_ms=60000).run(expr, tele)
+    got = got.withColumn("value", F.round("value", 6))
+    exp = ddb.sql(
+        """
+        SELECT epoch_ms(ts) - epoch_ms(ts) % 60000 AS step_ts, event_type AS name,
+               ROUND(quantile_cont(value, 0.95), 6) AS value
+        FROM events WHERE event_type = 'click' GROUP BY 1, 2
+        """
+    ).fetchall()
+    assert rows_set(got.select("step_ts", "name", "value")) == {tuple(r) for r in exp}
+
+
+def test_exemplars_limit_and_order(spark, sf_dir):
+    tele = load_telemetry(spark, sf_dir)
+    expr = BaseExpr(filter=Filter(k=S.NAME, v=("error",), op=S.EQ), limit=10)
+    rows = QueryEngine(spark).run(expr, tele).collect()
+    assert len(rows) == 10
+    ts = [r[S.TIMESTAMP] for r in rows]
+    assert ts == sorted(ts, reverse=True)
+    assert all(r[S.NAME] == "error" for r in rows)
+
+
+def test_missing_column_filter_is_false(spark, sf_dir):
+    tele = load_telemetry(spark, sf_dir)
+    expr = BaseExpr(filter=Filter(k="no_such_tag", v=("x",), op=S.EQ), limit=10)
+    assert QueryEngine(spark).run(expr, tele).count() == 0
+
+
+def test_tag_values(spark, sf_dir, ddb):
+    tele = load_telemetry(spark, sf_dir)
+    expr = BaseExpr(filter=Filter(k=S.NAME, op=S.EXISTS))
+    got = QueryEngine(spark).tag_values(expr, tele, S.NAME)
+    exp = ddb.sql("SELECT event_type, count(*) FROM events GROUP BY 1").fetchall()
+    assert rows_set(got) == {tuple(r) for r in exp}
