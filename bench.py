@@ -1,0 +1,71 @@
+"""Benchmark: run headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1)
+on local[$SPARK_GRAFT_CPUS]; print ONE JSON line with per-query seconds.
+
+Each query is fully materialized (count() after the terminal operator) so
+the measured time covers scan → shuffle → result, not plan construction.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from lakeside_spark.registry import QUERIES
+from lakeside_spark.session import get_spark
+
+HEADLINE = [
+    "ts_count",
+    "ts_sum",
+    "ts_groupby",
+    "ts_percentile",
+    "ts_cardinality",
+    "exemplars",
+    "filter_contains_regex",
+    "extract_regex",
+    "compute_fns",
+    "formula_ratio",
+    "metrics_rollup",
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    spark = get_spark("lakeside-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM + file listing once so per-query numbers measure execution
+    QUERIES["ts_count"](spark, sf_dir).count()
+
+    per_query: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        start = time.perf_counter()
+        df = QUERIES[name](spark, sf_dir)
+        n = df.count()
+        elapsed = time.perf_counter() - start
+        per_query[name] = round(elapsed, 4)
+        total += elapsed
+        print(f"# {name}: {elapsed:.3f}s ({n} rows)", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall_clock",
+                "value": round(total, 4),
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -43,8 +43,9 @@ def function_call_to_column(fc: FunctionCall) -> Column:
     if fc.name == "concat":
         return F.concat(*cols)
     if fc.name == "strpos":
-        # position(search_string in string): args are (search, string)
-        return F.instr(cols[1], fc.arguments[0].value if isinstance(fc.arguments[0], Literal) else cols[0])
+        # position(search_string in string): args are (search, string);
+        # 1-based, 0 when absent (SQL position semantics)
+        return F.call_function("instr", cols[1], cols[0])
     raise ValueError(f"Unknown function {fc.name}!")
 
 

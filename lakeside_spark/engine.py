@@ -165,14 +165,14 @@ class QueryEngine:
     def _run_chart(self, expr: BaseExpr, df: DataFrame, step_ms: int) -> DataFrame:
         chart = expr.chart
         group_bys = tuple(g for g in chart.group_bys if g in df.columns)
+        step_col = F.col(S.TIMESTAMP) - F.col(S.TIMESTAMP) % F.lit(step_ms)
         if expr.dataset == S.DATASET_METRICS and chart.rollup:
-            # metrics arrive pre-rolled-up per step (rollup_sum, rollup_avg,
-            # ...); re-aggregate the rollup column (BaseExpr.scala:376-395)
+            # metrics arrive pre-rolled-up per ingest step (rollup_sum,
+            # rollup_avg, ...); the chart re-aggregates the rollup column at
+            # the query step (BaseExpr.scala:376-395)
             target = F.col(f"rollup_{chart.rollup}")
-            step_col = F.col(S.TIMESTAMP)
         else:
             target = self._chart_value_column(expr)
-            step_col = F.col(S.TIMESTAMP) - F.col(S.TIMESTAMP) % F.lit(step_ms)
         if chart.field_name and chart.field_name != S.VALUE:
             df = df.filter(F.col(chart.field_name).isNotNull())
 
@@ -180,9 +180,15 @@ class QueryEngine:
         value = self._chart_transform(expr, agg.cast("double"), step_ms)
 
         keys = [step_col.alias(S.STEP_TS)]
-        if S.NAME in df.columns:
-            keys.append(F.col(S.NAME))
-        keys += [F.col(g) for g in group_bys]
+        if chart.aggregation == S.CARDINALITY_ESTIMATE_AGGREGATION:
+            # ces consumes the groupBys as the distinct key; the estimate is
+            # global per step (reference: HLLAggregator emits empty tags,
+            # PushDownAggregatorStage keys only on moduloTs)
+            pass
+        else:
+            if S.NAME in df.columns:
+                keys.append(F.col(S.NAME))
+            keys += [F.col(g) for g in group_bys]
         return (
             df.groupBy(*keys)
             .agg(value.alias(S.VALUE))

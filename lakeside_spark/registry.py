@@ -1,0 +1,713 @@
+"""Query registry: every implemented operator as a (spark, sf_dir) →
+DataFrame callable, with a DuckDB oracle SQL string where the semantics are
+SQL-expressible.
+
+Conventions for driver parity (order-insensitive value-hash compare):
+- output column names are aliased identically on both sides
+- double aggregates that accumulate (sum/avg/percentile) are rounded; counts
+  and min/max are exact values and left unrounded
+- monetary TPC-H sums go through DECIMAL(18,2/4) so both engines sum exactly
+- LIMIT queries order by a unique key so the row set is deterministic
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakeside_spark import schema as S
+from lakeside_spark.ast.formula import eval_formula, parse_formula
+from lakeside_spark.ast.model import (
+    BaseExpr,
+    BinaryClause,
+    ChartOptions,
+    Compute,
+    ExtractedField,
+    Extractor,
+    Filter,
+    FunctionCall,
+    Label,
+    Literal,
+    NotClause,
+)
+from lakeside_spark.engine import QueryEngine
+from lakeside_spark.schema import load_telemetry
+from lakeside_spark.sources.tables import load_table
+
+HOUR = 3_600_000
+DAY = 86_400_000
+
+# DuckDB-side canonical telemetry projection of the events table
+_T = (
+    "(SELECT epoch_ms(ts) AS timestamp_ms, event_type AS name, value, "
+    "props AS message, CAST(user_id AS VARCHAR) AS user_id, event_id "
+    "FROM events)"
+)
+
+
+def _rounded(df: DataFrame, col: str = S.VALUE, n: int = 6) -> DataFrame:
+    return df.withColumn(col, F.round(F.col(col), n))
+
+
+# ---------------------------------------------------------------------------
+# telemetry: chart aggregations
+
+
+def ts_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    expr = BaseExpr(
+        filter=Filter(k=S.NAME, op=S.EXISTS),
+        chart=ChartOptions(aggregation="count"),
+    )
+    return QueryEngine(spark, step_ms=HOUR).run(expr, load_telemetry(spark, sf_dir))
+
+
+TS_COUNT_SQL = f"""
+SELECT timestamp_ms - timestamp_ms % {HOUR} AS step_ts, name,
+       CAST(count(value) AS DOUBLE) AS value
+FROM {_T} WHERE name IS NOT NULL GROUP BY 1, 2
+"""
+
+
+def ts_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    expr = BaseExpr(
+        filter=Filter(k=S.NAME, v=("purchase", "click"), op=S.IN),
+        chart=ChartOptions(aggregation="sum"),
+    )
+    return _rounded(QueryEngine(spark, step_ms=HOUR).run(expr, load_telemetry(spark, sf_dir)))
+
+
+TS_SUM_SQL = f"""
+SELECT timestamp_ms - timestamp_ms % {HOUR} AS step_ts, name,
+       ROUND(SUM(value), 6) AS value
+FROM {_T} WHERE name IN ('purchase', 'click') GROUP BY 1, 2
+"""
+
+
+def ts_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    expr = BaseExpr(
+        filter=Filter(k=S.NAME, op=S.EXISTS),
+        chart=ChartOptions(aggregation="avg"),
+    )
+    return _rounded(QueryEngine(spark, step_ms=DAY).run(expr, load_telemetry(spark, sf_dir)))
+
+
+TS_AVG_SQL = f"""
+SELECT timestamp_ms - timestamp_ms % {DAY} AS step_ts, name,
+       ROUND(AVG(value), 6) AS value
+FROM {_T} WHERE name IS NOT NULL GROUP BY 1, 2
+"""
+
+
+def ts_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    expr = BaseExpr(
+        filter=Filter(k=S.NAME, op=S.EXISTS),
+        chart=ChartOptions(aggregation="max"),
+    )
+    return QueryEngine(spark, step_ms=DAY).run(expr, load_telemetry(spark, sf_dir))
+
+
+TS_MAX_SQL = f"""
+SELECT timestamp_ms - timestamp_ms % {DAY} AS step_ts, name, MAX(value) AS value
+FROM {_T} WHERE name IS NOT NULL GROUP BY 1, 2
+"""
+
+
+def ts_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    expr = BaseExpr(
+        filter=Filter(k=S.VALUE, v=("100",), op=S.GT, data_type=S.NUMBER_TYPE),
+        chart=ChartOptions(aggregation="count", group_bys=("user_id",)),
+    )
+    return QueryEngine(spark, step_ms=DAY).run(expr, load_telemetry(spark, sf_dir))
+
+
+TS_GROUPBY_SQL = f"""
+SELECT timestamp_ms - timestamp_ms % {DAY} AS step_ts, name, user_id,
+       CAST(count(value) AS DOUBLE) AS value
+FROM {_T} WHERE CAST(value AS DOUBLE) > 100 GROUP BY 1, 2, 3
+"""
+
+
+def ts_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    expr = BaseExpr(
+        filter=Filter(k=S.NAME, op=S.EXISTS),
+        chart=ChartOptions(aggregation="p95"),
+    )
+    return _rounded(QueryEngine(spark, step_ms=DAY).run(expr, load_telemetry(spark, sf_dir)))
+
+
+TS_PERCENTILE_SQL = f"""
+SELECT timestamp_ms - timestamp_ms % {DAY} AS step_ts, name,
+       ROUND(quantile_cont(value, 0.95), 6) AS value
+FROM {_T} WHERE name IS NOT NULL GROUP BY 1, 2
+"""
+
+
+def ts_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    expr = BaseExpr(
+        filter=Filter(k=S.NAME, op=S.EXISTS),
+        chart=ChartOptions(aggregation="ces", group_bys=("user_id",)),
+    )
+    return QueryEngine(spark, step_ms=DAY).run(expr, load_telemetry(spark, sf_dir))
+
+
+TS_CARDINALITY_SQL = f"""
+SELECT timestamp_ms - timestamp_ms % {DAY} AS step_ts,
+       CAST(count(DISTINCT user_id) AS DOUBLE) AS value
+FROM {_T} WHERE name IS NOT NULL GROUP BY 1
+"""
+
+
+def ts_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    expr = BaseExpr(
+        filter=Filter(k=S.NAME, v=("error",), op=S.EQ),
+        chart=ChartOptions(aggregation="count", chart_type="rate"),
+    )
+    return QueryEngine(spark, step_ms=HOUR).run(expr, load_telemetry(spark, sf_dir))
+
+
+TS_RATE_SQL = f"""
+SELECT timestamp_ms - timestamp_ms % {HOUR} AS step_ts, name,
+       CAST(count(value) AS DOUBLE) / 3600.0 AS value
+FROM {_T} WHERE name = 'error' GROUP BY 1, 2
+"""
+
+
+def metrics_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level rollup: events pre-rolled to 1h metric rows (ingest-side
+    rollup_* columns, reference metrics path BaseExpr.scala:376-395), then
+    chart re-aggregates rollup_sum at 1d."""
+    tele = load_telemetry(spark, sf_dir)
+    metrics = (
+        tele.groupBy(
+            (F.col(S.TIMESTAMP) - F.col(S.TIMESTAMP) % F.lit(HOUR)).alias(S.TIMESTAMP),
+            F.col(S.NAME),
+        )
+        .agg(
+            F.sum(S.VALUE).alias("rollup_sum"),
+            F.count(S.VALUE).alias("rollup_count"),
+            F.min(S.VALUE).alias("rollup_min"),
+            F.max(S.VALUE).alias("rollup_max"),
+        )
+    )
+    expr = BaseExpr(
+        dataset=S.DATASET_METRICS,
+        filter=Filter(k=S.NAME, op=S.EXISTS),
+        chart=ChartOptions(aggregation="sum", rollup="sum"),
+    )
+    return _rounded(QueryEngine(spark).run(expr, metrics, step_ms=DAY))
+
+
+METRICS_ROLLUP_SQL = f"""
+WITH rolled AS (
+  SELECT timestamp_ms - timestamp_ms % {HOUR} AS h, name, SUM(value) AS rollup_sum
+  FROM {_T} WHERE name IS NOT NULL GROUP BY 1, 2
+)
+SELECT h - h % {DAY} AS step_ts, name, ROUND(SUM(rollup_sum), 6) AS value
+FROM rolled GROUP BY 1, 2
+"""
+
+
+def top_k_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tele = load_telemetry(spark, sf_dir)
+    return (
+        tele.groupBy(S.NAME)
+        .agg(F.count(F.lit(1)).cast("double").alias(S.VALUE))
+        .orderBy(F.col(S.VALUE).desc(), F.col(S.NAME))
+        .limit(3)
+    )
+
+
+TOP_K_SERIES_SQL = f"""
+SELECT name, CAST(count(*) AS DOUBLE) AS value
+FROM {_T} GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# telemetry: filters + exemplars
+
+
+def exemplars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    expr = BaseExpr(filter=Filter(k=S.NAME, v=("error",), op=S.EQ), limit=500)
+    return QueryEngine(spark).run(expr, load_telemetry(spark, sf_dir))
+
+
+EXEMPLARS_SQL = f"""
+SELECT * FROM {_T} WHERE name = 'error'
+ORDER BY timestamp_ms DESC, event_id DESC LIMIT 500
+"""
+
+
+def filter_eq_and_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    expr = BaseExpr(
+        filter=BinaryClause(
+            BinaryClause(
+                Filter(k=S.NAME, v=("purchase",), op=S.EQ),
+                BinaryClause(
+                    Filter(k=S.NAME, v=("error",), op=S.EQ),
+                    Filter(k=S.VALUE, v=("400",), op=S.GT, data_type=S.NUMBER_TYPE),
+                    "and",
+                ),
+                "or",
+            ),
+            NotClause(Filter(k="user_id", v=("5",), op=S.EQ)),
+            "and",
+        ),
+        limit=1000,
+    )
+    return QueryEngine(spark).run(expr, load_telemetry(spark, sf_dir))
+
+
+FILTER_EQ_AND_OR_SQL = f"""
+SELECT * FROM {_T}
+WHERE (name = 'purchase' OR (name = 'error' AND CAST(value AS DOUBLE) > 400))
+  AND NOT (user_id = '5')
+ORDER BY timestamp_ms DESC, event_id DESC LIMIT 1000
+"""
+
+
+def filter_in_notin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    expr = BaseExpr(
+        filter=BinaryClause(
+            Filter(k=S.NAME, v=("signup", "view"), op=S.IN),
+            Filter(k="user_id", v=("1", "2", "3"), op=S.NOT_IN),
+            "and",
+        ),
+        limit=800,
+    )
+    return QueryEngine(spark).run(expr, load_telemetry(spark, sf_dir))
+
+
+FILTER_IN_NOTIN_SQL = f"""
+SELECT * FROM {_T}
+WHERE name IN ('signup', 'view') AND user_id NOT IN ('1', '2', '3')
+ORDER BY timestamp_ms DESC, event_id DESC LIMIT 800
+"""
+
+
+def filter_contains_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    expr = BaseExpr(
+        filter=BinaryClause(
+            Filter(k=S.MESSAGE, v=('"k": 1',), op=S.CONTAINS),
+            Filter(k=S.MESSAGE, v=('\\{"k": 1[0-9]\\}',), op=S.REGEX),
+            "and",
+        ),
+        limit=1000,
+    )
+    return QueryEngine(spark).run(expr, load_telemetry(spark, sf_dir))
+
+
+FILTER_CONTAINS_REGEX_SQL = f"""
+SELECT * FROM {_T}
+WHERE regexp_matches(message, '(?i).*"k": 1.*')
+  AND regexp_matches(message, '(?i)\\{{"k": 1[0-9]\\}}')
+ORDER BY timestamp_ms DESC, event_id DESC LIMIT 1000
+"""
+
+
+def filter_range_has(spark: SparkSession, sf_dir: str) -> DataFrame:
+    expr = BaseExpr(
+        filter=BinaryClause(
+            BinaryClause(
+                Filter(k=S.VALUE, v=("50",), op=S.GE, data_type=S.NUMBER_TYPE),
+                Filter(k=S.VALUE, v=("60",), op=S.LT, data_type=S.NUMBER_TYPE),
+                "and",
+            ),
+            Filter(k="user_id", op=S.HAS),
+            "and",
+        ),
+        limit=1000,
+    )
+    return QueryEngine(spark).run(expr, load_telemetry(spark, sf_dir))
+
+
+FILTER_RANGE_HAS_SQL = f"""
+SELECT * FROM {_T}
+WHERE CAST(value AS DOUBLE) >= 50 AND CAST(value AS DOUBLE) < 60
+  AND user_id IS NOT NULL
+ORDER BY timestamp_ms DESC, event_id DESC LIMIT 1000
+"""
+
+
+# ---------------------------------------------------------------------------
+# telemetry: extract / compute / tags
+
+
+def extract_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    expr = BaseExpr(
+        filter=Filter(k="k_num", op=S.EXISTS, extracted=True),
+        extractor=Extractor(
+            regex='"k": ([0-9]+)',
+            fields=(ExtractedField("k_num", S.NUMBER_TYPE),),
+        ),
+        chart=ChartOptions(
+            aggregation="avg", field_name="k_num", field_type=S.NUMBER_TYPE
+        ),
+    )
+    return _rounded(QueryEngine(spark, step_ms=DAY).run(expr, load_telemetry(spark, sf_dir)))
+
+
+EXTRACT_REGEX_SQL = f"""
+SELECT timestamp_ms - timestamp_ms % {DAY} AS step_ts, name,
+       ROUND(AVG(CAST(regexp_extract(message, '"k": ([0-9]+)', 1) AS DOUBLE)), 6) AS value
+FROM {_T}
+WHERE regexp_matches(message, '"k": ([0-9]+)')
+GROUP BY 1, 2
+"""
+
+
+def compute_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """score = (k_num / 10) * 2 + value  (mul/div/add over extracted field)."""
+    fc = FunctionCall(
+        "add",
+        (
+            FunctionCall(
+                "mul",
+                (
+                    FunctionCall(
+                        "div",
+                        (Label("k_num", S.NUMBER_TYPE), Literal(10, S.NUMBER_TYPE)),
+                    ),
+                    Literal(2, S.NUMBER_TYPE),
+                ),
+            ),
+            Label(S.VALUE, S.NUMBER_TYPE),
+        ),
+    )
+    expr = BaseExpr(
+        filter=Filter(k="score", op=S.EXISTS, computed=True),
+        extractor=Extractor(
+            regex='"k": ([0-9]+)',
+            fields=(ExtractedField("k_num", S.NUMBER_TYPE),),
+        ),
+        compute=Compute(label_name="score", function_call=fc),
+        chart=ChartOptions(
+            aggregation="avg", field_name="score", field_type=S.NUMBER_TYPE
+        ),
+    )
+    return _rounded(QueryEngine(spark, step_ms=DAY).run(expr, load_telemetry(spark, sf_dir)))
+
+
+COMPUTE_FNS_SQL = f"""
+SELECT timestamp_ms - timestamp_ms % {DAY} AS step_ts, name,
+       ROUND(AVG(CAST(regexp_extract(message, '"k": ([0-9]+)', 1) AS DOUBLE) / 10 * 2
+                 + value), 6) AS value
+FROM {_T}
+WHERE regexp_matches(message, '"k": ([0-9]+)')
+GROUP BY 1, 2
+"""
+
+
+def compute_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """concat + strpos string functions as a projected computed column."""
+    tele = load_telemetry(spark, sf_dir)
+    fc_tag = FunctionCall("concat", (Label(S.NAME), Literal("-"), Label("user_id")))
+    from lakeside_spark.ast.compute import function_call_to_column
+
+    fc_pos = FunctionCall("strpos", (Literal("7"), Label(S.MESSAGE)))
+    return (
+        tele.withColumn("tag", function_call_to_column(fc_tag))
+        .withColumn("pos7", function_call_to_column(fc_pos).cast("double"))
+        .select("event_id", "tag", "pos7")
+    )
+
+
+COMPUTE_STRINGS_SQL = f"""
+SELECT event_id, name || '-' || user_id AS tag,
+       CAST(position('7' in message) AS DOUBLE) AS pos7
+FROM {_T}
+"""
+
+
+def tag_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    expr = BaseExpr(filter=Filter(k=S.VALUE, v=("250",), op=S.GT, data_type=S.NUMBER_TYPE))
+    return QueryEngine(spark).tag_values(expr, load_telemetry(spark, sf_dir), S.NAME)
+
+
+TAG_VALUES_SQL = f"""
+SELECT name, count(*) AS count FROM {_T}
+WHERE CAST(value AS DOUBLE) > 250 GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# formula engine
+
+
+def _series(spark: SparkSession, sf_dir: str, flt, step_ms: int) -> DataFrame:
+    expr = BaseExpr(filter=flt, chart=ChartOptions(aggregation="count"))
+    df = QueryEngine(spark, step_ms=step_ms).run(expr, load_telemetry(spark, sf_dir))
+    # global aggregation across names per step (reference: globalAgg over the
+    # per-name datapoint streams) so the formula joins one row per step key
+    return df.groupBy(S.STEP_TS).agg(F.sum(S.VALUE).alias(S.VALUE))
+
+
+def formula_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(errors / total) * 100 per 1h step — Formula div + mul with constant."""
+    a = _series(spark, sf_dir, Filter(k=S.NAME, v=("error",), op=S.EQ), HOUR)
+    b = _series(spark, sf_dir, Filter(k=S.NAME, op=S.EXISTS), HOUR)
+    out = eval_formula(parse_formula("(a / b) * 100"), {"a": a, "b": b})
+    return _rounded(out)
+
+
+FORMULA_RATIO_SQL = f"""
+WITH a AS (
+  SELECT timestamp_ms - timestamp_ms % {HOUR} AS step_ts,
+         CAST(count(value) AS DOUBLE) AS av
+  FROM {_T} WHERE name = 'error' GROUP BY 1
+), b AS (
+  SELECT timestamp_ms - timestamp_ms % {HOUR} AS step_ts,
+         CAST(count(value) AS DOUBLE) AS bv
+  FROM {_T} WHERE name IS NOT NULL GROUP BY 1
+)
+SELECT a.step_ts, ROUND(av / bv * 100, 6) AS value
+FROM a JOIN b USING (step_ts) WHERE bv != 0
+"""
+
+
+def formula_add_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """a + b where either side may be missing per step → zero-filled
+    (reference Formula.scala:46-47)."""
+    a = _series(
+        spark, sf_dir,
+        Filter(k=S.VALUE, v=("480",), op=S.GT, data_type=S.NUMBER_TYPE), HOUR,
+    )
+    b = _series(
+        spark, sf_dir,
+        Filter(k=S.VALUE, v=("5",), op=S.LT, data_type=S.NUMBER_TYPE), HOUR,
+    )
+    return eval_formula(parse_formula("a + b"), {"a": a, "b": b})
+
+
+FORMULA_ADD_FILL_SQL = f"""
+WITH a AS (
+  SELECT timestamp_ms - timestamp_ms % {HOUR} AS step_ts,
+         CAST(count(value) AS DOUBLE) AS av
+  FROM {_T} WHERE CAST(value AS DOUBLE) > 480 GROUP BY 1
+), b AS (
+  SELECT timestamp_ms - timestamp_ms % {HOUR} AS step_ts,
+         CAST(count(value) AS DOUBLE) AS bv
+  FROM {_T} WHERE CAST(value AS DOUBLE) < 5 GROUP BY 1
+)
+SELECT COALESCE(a.step_ts, b.step_ts) AS step_ts,
+       COALESCE(av, 0) + COALESCE(bv, 0) AS value
+FROM a FULL OUTER JOIN b USING (step_ts)
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-style lake analytics
+
+
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    disc = (F.lit(1).cast("decimal(18,2)") - dec("l_discount")).cast("decimal(18,4)")
+    charge = (F.lit(1).cast("decimal(18,2)") + dec("l_tax")).cast("decimal(18,4)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum((dec("l_extendedprice") * disc).cast("decimal(28,6)"))
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.sum(
+                (dec("l_extendedprice") * disc * charge).cast("decimal(28,8)")
+            )
+            .cast("double")
+            .alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+TPCH_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+       * CAST(1 - CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4)) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+       * CAST(1 - CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4))
+       * CAST(1 + CAST(l_tax AS DECIMAL(18,2)) AS DECIMAL(18,4)) AS DECIMAL(28,8))) AS DOUBLE) AS sum_charge,
+  ROUND(AVG(l_quantity), 6) AS avg_qty,
+  ROUND(AVG(l_extendedprice), 6) AS avg_price,
+  ROUND(AVG(l_discount), 6) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def _revenue_col() -> F.Column:
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    disc = (F.lit(1).cast("decimal(18,2)") - dec("l_discount")).cast("decimal(18,4)")
+    return (dec("l_extendedprice") * disc).cast("decimal(28,6)")
+
+
+_REVENUE_SQL = (
+    "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - CAST(l_discount AS "
+    "DECIMAL(18,2)) AS DECIMAL(18,4)) AS DECIMAL(28,6))"
+)
+
+
+def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cutoff = F.lit("1997-03-15").cast("timestamp")
+    return (
+        li.filter(F.col("l_shipdate") > cutoff)
+        .join(orders.filter(F.col("o_orderdate") < cutoff), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(cust.filter(F.col("c_mktsegment") == "BUILDING")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(_revenue_col()).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+TPCH_Q3_SQL = f"""
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       CAST(SUM({_REVENUE_SQL}) AS DOUBLE) AS revenue
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1997-03-15' AND l_shipdate > TIMESTAMP '1997-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey LIMIT 10
+"""
+
+
+def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    lo = F.lit("1996-01-01").cast("timestamp")
+    hi = F.lit("1997-01-01").cast("timestamp")
+    return (
+        li.join(
+            orders.filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cust), (F.col("o_custkey") == F.col("c_custkey")) & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region.filter(F.col("r_name") == "ASIA")), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(F.sum(_revenue_col()).cast("double").alias("revenue"))
+    )
+
+
+TPCH_Q5_SQL = f"""
+SELECT n_name, CAST(SUM({_REVENUE_SQL}) AS DOUBLE) AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+
+def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum((dec("l_extendedprice") * dec("l_discount")).cast("decimal(28,4)"))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+TPCH_Q6_SQL = """
+SELECT CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+        * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "ts_count": ts_count,
+    "ts_sum": ts_sum,
+    "ts_avg": ts_avg,
+    "ts_max": ts_max,
+    "ts_groupby": ts_groupby,
+    "ts_percentile": ts_percentile,
+    "ts_cardinality": ts_cardinality,
+    "ts_rate": ts_rate,
+    "metrics_rollup": metrics_rollup,
+    "top_k_series": top_k_series,
+    "exemplars": exemplars,
+    "filter_eq_and_or": filter_eq_and_or,
+    "filter_in_notin": filter_in_notin,
+    "filter_contains_regex": filter_contains_regex,
+    "filter_range_has": filter_range_has,
+    "extract_regex": extract_regex,
+    "compute_fns": compute_fns,
+    "compute_strings": compute_strings,
+    "tag_values": tag_values,
+    "formula_ratio": formula_ratio,
+    "formula_add_fill": formula_add_fill,
+    "tpch_q1": tpch_q1,
+    "tpch_q3": tpch_q3,
+    "tpch_q5": tpch_q5,
+    "tpch_q6": tpch_q6,
+}
+
+ORACLES: dict[str, str] = {
+    "ts_count": TS_COUNT_SQL,
+    "ts_sum": TS_SUM_SQL,
+    "ts_avg": TS_AVG_SQL,
+    "ts_max": TS_MAX_SQL,
+    "ts_groupby": TS_GROUPBY_SQL,
+    "ts_percentile": TS_PERCENTILE_SQL,
+    "ts_cardinality": TS_CARDINALITY_SQL,
+    "ts_rate": TS_RATE_SQL,
+    "metrics_rollup": METRICS_ROLLUP_SQL,
+    "top_k_series": TOP_K_SERIES_SQL,
+    "exemplars": EXEMPLARS_SQL,
+    "filter_eq_and_or": FILTER_EQ_AND_OR_SQL,
+    "filter_in_notin": FILTER_IN_NOTIN_SQL,
+    "filter_contains_regex": FILTER_CONTAINS_REGEX_SQL,
+    "filter_range_has": FILTER_RANGE_HAS_SQL,
+    "extract_regex": EXTRACT_REGEX_SQL,
+    "compute_fns": COMPUTE_FNS_SQL,
+    "compute_strings": COMPUTE_STRINGS_SQL,
+    "tag_values": TAG_VALUES_SQL,
+    "formula_ratio": FORMULA_RATIO_SQL,
+    "formula_add_fill": FORMULA_ADD_FILL_SQL,
+    "tpch_q1": TPCH_Q1_SQL,
+    "tpch_q3": TPCH_Q3_SQL,
+    "tpch_q5": TPCH_Q5_SQL,
+    "tpch_q6": TPCH_Q6_SQL,
+}

@@ -1,0 +1,58 @@
+"""Driver-style correctness gate, run locally at sf0.001: every registry
+query must match its DuckDB oracle on row count, column names, and
+(order-insensitive) values."""
+
+import math
+
+import duckdb
+import pytest
+
+from lakeside_spark.registry import ORACLES, QUERIES
+from lakeside_spark.sources.tables import ALL_TABLES
+
+
+@pytest.fixture(scope="module")
+def ddb(sf_dir):
+    con = duckdb.connect()
+    for t in ALL_TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def _norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return f"{v:.9g}"
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, list):
+        return tuple(_norm(x) for x in v)
+    return v
+
+
+def _key_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle(name, spark, sf_dir, ddb):
+    sdf = QUERIES[name](spark, sf_dir)
+    spark_cols = list(sdf.columns)
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    rel = ddb.sql(ORACLES[name])
+    duck_cols = list(rel.columns)
+    duck_rows = rel.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: columns differ: {spark_cols} vs {duck_cols}"
+    )
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row counts differ: {len(spark_rows)} vs {len(duck_rows)}"
+    )
+    got = _key_rows(spark_cols, spark_rows)
+    exp = _key_rows(duck_cols, duck_rows)
+    mismatches = [(g, e) for g, e in zip(got, exp) if g != e]
+    assert not mismatches, f"{name}: first mismatches: {mismatches[:3]}"
