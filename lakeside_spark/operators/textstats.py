@@ -1,0 +1,110 @@
+"""Text analysis operators: language ID, quality scoring, token counting,
+document fingerprinting.
+
+Every function is a pure Column-expression pipeline (codegen'd) designed to
+be cross-engine deterministic: regex patterns restricted to RE2∩Java syntax,
+hashes md5-based, ratios single-division doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lakeside_spark.functions.text import normalized, shingles, words
+
+# marker stopwords per language; priority order breaks score ties
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "is"),
+    "de": ("der", "und", "die", "nicht"),
+    "es": ("el", "la", "que", "los"),
+    "fr": ("le", "et", "les", "une"),
+}
+
+# BPE-ish tokenizer: letter runs | digit runs | single non-space symbol
+BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+_EN_STOPWORDS = ("the", "and", "of", "is", "a", "to", "in")
+
+
+def _marker_count(text_col: str, markers: tuple[str, ...]) -> F.Column:
+    pattern = r"\b(" + "|".join(markers) + r")\b"
+    return F.regexp_count(normalized(text_col), F.lit(pattern))
+
+
+def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic language ID: argmax of marker-word hits, 'und' when no
+    marker occurs. Tie-break = LANG_MARKERS declaration order."""
+    out = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col))
+    for lang, markers in LANG_MARKERS.items():
+        out = out.withColumn(f"c_{lang}", _marker_count(text_col, markers))
+    score_cols = [F.col(f"c_{lang}") for lang in LANG_MARKERS]
+    best = F.greatest(*score_cols)
+    guess = F.when(best <= 0, F.lit("und"))
+    for lang in LANG_MARKERS:
+        guess = guess.when(F.col(f"c_{lang}") == best, F.lit(lang))
+    return out.select(
+        "doc_id", guess.alias("lang_guess"), *[f"c_{lang}" for lang in LANG_MARKERS]
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Length/punctuation/stopword heuristic quality features + score.
+
+    score = 0.4·min(words/100,1) + 0.3·stop_ratio·5 (cap 0.3) + 0.3·(1-punct_ratio)
+    """
+    w = words(text_col)
+    n_chars = F.length(F.col(text_col)).cast("double")
+    n_words = F.size(w).cast("double")
+    punct = F.regexp_count(F.col(text_col), F.lit(r"[^\w\s]")).cast("double")
+    stops = _marker_count(text_col, _EN_STOPWORDS).cast("double")
+    punct_ratio = punct / F.greatest(n_chars, F.lit(1.0))
+    stop_ratio = stops / F.greatest(n_words, F.lit(1.0))
+    score = (
+        F.least(n_words / 100.0, F.lit(1.0)) * 0.4
+        + F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.3
+        + (1.0 - punct_ratio) * 0.3
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_chars.alias("n_chars_m"),
+        n_words.alias("n_words"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(score, 6).alias("quality"),
+    )
+
+
+def token_counts(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Whitespace token count + BPE-ish regex token count."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(words(text_col)).alias("ws_tokens"),
+        F.regexp_count(F.col(text_col), F.lit(BPE_PATTERN)).alias("bpe_tokens"),
+    )
+
+
+def fingerprints(
+    docs: DataFrame, n: int = 8, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Content fingerprints: md5 of normalized text (exact identity) + the
+    minimum md5 over char-level rolling n-gram windows (winnowing-style
+    robust fingerprint; reference analog: Commons.computeFingerprint's
+    field:trigram hashing)."""
+    norm = normalized(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(norm) - n + 1, F.lit(1))),
+        lambda i: F.md5(norm.substr(i, F.lit(n))),
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(norm).alias("content_fp"),
+        F.array_min(grams).alias("rolling_fp"),
+    )
+
+
+def shingle_profile(docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-doc shingle counts — building block reused by dedup tests."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"), F.size(shingles(text_col, n)).alias("n_shingles")
+    )

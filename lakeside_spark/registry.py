@@ -654,9 +654,289 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-0
 
 
 # ---------------------------------------------------------------------------
+# LLM-data-pipeline operators (documents / embeddings)
+
+# DuckDB 3-gram shingle CTE (mirrors functions/text.py shingles())
+_SHINGLE_CTE = """
+WITH w AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ws
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(ws[i:i+2], ' ')
+                        for i in range(1, greatest(len(ws)-2, 1) + 1)]) AS shs
+  FROM w
+)
+"""
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakeside_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_hash,
+       min(doc_id) AS keep_id, count(*) AS dup_count
+FROM documents GROUP BY 1
+"""
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakeside_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.12)
+
+
+DEDUP_NGRAM_JACCARD_SQL = _SHINGLE_CTE + """
+, ex AS (SELECT doc_id, unnest(shs) AS shingle FROM sh),
+sizes AS (SELECT doc_id, len(shs) AS n_sh FROM sh),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       ROUND(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.12
+"""
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakeside_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.12, num_hashes=16, bands=4
+    )
+
+
+DEDUP_MINHASH_LSH_SQL = _SHINGLE_CTE + """
+, sig AS (
+  SELECT doc_id,
+         [list_min([CAST('0x' || substr(md5(CAST(h AS VARCHAR) || '|' || s), 1, 15) AS BIGINT)
+                    for s in shs]) for h in range(0, 16)] AS sig
+  FROM sh
+), banded AS (
+  SELECT doc_id,
+         unnest([CAST(b AS VARCHAR) || ':' ||
+                 md5(array_to_string([CAST(x AS VARCHAR) for x in sig[b*4+1 : b*4+4]], ','))
+                 for b in range(0, 4)]) AS band
+  FROM sig
+), cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
+), ex AS (SELECT doc_id, unnest(shs) AS shingle FROM sh),
+sizes AS (SELECT doc_id, len(shs) AS n_sh FROM sh),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT c.id_a, c.id_b,
+       ROUND(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+FROM cands c
+JOIN common USING (id_a, id_b)
+JOIN sizes sa ON sa.doc_id = c.id_a
+JOIN sizes sb ON sb.doc_id = c.id_b
+WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.12
+"""
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rows-only: bit-level simhash not practical to replicate in SQL."""
+    from lakeside_spark.operators.dedup import simhash_pairs
+
+    return simhash_pairs(load_table(spark, sf_dir, "documents"), max_hamming=18)
+
+
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakeside_spark.operators.similarity import embedding_dup_pairs
+
+    return embedding_dup_pairs(load_table(spark, sf_dir, "embeddings"), threshold=0.3)
+
+
+DEDUP_EMBEDDING_SQL = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.3
+"""
+
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakeside_spark.operators.similarity import cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
+
+
+ANN_COSINE_TOPK_SQL = """
+WITH scored AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cos
+  FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+  WHERE q.vec_id < 5
+), ranked AS (
+  SELECT q_id, n_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+  FROM scored
+)
+SELECT q_id, n_id, ROUND(cos, 6) AS cos, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rows-only: hyperplane-LSH ANN (the 100 TB fan-out-bounded path)."""
+    from lakeside_spark.operators.similarity import ann_lsh as _ann_lsh
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _ann_lsh(emb, emb.filter(F.col("vec_id") < 5), k=5, num_planes=4)
+
+
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakeside_spark.operators.textstats import lang_id
+
+    return lang_id(load_table(spark, sf_dir, "documents"))
+
+
+_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+
+def _marker_sql(markers: tuple[str, ...]) -> str:
+    return (
+        f"len(regexp_extract_all({_NORM}, '\\b(" + "|".join(markers) + ")\\b'))"
+    )
+
+
+TEXT_LANGID_SQL = f"""
+WITH c AS (
+  SELECT doc_id,
+         {_marker_sql(('the','and','of','is'))} AS c_en,
+         {_marker_sql(('der','und','die','nicht'))} AS c_de,
+         {_marker_sql(('el','la','que','los'))} AS c_es,
+         {_marker_sql(('le','et','les','une'))} AS c_fr
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN greatest(c_en, c_de, c_es, c_fr) <= 0 THEN 'und'
+            WHEN c_en = greatest(c_en, c_de, c_es, c_fr) THEN 'en'
+            WHEN c_de = greatest(c_en, c_de, c_es, c_fr) THEN 'de'
+            WHEN c_es = greatest(c_en, c_de, c_es, c_fr) THEN 'es'
+            ELSE 'fr' END AS lang_guess,
+       c_en, c_de, c_es, c_fr
+FROM c
+"""
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakeside_spark.operators.textstats import quality_score
+
+    return quality_score(load_table(spark, sf_dir, "documents"))
+
+
+TEXT_QUALITY_SQL = f"""
+WITH f AS (
+  SELECT doc_id,
+         CAST(length(text) AS DOUBLE) AS n_chars_m,
+         CAST(len(string_split({_NORM}, ' ')) AS DOUBLE) AS n_words,
+         CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) AS punct,
+         CAST({_marker_sql(('the','and','of','is','a','to','in'))} AS DOUBLE) AS stops
+  FROM documents
+)
+SELECT doc_id, n_chars_m, n_words,
+       ROUND(punct / greatest(n_chars_m, 1.0), 6) AS punct_ratio,
+       ROUND(stops / greatest(n_words, 1.0), 6) AS stop_ratio,
+       ROUND(least(n_words / 100.0, 1.0) * 0.4
+             + least(stops / greatest(n_words, 1.0) * 5.0, 1.0) * 0.3
+             + (1.0 - punct / greatest(n_chars_m, 1.0)) * 0.3, 6) AS quality
+FROM f
+"""
+
+
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakeside_spark.operators.textstats import token_counts
+
+    return token_counts(load_table(spark, sf_dir, "documents"))
+
+
+TEXT_TOKENS_SQL = f"""
+SELECT doc_id,
+       len(string_split({_NORM}, ' ')) AS ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe_tokens
+FROM documents
+"""
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakeside_spark.operators.textstats import fingerprints
+
+    return fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+DOC_FINGERPRINT_SQL = f"""
+WITH n AS (SELECT doc_id, {_NORM} AS norm FROM documents)
+SELECT doc_id, md5(norm) AS content_fp,
+       list_min([md5(substr(norm, i, 8))
+                 for i in range(1, greatest(length(norm) - 7, 1) + 1)]) AS rolling_fp
+FROM n
+"""
+
+
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakeside_spark.operators.multimodal import synthesize_media, with_media_metadata
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = with_media_metadata(synthesize_media(docs))
+    return media.select(
+        "doc_id",
+        F.col("media_meta.byte_size").alias("byte_size"),
+        F.sha2(F.col("media"), 256).alias("content_sha256"),
+    )
+
+
+MULTIMODAL_META_SQL = """
+SELECT doc_id, octet_length(encode(text)) AS byte_size,
+       sha256(text) AS content_sha256
+FROM documents
+"""
+
+
+def ema_smooth_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rows-only: recursive EMA over daily per-name count series
+    (applyInPandas; not expressible in non-recursive SQL)."""
+    from lakeside_spark.operators.ema import ema_smooth
+
+    expr = BaseExpr(
+        filter=Filter(k=S.NAME, op=S.EXISTS), chart=ChartOptions(aggregation="count")
+    )
+    series = QueryEngine(spark, step_ms=DAY).run(expr, load_telemetry(spark, sf_dir))
+    out = ema_smooth(series, alpha=0.3)
+    return out.withColumn("ema", F.round("ema", 6))
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "dedup_exact": dedup_exact,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "dedup_embedding": dedup_embedding,
+    "ann_cosine_topk": ann_cosine_topk,
+    "ann_lsh": ann_lsh,
+    "text_langid": text_langid,
+    "text_quality": text_quality,
+    "text_tokens": text_tokens,
+    "doc_fingerprint": doc_fingerprint,
+    "multimodal_meta": multimodal_meta,
+    "ema_smooth": ema_smooth_series,
     "ts_count": ts_count,
     "ts_sum": ts_sum,
     "ts_avg": ts_avg,
@@ -685,6 +965,18 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "dedup_exact": DEDUP_EXACT_SQL,
+    "dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD_SQL,
+    "dedup_minhash_lsh": DEDUP_MINHASH_LSH_SQL,
+    "dedup_embedding": DEDUP_EMBEDDING_SQL,
+    "ann_cosine_topk": ANN_COSINE_TOPK_SQL,
+    "text_langid": TEXT_LANGID_SQL,
+    "text_quality": TEXT_QUALITY_SQL,
+    "text_tokens": TEXT_TOKENS_SQL,
+    "doc_fingerprint": DOC_FINGERPRINT_SQL,
+    "multimodal_meta": MULTIMODAL_META_SQL,
+    # dedup_simhash, ann_lsh, ema_smooth: genuinely non-SQL-expressible /
+    # approximate — rows-only check by design
     "ts_count": TS_COUNT_SQL,
     "ts_sum": TS_SUM_SQL,
     "ts_avg": TS_AVG_SQL,
