@@ -1,0 +1,68 @@
+"""Structured Streaming ingest: the Spark-native replacement for the
+reference's WAL / unsealed-segment path.
+
+Reference flow (README + ingestion service): events buffer into a WAL,
+become queryable after ~5s, seal to parquet every 20 min; queries merge
+sealed (S3 parquet) + unsealed (streaming) results, and
+TimeGroupedSketchAggregator time-groups with bounded buffers (late data
+beyond the buffer window is dropped — core TimeGroupedSketchAggregator
+.scala:200-228).
+
+Spark mapping:
+- WAL tail            → readStream (file/kafka source)
+- time grouping       → window() aggregation on event time
+- bounded buffers     → withWatermark (late-data cutoff)
+- sealing to parquet  → writeStream parquet sink with checkpointing
+- queryable-in-5s     → trigger(processingTime=...) micro-batches
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import DataStreamWriter
+
+from lakeside_spark import schema as S
+
+
+def streaming_step_counts(
+    stream: DataFrame,
+    step: str = "10 seconds",
+    watermark: str = "30 seconds",
+    ts_col: str = "ts",
+    name_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Event-time windowed chart aggregation over a stream.
+
+    Emits (step_ts, name, value=count, sum) per window once the watermark
+    passes — the streaming analog of the engine's step-aligned chart query.
+    """
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), step), F.col(name_col).alias(S.NAME))
+        .agg(
+            F.count(F.lit(1)).cast("double").alias(S.VALUE),
+            F.sum(value_col).alias("sum_value"),
+        )
+        .select(
+            F.unix_millis(F.col("window.start")).alias(S.STEP_TS),
+            S.NAME,
+            S.VALUE,
+            "sum_value",
+        )
+    )
+
+
+def seal_to_parquet(
+    df: DataFrame, path: str, checkpoint: str, trigger_seconds: int = 5
+) -> DataStreamWriter:
+    """Seal the aggregated stream to parquet segments (append mode emits
+    only watermark-finalized windows, like sealed segments)."""
+    return (
+        df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+    )

@@ -1,0 +1,105 @@
+"""Operator-level tests: EMA recurrence, multimodal plumbing, LSH recall,
+simhash invariants."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from lakeside_spark.sources.tables import load_table
+
+
+def test_ema_matches_reference_recurrence(spark):
+    from lakeside_spark.operators.ema import ema_smooth
+
+    rows = [("a", 0, 10.0), ("a", 1, 20.0), ("a", 2, 0.0), ("b", 0, 5.0)]
+    df = spark.createDataFrame(rows, "name string, step_ts long, value double")
+    got = {
+        (r["name"], r["step_ts"]): r["ema"]
+        for r in ema_smooth(df, alpha=0.5).collect()
+    }
+    # ema0 = x0; ema_t = a*x_t + (1-a)*ema_{t-1}  (EMA.scala:24-31)
+    assert got[("a", 0)] == 10.0
+    assert got[("a", 1)] == 0.5 * 20 + 0.5 * 10
+    assert got[("a", 2)] == 0.5 * 0 + 0.5 * 15
+    assert got[("b", 0)] == 5.0
+
+
+def test_multimodal_fake_decode(spark, sf_dir):
+    from lakeside_spark.operators.multimodal import (
+        decode_features,
+        synthesize_media,
+        with_media_metadata,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    media = with_media_metadata(synthesize_media(docs))
+    meta = media.select("doc_id", "media_meta.*").collect()
+    assert all(r["byte_size"] > 0 for r in meta)
+    assert all(r["format"] == "unknown" for r in meta)  # text bytes, no magic
+
+    feats = decode_features(media, fake=True, dim=8).collect()
+    assert len(feats) == 20
+    assert all(len(r["features"]) == 8 for r in feats)
+    assert all(0 <= x <= 1 for r in feats for x in r["features"])
+
+
+def test_multimodal_real_decode_is_stubbed(spark, sf_dir):
+    from lakeside_spark.operators.multimodal import decode_features, synthesize_media
+
+    docs = synthesize_media(load_table(spark, sf_dir, "documents").limit(1))
+    with pytest.raises(NotImplementedError):
+        decode_features(docs)
+
+
+def test_magic_byte_sniffing(spark):
+    from lakeside_spark.operators.multimodal import with_media_metadata
+
+    rows = [(1, bytearray(b"\x89PNG\r\n rest")), (2, bytearray(b"\xff\xd8\xff\xe0jpg")), (3, bytearray(b"plain"))]
+    df = spark.createDataFrame(rows, "doc_id long, media binary")
+    got = {r["doc_id"]: r["fmt"] for r in with_media_metadata(df).select("doc_id", F.col("media_meta.format").alias("fmt")).collect()}
+    assert got == {1: "png", 2: "jpeg", 3: "unknown"}
+
+
+def test_lsh_is_subset_of_bruteforce(spark, sf_dir):
+    from lakeside_spark.operators.similarity import ann_lsh, cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3)
+    brute = {(r["q_id"], r["n_id"]) for r in cosine_topk(emb, q, k=50).collect()}
+    approx = ann_lsh(emb, q, k=10, num_planes=2)
+    got = [(r["q_id"], r["n_id"], r["cos"]) for r in approx.collect()]
+    assert len(got) > 0
+    # every LSH hit scores identically to brute force (same kernel)
+    brute_cos = {
+        (r["q_id"], r["n_id"]): r["cos"] for r in cosine_topk(emb, q, k=500).collect()
+    }
+    for q_id, n_id, cos in got:
+        assert brute_cos[(q_id, n_id)] == pytest.approx(cos, abs=1e-9)
+
+
+def test_minhash_lsh_subset_of_exact(spark, sf_dir):
+    from lakeside_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {(r["id_a"], r["id_b"]) for r in ngram_jaccard_pairs(docs, 0.12).collect()}
+    lsh = {(r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(docs, 0.12).collect()}
+    assert lsh <= exact
+
+
+def test_simhash_is_deterministic_64bit(spark, sf_dir):
+    from lakeside_spark.operators.dedup import simhash64
+
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    a = {(r["doc_id"], r["simhash"]) for r in simhash64(docs).collect()}
+    b = {(r["doc_id"], r["simhash"]) for r in simhash64(docs).collect()}
+    assert a == b
+    assert all(0 <= h < 2**60 for _, h in a)
+
+
+def test_identical_docs_have_zero_hamming(spark):
+    from lakeside_spark.operators.dedup import simhash_pairs
+
+    rows = [(1, "the quick brown fox jumps"), (2, "the quick brown fox jumps"), (3, "completely different words here entirely")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_pairs(df, max_hamming=60).collect()}
+    assert pairs[(1, 2)] == 0
+    assert pairs.get((1, 3), 61) > 0
