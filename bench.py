@@ -31,6 +31,13 @@ HEADLINE = [
     "tpch_q3",
     "tpch_q5",
     "tpch_q6",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_embedding",
+    "ann_cosine_topk",
+    "text_tokens",
+    "doc_fingerprint",
 ]
 
 

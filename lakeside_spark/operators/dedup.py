@@ -27,6 +27,16 @@ from pyspark.sql import functions as F
 from lakeside_spark.functions.text import md5_long, normalized, shingles
 
 
+def _parallelize(df: DataFrame) -> DataFrame:
+    """Spread rows across all cores before CPU-heavy per-doc work.
+
+    Needed when the upstream scan is coarse (single-row-group files → one
+    task); on a real cluster the scan is already parallel and this becomes a
+    cheap rebalance. Round-robin, no key skew."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism)
+
+
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Group identical (normalized) texts; keep the smallest id per group."""
     return (
@@ -40,9 +50,13 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 
 
 def _shingled(docs: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
-    return docs.select(
+    # NOTE: no filter below this projection — a predicate referencing the
+    # shingle expression gets pushed beneath the repartition exchange and
+    # forces the (interpreted) HOF to evaluate in the single scan task.
+    # The shingle array is never empty (sequence(0, greatest(·,0)) ≥ 1 elem).
+    return _parallelize(docs).select(
         F.col(id_col).alias("doc_id"), shingles(text_col, n).alias("sh")
-    ).filter(F.size("sh") > 0)
+    )
 
 
 def ngram_jaccard_pairs(
@@ -87,22 +101,29 @@ def minhash_signatures(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """(doc_id, sig: array<bigint>[num_hashes]) — sig[i] = min over shingles
-    of md5_long(i || '|' || shingle). Pure map work: no shuffle."""
+    of md5_long(i || '|' || shingle).
+
+    Computed on flat (doc_id, shingle) rows with one static md5/conv column
+    per hash index: everything stays in whole-stage codegen (nested
+    higher-order lambdas would fall back to interpreted eval, ~20× slower),
+    then a single groupBy(doc_id) min-aggregates the signature."""
     sh = _shingled(docs, text_col, id_col, n)
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(
-            F.transform(
-                F.col("sh"),
-                lambda s: F.conv(
-                    F.substring(F.md5(F.concat(i.cast("string"), F.lit("|"), s)), 1, 15),
-                    16,
-                    10,
-                ).cast("bigint"),
-            )
-        ),
+    flat = sh.select("doc_id", F.explode("sh").alias("s"))
+    hash_cols = [
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{i}|"), F.col("s"))), 1, 15), 16, 10
+        )
+        .cast("bigint")
+        .alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    per_shingle = flat.select("doc_id", *hash_cols)
+    mins = per_shingle.groupBy("doc_id").agg(
+        *[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)]
     )
-    return sh.select("doc_id", sig.alias("sig"))
+    return mins.select(
+        "doc_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    )
 
 
 def minhash_lsh_pairs(
@@ -138,8 +159,31 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .distinct()
     )
-    exact = ngram_jaccard_pairs(docs, threshold, n, text_col, id_col)
-    return candidates.join(exact, ["id_a", "id_b"]).select("id_a", "id_b", "jaccard")
+    # verify ONLY the candidate pairs (this bounded verification is the whole
+    # point of LSH at scale — never the all-pairs join)
+    sh = _shingled(docs, text_col, id_col, n)
+    ex = sh.select("doc_id", F.explode("sh").alias("shingle"))
+    sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
+    ex_a = ex.select(F.col("doc_id").alias("id_a"), "shingle")
+    ex_b = ex.select(F.col("doc_id").alias("_id_b"), F.col("shingle").alias("_sh_b"))
+    common = (
+        candidates.join(ex_a, "id_a")
+        .join(ex_b, (F.col("id_b") == F.col("_id_b")) & (F.col("shingle") == F.col("_sh_b")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
 
 
 def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -147,7 +191,7 @@ def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     token's md5-derived bit j). Deterministic and portable (md5-based)."""
     from lakeside_spark.functions.text import words
 
-    toks = docs.select(
+    toks = _parallelize(docs).select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(words(text_col))).alias("tok"),
     )

@@ -1,27 +1,95 @@
 """Similarity search over embedding columns.
 
-- brute-force cosine top-k: broadcast the (small) query set against the
-  corpus; one pass, no shuffle of the corpus. The correct baseline and the
-  oracle-checkable path.
-- LSH-bucketed ANN: deterministic random-hyperplane signatures; candidates
-  only within matching buckets (plus verification), bounding the join
-  fan-out at scale. Recall < 1 by design — the 100 TB path.
-- embedding near-dup pairs: cosine ≥ τ via bucketed or brute-force pairing.
+Execution strategy (the part that matters at 100 TB):
 
-Vector kernels are higher-order-function expressions (functions/vectors.py)
-— JVM-side, no UDFs.
+- The scoring kernel is a blocked matrix multiply via Arrow-batched
+  ``mapInPandas``: the small side (query set / corpus block) is broadcast as
+  a numpy matrix, each corpus partition multiplies its block against it in
+  C (BLAS), and only surviving (pair, score) rows are emitted. This beats
+  per-pair expression evaluation by orders of magnitude — per-row
+  higher-order-function lambdas are interpreted, and a pair join would ship
+  every vector twice through the shuffle.
+- brute-force cosine top-k: corpus × broadcast-queries, exact — the
+  oracle-checkable baseline.
+- hyperplane-LSH ANN / bucketed pairing: bounds candidate fan-out when the
+  "small side" no longer fits a broadcast — the scale path (recall < 1 by
+  design).
+
+Column-expression cosine (functions/vectors.py) remains for single-pair
+use; the operators here never evaluate vectors row-at-a-time.
 """
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from lakeside_spark.functions.vectors import as_double_array, cosine
+from lakeside_spark.functions.vectors import as_double_array
 
 
-def _with_vec(df: DataFrame, vec_col: str) -> DataFrame:
-    return df.withColumn("_v", as_double_array(vec_col))
+def _parallelize(df: DataFrame) -> DataFrame:
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism)
+
+
+def _collect_unit_matrix(df: DataFrame, vec_col: str, id_col: str):
+    """Small side → (ids: int64[n], unit vectors: float64[n, d])."""
+    rows = df.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return ids, mat / norms
+
+
+def _scored_against(
+    corpus: DataFrame,
+    q_ids: np.ndarray,
+    q_unit: np.ndarray,
+    vec_col: str,
+    id_col: str,
+    exclude_self: bool,
+    threshold: float | None = None,
+    upper_triangle: bool = False,
+) -> DataFrame:
+    """corpus ⊗ broadcast(queries) cosine via blocked BLAS matmul.
+
+    Emits (q_id, n_id, cos); optional threshold filter and id_a<id_b
+    triangle restriction applied inside the batch (before any shuffle)."""
+    spark = corpus.sparkSession
+    bc = spark.sparkContext.broadcast((q_ids, q_unit))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_q, unit_q = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            n_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            cos = (mat / norms) @ unit_q.T  # [block, n_queries] in BLAS
+            qq, nn = np.meshgrid(np.arange(len(ids_q)), np.arange(len(n_ids)))
+            q_flat, n_flat = ids_q[qq.ravel()], n_ids[nn.ravel()]
+            c_flat = cos.ravel()
+            mask = np.ones(len(c_flat), dtype=bool)
+            if exclude_self:
+                mask &= q_flat != n_flat
+            if upper_triangle:
+                mask &= q_flat < n_flat
+            if threshold is not None:
+                mask &= c_flat >= threshold
+            yield pd.DataFrame(
+                {"q_id": q_flat[mask], "n_id": n_flat[mask], "cos": c_flat[mask]}
+            )
+
+    return _parallelize(corpus.select(id_col, vec_col)).mapInPandas(
+        score, schema="q_id bigint, n_id bigint, cos double"
+    )
 
 
 def cosine_topk(
@@ -33,18 +101,11 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k neighbors per query vector (self-matches excluded).
 
-    Output: (q_id, n_id, cos, rank). Deterministic ordering: cos desc then
-    neighbor id."""
-    c = _with_vec(corpus, vec_col).select(
-        F.col(id_col).alias("n_id"), F.col("_v").alias("nv")
+    Output: (q_id, n_id, cos, rank); ties broken by neighbor id."""
+    q_ids, q_unit = _collect_unit_matrix(
+        queries.withColumn(vec_col, as_double_array(vec_col)), vec_col, id_col
     )
-    q = _with_vec(queries, vec_col).select(
-        F.col(id_col).alias("q_id"), F.col("_v").alias("qv")
-    )
-    scored = (
-        c.join(F.broadcast(q), F.col("q_id") != F.col("n_id"))
-        .withColumn("cos", cosine(F.col("qv"), F.col("nv")))
-    )
+    scored = _scored_against(corpus, q_ids, q_unit, vec_col, id_col, exclude_self=True)
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -59,47 +120,53 @@ def embedding_dup_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """All pairs (id_a < id_b) with cosine ≥ threshold (exact)."""
-    v = _with_vec(emb, vec_col)
-    a = v.select(F.col(id_col).alias("id_a"), F.col("_v").alias("va"))
-    b = v.select(F.col(id_col).alias("id_b"), F.col("_v").alias("vb"))
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
-        .filter(F.col("cos") >= threshold)
-        .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+    """All pairs (id_a < id_b) with cosine ≥ threshold (exact).
+
+    One side is broadcast as the gram-block right operand; at corpus sizes
+    past broadcast limits, swap in LSH bucketing (ann_lsh) to block pairs."""
+    ids, unit = _collect_unit_matrix(
+        emb.withColumn(vec_col, as_double_array(vec_col)), vec_col, id_col
+    )
+    scored = _scored_against(
+        emb, ids, unit, vec_col, id_col,
+        exclude_self=True, threshold=threshold, upper_triangle=True,
+    )
+    return scored.select(
+        F.col("q_id").alias("id_a"),
+        F.col("n_id").alias("id_b"),
+        F.round("cos", 6).alias("cos"),
     )
 
 
-def _hyperplane_sign(vec: F.Column, plane: int, dim: int) -> F.Column:
-    """Deterministic pseudo-random hyperplane: component i ∈ {-1,+1} from
-    md5(plane:i); sign of <v, plane>. Portable: no RNG state, same planes on
-    every executor and every engine."""
-    comps = F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda i: F.when(
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(F.lit(f"{plane}:"), i.cast("string"))), 1, 4
-                ),
-                16,
-                10,
-            ).cast("int") % 2
-            == 0,
-            F.lit(1.0),
-        ).otherwise(F.lit(-1.0)),
-    )
-    dotp = F.aggregate(
-        F.zip_with(vec, comps, lambda x, c: x * c), F.lit(0.0), lambda a, x: a + x
-    )
-    return (dotp > 0).cast("int")
+def _hyperplane_matrix(num_planes: int, dim: int) -> np.ndarray:
+    """Deterministic pseudo-random ±1 hyperplanes from md5(plane:i) parity —
+    no RNG state, identical on driver and every executor."""
+    import hashlib
+
+    comps = np.empty((num_planes, dim))
+    for p in range(num_planes):
+        for i in range(dim):
+            h = hashlib.md5(f"{p}:{i}".encode()).hexdigest()
+            comps[p, i] = 1.0 if int(h[:4], 16) % 2 == 0 else -1.0
+    return comps
 
 
-def lsh_bucket(vec: F.Column, num_planes: int, dim: int) -> F.Column:
-    """Bit-string bucket id from num_planes hyperplane signs."""
-    return F.concat_ws(
-        "", *[_hyperplane_sign(vec, p, dim).cast("string") for p in range(num_planes)]
-    )
+def lsh_bucket_col(vec: F.Column, planes: np.ndarray) -> F.Column:
+    """Bit-string bucket id: sign pattern of <v, plane_p> (column expr,
+    evaluated JVM-side; planes folded in as literals)."""
+    bits = []
+    for p in range(planes.shape[0]):
+        dotp = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(float(x)) for x in planes[p]]),
+                lambda x, c: x * c,
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        bits.append((dotp > 0).cast("int").cast("string"))
+    return F.concat(*bits)
 
 
 def ann_lsh(
@@ -113,18 +180,22 @@ def ann_lsh(
 ) -> DataFrame:
     """Approximate top-k: candidates share the query's hyperplane bucket.
 
-    At scale the corpus is hash-partitioned by bucket, so each query probes
-    one partition instead of the full corpus (recall traded for fan-out)."""
-    c = _with_vec(corpus, vec_col).select(
+    At scale the corpus is hash-partitioned by bucket so a query probes one
+    partition instead of the whole corpus; scoring still runs the BLAS
+    kernel within the bucket join."""
+    planes = _hyperplane_matrix(num_planes, dim)
+    c = _parallelize(corpus).select(
         F.col(id_col).alias("n_id"),
-        F.col("_v").alias("nv"),
-        lsh_bucket(F.col("_v"), num_planes, dim).alias("bucket"),
+        as_double_array(vec_col).alias("nv"),
+        lsh_bucket_col(as_double_array(vec_col), planes).alias("bucket"),
     )
-    q = _with_vec(queries, vec_col).select(
+    q = queries.select(
         F.col(id_col).alias("q_id"),
-        F.col("_v").alias("qv"),
-        lsh_bucket(F.col("_v"), num_planes, dim).alias("bucket"),
+        as_double_array(vec_col).alias("qv"),
+        lsh_bucket_col(as_double_array(vec_col), planes).alias("bucket"),
     )
+    from lakeside_spark.functions.vectors import cosine
+
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("q_id") != F.col("n_id"))

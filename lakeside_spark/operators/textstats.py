@@ -91,6 +91,9 @@ def fingerprints(
     minimum md5 over char-level rolling n-gram windows (winnowing-style
     robust fingerprint; reference analog: Commons.computeFingerprint's
     field:trigram hashing)."""
+    from lakeside_spark.operators.dedup import _parallelize
+
+    docs = _parallelize(docs)
     norm = normalized(text_col)
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.length(norm) - n + 1, F.lit(1))),

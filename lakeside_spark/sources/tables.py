@@ -33,9 +33,18 @@ _TS_COLUMNS = {
 }
 
 
+# plan cache: re-listing files + reading footers costs ~50-100ms per query;
+# the logical plan is immutable so reuse is safe (keyed on the live session)
+_PLAN_CACHE: dict[tuple[int, str, str, bool], DataFrame] = {}
+
+
 def load_table(
     spark: SparkSession, sf_dir: str, name: str, merge_schema: bool = False
 ) -> DataFrame:
+    key = (id(spark), sf_dir, name, merge_schema)
+    cached = _PLAN_CACHE.get(key)
+    if cached is not None:
+        return cached
     reader = spark.read
     if merge_schema:
         reader = reader.option("mergeSchema", "true")
@@ -43,6 +52,7 @@ def load_table(
     for col in _TS_COLUMNS.get(name, ()):
         if col in df.columns and isinstance(df.schema[col].dataType, T.LongType):
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    _PLAN_CACHE[key] = df
     return df
 
 
