@@ -1,0 +1,47 @@
+"""End-to-end: reference-shaped JSON request → AST → engine → DataFrame.
+
+Mirrors the reference's query-api flow (ASTUtils.toBaseExpr on the request
+payload, then SQL generation — here, plan compilation)."""
+
+import json
+
+from lakeside_spark import schema as S
+from lakeside_spark.ast.model import base_expr_from_json
+from lakeside_spark.engine import QueryEngine
+from lakeside_spark.schema import load_telemetry
+
+REQUEST = {
+    "id": "a",
+    "dataset": "logs",
+    "filter": {
+        "op": "and",
+        "q1": {"k": "name", "v": ["error", "purchase"], "op": "in"},
+        "q2": {"k": "value", "v": ["10"], "op": "gt", "dataType": "number"},
+    },
+    "chart": {"aggregation": "avg", "groupBys": ["user_id"], "type": "count"},
+}
+
+
+def test_json_request_end_to_end(spark, sf_dir):
+    expr = base_expr_from_json(json.dumps(REQUEST))
+    tele = load_telemetry(spark, sf_dir)
+    out = QueryEngine(spark, step_ms=86_400_000).run(expr, tele)
+    rows = out.collect()
+    assert rows
+    assert set(out.columns) == {S.STEP_TS, S.NAME, "user_id", S.VALUE}
+    assert all(r[S.NAME] in ("error", "purchase") for r in rows)
+
+
+def test_json_exemplar_request(spark, sf_dir):
+    req = {
+        "dataset": "logs",
+        "filter": {"k": "message", "v": ['"k": 9'], "op": "contains"},
+        "limit": 25,
+        "order": "ASC",
+    }
+    expr = base_expr_from_json(json.dumps(req))
+    out = QueryEngine(spark).run(expr, load_telemetry(spark, sf_dir))
+    rows = out.collect()
+    assert 0 < len(rows) <= 25
+    ts = [r[S.TIMESTAMP] for r in rows]
+    assert ts == sorted(ts)

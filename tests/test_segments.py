@@ -1,0 +1,46 @@
+"""Segment lake layout: round-trip + partition pruning verification."""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from lakeside_spark import schema as S
+from lakeside_spark.schema import load_telemetry
+from lakeside_spark.sources.segments import read_segments, write_segments
+
+
+@pytest.fixture(scope="module")
+def lake(spark, sf_dir):
+    path = tempfile.mkdtemp(prefix="lake_")
+    tele = load_telemetry(spark, sf_dir)
+    write_segments(tele, path, dataset="logs")
+    yield path, tele
+    shutil.rmtree(path, ignore_errors=True)
+
+
+def test_roundtrip_preserves_rows(spark, lake):
+    path, tele = lake
+    got = read_segments(spark, path, dataset="logs")
+    assert got.count() == tele.count()
+
+
+def test_time_range_filters_rows(spark, lake):
+    path, tele = lake
+    bounds = tele.select(F.min(S.TIMESTAMP), F.max(S.TIMESTAMP)).first()
+    start = bounds[0] + 86_400_000  # skip first day
+    end = bounds[1] - 86_400_000
+    got = read_segments(spark, path, dataset="logs", start_ts=start, end_ts=end)
+    exp = tele.filter((F.col(S.TIMESTAMP) >= start) & (F.col(S.TIMESTAMP) < end))
+    assert got.count() == exp.count()
+
+
+def test_partition_pruning_in_plan(spark, lake):
+    path, _ = lake
+    df = read_segments(spark, path, dataset="logs", start_ts=1704412800000, end_ts=1704499200000)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    # partition filters must reference the layout columns, not be empty
+    pf = plan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "dateint" in pf and "dataset" in pf
