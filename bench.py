@@ -47,8 +47,14 @@ def main() -> None:
     spark = get_spark("lakeside-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm the JVM + file listing once so per-query numbers measure execution
+    # warm the JVM + file listing + Python/Arrow workers once so per-query
+    # numbers measure execution, not one-time process startup
     QUERIES["ts_count"](spark, sf_dir).count()
+    import pandas as _pd
+
+    spark.range(64).repartition(32).mapInPandas(
+        lambda it: (pdf for pdf in it), schema="id long"
+    ).count()
 
     per_query: dict[str, float] = {}
     total = 0.0

@@ -21,10 +21,39 @@ Cross-engine determinism: every hash derives from md5 (first 15 hex chars →
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from lakeside_spark.functions.text import md5_long, normalized, shingles
+
+#: MinHash hash family: h_i(s) = (A_i * h31(s) + B_i) mod P where h31 is the
+#: 60-bit md5 integer of the shingle reduced mod P. One md5 per shingle
+#: occurrence (instead of one per hash index) — 16x less hashing; the affine
+#: mixes are integer ops inside whole-stage codegen. P = 2^31 - 1 keeps
+#: A*h31 + B < 2^62 (no bigint overflow, portable to any engine with int64).
+MINHASH_P = 2_147_483_647
+MINHASH_AB = [
+    (1_103_515_245, 12_345),
+    (214_013, 2_531_011),
+    (134_775_813, 1),
+    (1_664_525, 1_013_904_223),
+    (22_695_477, 1),
+    (69_069, 362_437),
+    (1_566_083_941, 1_406_932_606),
+    (747_796_405, 907_633_385),
+    (1_103_512_243, 11),
+    (62_089_911, 4_294_967),
+    (28_411, 134_456),
+    (16_843_009, 826_366_247),
+    (1_284_865_837, 1_481_765_933),
+    (1_481_207_245, 1_025_202_361),
+    (65_793, 4_282_663),
+    (33_614, 95_070_637),
+]
 
 
 def _parallelize(df: DataFrame) -> DataFrame:
@@ -59,21 +88,143 @@ def _shingled(docs: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
     )
 
 
+def _shingled_rows(docs: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """Exploded distinct word-n-gram shingles (doc_id, shingle).
+
+    Semantically identical to explode(shingles(text)) but via an Arrow
+    kernel: Spark evaluates higher-order slice/concat lambdas interpreted
+    per n-gram (~ms per document), while this is one linear Python pass per
+    Arrow batch. Still fully distributed — the kernel runs per partition.
+    Matches functions/text.shingles(): trim → lower → collapse whitespace →
+    split; docs shorter than n words yield their full text as one shingle.
+    """
+    import re
+
+    ws_re = re.compile(r"[ \t\n\x0b\f\r]+")  # Java/RE2 \s, not unicode \s
+    src = _parallelize(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            shs: list[str] = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                words = ws_re.sub(" ", (text or "").strip().lower()).split(" ")
+                sset = {" ".join(words[i : i + n]) for i in range(max(len(words) - n, 0) + 1)}
+                ids.extend([did] * len(sset))
+                shs.extend(sset)
+            yield pd.DataFrame({"doc_id": np.array(ids, dtype=np.int64), "shingle": shs})
+
+    return src.mapInPandas(kernel, schema="doc_id bigint, shingle string")
+
+
+def _gram_pair_counts(sh: DataFrame, threshold: float) -> DataFrame:
+    """Exact all-pairs shingle intersections via one BLAS Gram matmul.
+
+    Input: exploded (doc_id, shingle) rows, distinct per doc. The
+    rows are routed to a single Arrow kernel that dictionary-encodes
+    both axes, builds the doc×shingle 0/1 matrix M, and computes G = M·Mᵀ in
+    row blocks. |A| = diag(G) (shingles are distinct), so the jaccard
+    threshold is applied INSIDE the kernel and only qualifying pairs leave
+    the task — no pair shuffle at all.
+
+    This is the small/medium-corpus exact path (docs ≲ tens of thousands; G
+    is O(n²)). Larger corpora use the distributed explode-join (fan-out
+    bounded by shingle diversity) or — the real 100 TB path — MinHash LSH.
+    Output: (id_a, id_b, n_common, n_a, n_b); jaccard math done by the
+    caller with the same double-precision expression the oracle uses.
+    """
+    ex = sh.repartition(1)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        doc_parts, sh_parts = [], []
+        for pdf in batches:
+            if len(pdf):
+                doc_parts.append(pdf["doc_id"].to_numpy(np.int64))
+                sh_parts.append(pdf["shingle"])
+        if not doc_parts:
+            return
+        doc = np.concatenate(doc_parts)
+        sh_vals = pd.concat(sh_parts, ignore_index=True) if len(sh_parts) > 1 else sh_parts[0]
+        d_codes, d_ids = pd.factorize(doc)
+        s_codes, _ = pd.factorize(sh_vals)
+        d_ids = np.asarray(d_ids, dtype=np.int64)
+        n, m = len(d_ids), int(s_codes.max()) + 1
+        M = np.zeros((n, m), dtype=np.float32)
+        M[d_codes, s_codes] = 1.0
+        sizes = M.sum(axis=1).astype(np.int64)
+        # row-blocked Gram keeps peak memory at block×n, not n×n
+        block = max(1, min(n, 16 * 1024 * 1024 // max(n, 1)))
+        for lo in range(0, n, block):
+            hi = min(lo + block, n)
+            G = (M[lo:hi] @ M.T).astype(np.int64)  # counts ≤ 2^24: f32 exact
+            na = sizes[lo:hi, None]
+            nb = sizes[None, :]
+            jac = G / (na + nb - G)  # float64, same op as the SQL oracle
+            ii, jj = np.nonzero(jac >= threshold)
+            gi, gj = ii + lo, jj
+            keep = d_ids[gi] < d_ids[gj]  # upper triangle by ORIGINAL id
+            gi, gj = gi[keep], jj[keep]
+            if not len(gi):
+                continue
+            yield pd.DataFrame(
+                {
+                    "id_a": d_ids[gi],
+                    "id_b": d_ids[gj],
+                    "n_common": G[gi - lo, gj],
+                    "n_a": sizes[gi],
+                    "n_b": sizes[gj],
+                }
+            )
+
+    return ex.mapInPandas(
+        kernel, schema="id_a bigint, id_b bigint, n_common bigint, n_a bigint, n_b bigint"
+    )
+
+
+def _jaccard_from_counts(counts: DataFrame, threshold: float) -> DataFrame:
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        counts.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     threshold: float,
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    strategy: str = "auto",
+    kernel_max_docs: int = 50_000,
+    kernel_max_dict: int = 8_192,
 ) -> DataFrame:
     """Exact Jaccard near-dup pairs (id_a < id_b, jaccard ≥ threshold).
 
-    explode → join on shingle → |A∩B| per pair, |A∪B| = |A|+|B|-|A∩B|.
+    strategy="kernel": single-task BLAS Gram (see _gram_pair_counts) — wins
+    when the shingle dictionary is small (dense doc×shingle matrix fits and
+    the explode-join fan-out Σ_shingle f² would be quadratic in docs).
+    strategy="join": explode → join on shingle → count — distributed, cheap
+    for diverse corpora where per-shingle doc-frequency is bounded. "auto"
+    probes (n_docs, distinct shingles) with one small agg over the cached
+    shingle rows and picks. Neither is the 100 TB answer — that's
+    minhash_lsh_pairs, which bounds candidates before verifying.
     """
-    sh = _shingled(docs, text_col, id_col, n)
-    sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
-    exploded = sh.select("doc_id", F.explode("sh").alias("shingle"))
-    a, b = exploded.alias("a"), exploded.alias("b")
+    ex = _shingled_rows(docs, text_col, id_col, n).persist()
+    if strategy == "auto":
+        n_docs, n_dict = ex.agg(
+            F.approx_count_distinct("doc_id"), F.approx_count_distinct("shingle")
+        ).first()
+        strategy = (
+            "kernel" if n_docs <= kernel_max_docs and n_dict <= kernel_max_dict else "join"
+        )
+    if strategy == "kernel":
+        return _jaccard_from_counts(_gram_pair_counts(ex, threshold), threshold)
+    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = ex.alias("a"), ex.alias("b")
     common = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
@@ -101,21 +252,18 @@ def minhash_signatures(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """(doc_id, sig: array<bigint>[num_hashes]) — sig[i] = min over shingles
-    of md5_long(i || '|' || shingle).
+    of (A_i * h31(shingle) + B_i) mod P (family constants MINHASH_AB).
 
-    Computed on flat (doc_id, shingle) rows with one static md5/conv column
-    per hash index: everything stays in whole-stage codegen (nested
+    ONE md5 per shingle occurrence; the per-index values are affine integer
+    mixes of it — all static columns in whole-stage codegen (nested
     higher-order lambdas would fall back to interpreted eval, ~20× slower),
     then a single groupBy(doc_id) min-aggregates the signature."""
-    sh = _shingled(docs, text_col, id_col, n)
-    flat = sh.select("doc_id", F.explode("sh").alias("s"))
+    flat = _shingled_rows(docs, text_col, id_col, n).withColumn(
+        "h31", md5_long(F.col("shingle")) % MINHASH_P
+    )
     hash_cols = [
-        F.conv(
-            F.substring(F.md5(F.concat(F.lit(f"{i}|"), F.col("s"))), 1, 15), 16, 10
-        )
-        .cast("bigint")
-        .alias(f"h{i}")
-        for i in range(num_hashes)
+        ((F.lit(a) * F.col("h31") + F.lit(b)) % MINHASH_P).alias(f"h{i}")
+        for i, (a, b) in enumerate(MINHASH_AB[:num_hashes])
     ]
     per_shingle = flat.select("doc_id", *hash_cols)
     mins = per_shingle.groupBy("doc_id").agg(
@@ -154,36 +302,29 @@ def minhash_lsh_pairs(
     )
     banded = sig.select("doc_id", F.explode(band_keys).alias("band"))
     a, b = banded.alias("a"), banded.alias("b")
+    # persisted: consumed three times (candidate ids, verification feed, the
+    # final semi-join) — without this the whole signature pipeline re-runs
     candidates = (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .distinct()
+        .persist()
     )
     # verify ONLY the candidate pairs (this bounded verification is the whole
-    # point of LSH at scale — never the all-pairs join)
-    sh = _shingled(docs, text_col, id_col, n)
-    ex = sh.select("doc_id", F.explode("sh").alias("shingle"))
-    sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
-    ex_a = ex.select(F.col("doc_id").alias("id_a"), "shingle")
-    ex_b = ex.select(F.col("doc_id").alias("_id_b"), F.col("shingle").alias("_sh_b"))
-    common = (
-        candidates.join(ex_a, "id_a")
-        .join(ex_b, (F.col("id_b") == F.col("_id_b")) & (F.col("shingle") == F.col("_sh_b")))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    # point of LSH at scale — never the all-pairs join). The candidate doc
+    # set is small by construction, so exact jaccard over it runs through the
+    # same Gram kernel as the exact path, then inner-joins the LSH pairs.
+    cand_ids = (
+        candidates.select(F.col("id_a").alias("__cand_id"))
+        .union(candidates.select(F.col("id_b").alias("__cand_id")))
+        .distinct()
     )
-    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
-    return (
-        common.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn(
-            "jaccard",
-            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    cand_docs = docs.join(
+        F.broadcast(cand_ids), F.col(id_col) == F.col("__cand_id"), "leftsemi"
     )
+    sh = _shingled_rows(cand_docs, text_col, id_col, n)
+    exact = _jaccard_from_counts(_gram_pair_counts(sh, threshold), threshold)
+    return exact.join(candidates, ["id_a", "id_b"], "leftsemi")
 
 
 def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

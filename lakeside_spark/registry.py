@@ -715,13 +715,25 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DEDUP_MINHASH_LSH_SQL = _SHINGLE_CTE + """
+# sig[i] = min over shingles of (A_i*h31 + B_i) mod P — generated from the
+# SAME constants the Spark operator uses (operators/dedup.py MINHASH_AB).
+def _minhash_sig_sql() -> str:
+    from lakeside_spark.operators.dedup import MINHASH_AB, MINHASH_P
+
+    h31 = f"(CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % {MINHASH_P})"
+    mins = ",\n          ".join(
+        f"list_min([({a} * {h31} + {b}) % {MINHASH_P} for s in shs])"
+        for a, b in MINHASH_AB[:16]
+    )
+    return f"[{mins}]"
+
+
+DEDUP_MINHASH_LSH_SQL = _SHINGLE_CTE + f"""
 , sig AS (
   SELECT doc_id,
-         [list_min([CAST('0x' || substr(md5(CAST(h AS VARCHAR) || '|' || s), 1, 15) AS BIGINT)
-                    for s in shs]) for h in range(0, 16)] AS sig
+         {_minhash_sig_sql()} AS sig
   FROM sh
-), banded AS (
+)""" + """, banded AS (
   SELECT doc_id,
          unnest([CAST(b AS VARCHAR) || ':' ||
                  md5(array_to_string([CAST(x AS VARCHAR) for x in sig[b*4+1 : b*4+4]], ','))
