@@ -206,6 +206,32 @@ class QueryEngine:
             order.append(F.col("event_id").desc() if expr.order == "DESC" else F.col("event_id").asc())
         return df.orderBy(*order).limit(expr.limit)
 
+    def query_cardinality(
+        self,
+        expr: BaseExpr,
+        df: DataFrame,
+        start_ts: int | None = None,
+        end_ts: int | None = None,
+    ) -> DataFrame:
+        """Whole-range cardinality of the chart group tuple for a filtered
+        query (reference: QueryEngineV2.computeCardinality — per-segment HLL
+        sketches union-merged into one running estimate; Spark: one
+        approx_count_distinct aggregation, whose partial sketches merge
+        map-side exactly like the reference's union, or exact countDistinct
+        for the oracle gate). Output: a single (value) row."""
+        if start_ts is not None:
+            df = df.filter(F.col(S.TIMESTAMP) >= F.lit(start_ts))
+        if end_ts is not None:
+            df = df.filter(F.col(S.TIMESTAMP) < F.lit(end_ts))
+        existing = self._existing(df, expr)
+        df = self._apply_extract(df, expr)
+        df = self._apply_compute(df, expr)
+        df = df.filter(filter_to_column(expr.filter, existing))
+        group_bys = tuple(g for g in (expr.chart.group_bys if expr.chart else ()) if g in df.columns)
+        key = F.concat_ws("|", *[F.col(g) for g in group_bys]) if group_bys else F.col(S.NAME)
+        agg = F.approx_count_distinct(key) if self.approx else F.countDistinct(key)
+        return df.agg(agg.cast("double").alias(S.VALUE))
+
     def tag_values(
         self, expr: BaseExpr, df: DataFrame, tag_name: str
     ) -> DataFrame:

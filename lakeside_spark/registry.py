@@ -159,6 +159,54 @@ FROM {_T} WHERE name IS NOT NULL GROUP BY 1
 """
 
 
+def query_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-range cardinality of the (user_id, name) group tuple
+    (reference: /api/v1/cardinality → QueryEngineV2.computeCardinality,
+    per-segment HLL sketches union-merged; here one countDistinct whose
+    approx variant merges partial sketches map-side the same way)."""
+    expr = BaseExpr(
+        filter=Filter(k=S.NAME, v=("click", "view", "purchase"), op=S.IN),
+        chart=ChartOptions(aggregation="ces", group_bys=("user_id", S.NAME)),
+    )
+    return QueryEngine(spark).query_cardinality(expr, load_telemetry(spark, sf_dir))
+
+
+QUERY_CARDINALITY_SQL = f"""
+SELECT CAST(count(DISTINCT concat_ws('|', user_id, name)) AS DOUBLE) AS value
+FROM {_T} WHERE name IN ('click', 'view', 'purchase')
+"""
+
+
+def ts_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series windowed smoothing: 3-step trailing moving average over
+    the hourly count series (SQL-expressible sibling of the stateful EMA;
+    one shuffle for the agg, the window reuses the same partitioning)."""
+    from pyspark.sql import Window
+
+    expr = BaseExpr(
+        filter=Filter(k=S.NAME, op=S.EXISTS),
+        chart=ChartOptions(aggregation="count"),
+    )
+    series = QueryEngine(spark, step_ms=HOUR).run(expr, load_telemetry(spark, sf_dir))
+    w = Window.partitionBy(S.NAME).orderBy(S.STEP_TS).rowsBetween(-2, 0)
+    return series.select(
+        S.STEP_TS, S.NAME, F.round(F.avg(S.VALUE).over(w), 6).alias("moving_avg")
+    )
+
+
+TS_MOVING_AVG_SQL = f"""
+WITH series AS (
+  SELECT timestamp_ms - timestamp_ms % {HOUR} AS step_ts, name,
+         CAST(count(value) AS DOUBLE) AS value
+  FROM {_T} WHERE name IS NOT NULL GROUP BY 1, 2
+)
+SELECT step_ts, name,
+       ROUND(AVG(value) OVER (PARTITION BY name ORDER BY step_ts
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS moving_avg
+FROM series
+"""
+
+
 def ts_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     expr = BaseExpr(
         filter=Filter(k=S.NAME, v=("error",), op=S.EQ),
@@ -653,6 +701,74 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-0
 """
 
 
+def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 shape (EXISTS correlated subquery → LEFT SEMI join; the driver
+    tables lack l_commitdate/l_receiptdate so the inner predicate is
+    l_quantity > 48). Semi-join never duplicates orders rows, so no
+    distinct: at scale the build side streams instead of materializing."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    lo = F.lit("1996-01-01").cast("timestamp")
+    hi = F.lit("1996-04-01").cast("timestamp")
+    return (
+        orders.filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+        .join(
+            li.filter(F.col("l_quantity") > 48),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+            "leftsemi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+TPCH_Q4_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_quantity > 48)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10: returned-item revenue per customer, top 20. Fact-side joins
+    shuffle on the order key; nation is broadcast."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    nation = load_table(spark, sf_dir, "nation")
+    lo = F.lit("1996-01-01").cast("timestamp")
+    hi = F.lit("1996-04-01").cast("timestamp")
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(
+            orders.filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(_revenue_col()).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+TPCH_Q10_SQL = f"""
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       CAST(SUM({_REVENUE_SQL}) AS DOUBLE) AS revenue
+FROM customer, orders, lineitem, nation
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey LIMIT 20
+"""
+
+
 # ---------------------------------------------------------------------------
 # LLM-data-pipeline operators (documents / embeddings)
 
@@ -932,6 +1048,27 @@ def ema_smooth_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("ema", F.round("ema", 6))
 
 
+def kmeans_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rows-only: cluster the distinct (source, lang) labels of the corpus
+    into batches of similar names (reference: ClusteringUtils.clustered —
+    a driver-side utility batching tag names for segment queries; the
+    name list is tiny by construction, the clustering itself is local)."""
+    from lakeside_spark.operators.clustering import cluster_names
+
+    docs = load_table(spark, sf_dir, "documents")
+    names = sorted(
+        r[0]
+        for r in docs.select(
+            F.concat_ws("/", "source", "lang").alias("n")
+        ).distinct().collect()
+    )
+    clusters = cluster_names(names)
+    rows = [
+        (cid, name) for cid, cluster in enumerate(clusters) for name in sorted(cluster)
+    ]
+    return spark.createDataFrame(rows, schema="cluster_id int, name string")
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -956,8 +1093,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ts_groupby": ts_groupby,
     "ts_percentile": ts_percentile,
     "ts_cardinality": ts_cardinality,
+    "query_cardinality": query_cardinality,
+    "ts_moving_avg": ts_moving_avg,
     "ts_rate": ts_rate,
     "metrics_rollup": metrics_rollup,
+    "kmeans_names": kmeans_names,
     "top_k_series": top_k_series,
     "exemplars": exemplars,
     "filter_eq_and_or": filter_eq_and_or,
@@ -972,8 +1112,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "formula_add_fill": formula_add_fill,
     "tpch_q1": tpch_q1,
     "tpch_q3": tpch_q3,
+    "tpch_q4": tpch_q4,
     "tpch_q5": tpch_q5,
     "tpch_q6": tpch_q6,
+    "tpch_q10": tpch_q10,
 }
 
 ORACLES: dict[str, str] = {
@@ -996,6 +1138,8 @@ ORACLES: dict[str, str] = {
     "ts_groupby": TS_GROUPBY_SQL,
     "ts_percentile": TS_PERCENTILE_SQL,
     "ts_cardinality": TS_CARDINALITY_SQL,
+    "query_cardinality": QUERY_CARDINALITY_SQL,
+    "ts_moving_avg": TS_MOVING_AVG_SQL,
     "ts_rate": TS_RATE_SQL,
     "metrics_rollup": METRICS_ROLLUP_SQL,
     "top_k_series": TOP_K_SERIES_SQL,
@@ -1012,6 +1156,9 @@ ORACLES: dict[str, str] = {
     "formula_add_fill": FORMULA_ADD_FILL_SQL,
     "tpch_q1": TPCH_Q1_SQL,
     "tpch_q3": TPCH_Q3_SQL,
+    "tpch_q4": TPCH_Q4_SQL,
     "tpch_q5": TPCH_Q5_SQL,
     "tpch_q6": TPCH_Q6_SQL,
+    "tpch_q10": TPCH_Q10_SQL,
+    # kmeans_names: rows-only (iterative clustering, not SQL-expressible)
 }
