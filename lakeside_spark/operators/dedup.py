@@ -224,6 +224,11 @@ def ngram_jaccard_pairs(
     if strategy == "kernel":
         return _jaccard_from_counts(_gram_pair_counts(ex, threshold), threshold)
     sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    # join on a 64-bit hash of the shingle, not the string: narrower shuffle
+    # rows and cheaper key compares; intersection counts are unchanged
+    # (collision odds ~n_distinct²/2^65 — immaterial at any corpus size that
+    # can run this exact path)
+    ex = ex.select("doc_id", F.xxhash64("shingle").alias("shingle"))
     a, b = ex.alias("a"), ex.alias("b")
     common = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
