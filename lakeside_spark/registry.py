@@ -879,7 +879,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rows-only: bit-level simhash not practical to replicate in SQL."""
     from lakeside_spark.operators.dedup import simhash_pairs
 
-    return simhash_pairs(load_table(spark, sf_dir, "documents"), max_hamming=18)
+    return simhash_pairs(load_table(spark, sf_dir, "documents"), max_hamming=6)
 
 
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:

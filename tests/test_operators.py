@@ -95,6 +95,18 @@ def test_simhash_is_deterministic_64bit(spark, sf_dir):
     assert all(0 <= h < 2**60 for _, h in a)
 
 
+def test_banded_simhash_matches_all_pairs(spark, sf_dir):
+    """Pigeonhole banding is exact: banded candidates + verify must equal
+    the all-pairs ground truth at the same hamming budget."""
+    from lakeside_spark.operators.dedup import simhash_pairs
+    from lakeside_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    banded = {(r["id_a"], r["id_b"], r["hamming"]) for r in simhash_pairs(docs, 6).collect()}
+    full = {(r["id_a"], r["id_b"], r["hamming"]) for r in simhash_pairs(docs, 60).collect()}
+    assert banded == {x for x in full if x[2] <= 6}
+
+
 def test_identical_docs_have_zero_hamming(spark):
     from lakeside_spark.operators.dedup import simhash_pairs
 
