@@ -232,6 +232,30 @@ class QueryEngine:
         agg = F.approx_count_distinct(key) if self.approx else F.countDistinct(key)
         return df.agg(agg.cast("double").alias(S.VALUE))
 
+    def tag_names(self, expr: BaseExpr, df: DataFrame) -> DataFrame:
+        """Available tag names + non-null counts for a filtered query
+        (reference: /api/v1/tags/{dataset} with no tagName — tag keys come
+        from segment metadata; here one map-side aggregate over the scan
+        counts every non-canonical column at once, no per-tag pass)."""
+        existing = self._existing(df, expr)
+        df = self._apply_extract(df, expr)
+        df = self._apply_compute(df, expr)
+        df = df.filter(filter_to_column(expr.filter, existing))
+        canonical = {S.TIMESTAMP, S.VALUE, S.MESSAGE, S.STEP_TS}
+        tags = [c for c in df.columns if c not in canonical]
+        counts = df.agg(*[F.count(t).alias(t) for t in tags])
+        pairs = F.array(
+            *[
+                F.struct(F.lit(t).alias("tag_name"), F.col(t).alias("count"))
+                for t in tags
+            ]
+        )
+        return (
+            counts.select(F.explode(pairs).alias("p"))
+            .select("p.tag_name", "p.count")
+            .filter(F.col("count") > 0)
+        )
+
     def tag_values(
         self, expr: BaseExpr, df: DataFrame, tag_name: str
     ) -> DataFrame:

@@ -39,6 +39,8 @@ def _parallelize(df: DataFrame) -> DataFrame:
 def _collect_unit_matrix(df: DataFrame, vec_col: str, id_col: str):
     """Small side → (ids: int64[n], unit vectors: float64[n, d])."""
     rows = df.select(id_col, vec_col).collect()
+    if not rows:
+        return np.empty(0, dtype=np.int64), np.empty((0, 0), dtype=np.float64)
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     mat = np.array([r[1] for r in rows], dtype=np.float64)
     norms = np.linalg.norm(mat, axis=1, keepdims=True)
@@ -105,6 +107,10 @@ def cosine_topk(
     q_ids, q_unit = _collect_unit_matrix(
         queries.withColumn(vec_col, as_double_array(vec_col)), vec_col, id_col
     )
+    if not len(q_ids):
+        return corpus.sparkSession.createDataFrame(
+            [], schema="q_id bigint, n_id bigint, cos double, rank int"
+        )
     scored = _scored_against(corpus, q_ids, q_unit, vec_col, id_col, exclude_self=True)
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
     return (
@@ -127,6 +133,10 @@ def embedding_dup_pairs(
     ids, unit = _collect_unit_matrix(
         emb.withColumn(vec_col, as_double_array(vec_col)), vec_col, id_col
     )
+    if not len(ids):
+        return emb.sparkSession.createDataFrame(
+            [], schema="id_a bigint, id_b bigint, cos double"
+        )
     scored = _scored_against(
         emb, ids, unit, vec_col, id_col,
         exclude_self=True, threshold=threshold, upper_triangle=True,
@@ -167,6 +177,113 @@ def lsh_bucket_col(vec: F.Column, planes: np.ndarray) -> F.Column:
         )
         bits.append((dotp > 0).cast("int").cast("string"))
     return F.concat(*bits)
+
+
+def _spherical_kmeans(
+    sample: np.ndarray, k: int, max_iter: int = 25, seed: int = 42
+) -> np.ndarray:
+    """Deterministic spherical k-means over unit vectors → unit centroids.
+
+    Runs on a driver-side SAMPLE (IVF training is always a sample pass —
+    FAISS does the same); assignment of the full corpus stays distributed."""
+    rng = np.random.default_rng(seed)
+    cents = sample[rng.choice(len(sample), size=min(k, len(sample)), replace=False)]
+    for _ in range(max_iter):
+        assign = (sample @ cents.T).argmax(axis=1)
+        new = np.vstack(
+            [
+                sample[assign == j].mean(axis=0) if (assign == j).any() else cents[j]
+                for j in range(len(cents))
+            ]
+        )
+        norms = np.linalg.norm(new, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        new = new / norms
+        if np.allclose(new, cents):
+            break
+        cents = new
+    return cents
+
+
+def ann_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    train_sample: int = 10_000,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: corpus vectors are assigned to
+    their nearest spherical-kmeans centroid; each query scores only the
+    n_probe closest cells.
+
+    100 TB shape: train on a sample (one small collect), assign with the
+    broadcast centroid matrix inside the BLAS kernel (map-only — the cell id
+    is just argmax of a [block × n_cells] matmul), then hash-partition the
+    corpus by cell so a query's n_probe cells touch n_probe partitions
+    instead of the full corpus. Recall < 1 by design — brute-force
+    cosine_topk is the exact baseline.
+    """
+    spark = corpus.sparkSession
+    sample = corpus.select(vec_col).limit(train_sample).collect()
+    if not sample:
+        return spark.createDataFrame([], schema="q_id bigint, n_id bigint, cos double, rank int")
+    mat = np.array([r[0] for r in sample], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    cents = _spherical_kmeans(mat / norms, n_cells)
+    bc = spark.sparkContext.broadcast(cents)
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.array(list(pdf[vec_col]), dtype=np.float64)
+            n = np.linalg.norm(m, axis=1, keepdims=True)
+            n[n == 0] = 1.0
+            cell = ((m / n) @ c.T).argmax(axis=1)
+            yield pd.DataFrame(
+                {"n_id": pdf[id_col].to_numpy(np.int64), "cell": cell, "nv": list(pdf[vec_col])}
+            )
+
+    assigned = _parallelize(corpus.select(id_col, vec_col)).mapInPandas(
+        assign, schema=f"n_id bigint, cell int, nv {corpus.schema[vec_col].dataType.simpleString()}"
+    )
+
+    # queries probe their n_probe nearest cells (driver-side: queries are the
+    # small broadcast side by construction)
+    q_rows = queries.select(id_col, vec_col).collect()
+    if not q_rows:
+        return spark.createDataFrame([], schema="q_id bigint, n_id bigint, cos double, rank int")
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
+    qn = np.linalg.norm(q_mat, axis=1, keepdims=True)
+    qn[qn == 0] = 1.0
+    q_unit = q_mat / qn
+    probe = np.argsort(-(q_unit @ cents.T), axis=1)[:, :n_probe]
+    probe_rows = [
+        (int(q_ids[i]), [float(x) for x in q_unit[i]], int(c))
+        for i in range(len(q_ids))
+        for c in probe[i]
+    ]
+    q_df = spark.createDataFrame(probe_rows, schema="q_id bigint, qv array<double>, cell int")
+
+    from lakeside_spark.functions.vectors import as_double_array, cosine
+
+    scored = (
+        assigned.join(F.broadcast(q_df), "cell")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .withColumn("cos", cosine(F.col("qv"), as_double_array("nv")))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", F.round("cos", 6).alias("cos"), "rank")
+    )
 
 
 def ann_lsh(

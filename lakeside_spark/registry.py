@@ -480,6 +480,21 @@ WHERE CAST(value AS DOUBLE) > 250 GROUP BY 1
 """
 
 
+def tag_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    expr = BaseExpr(filter=Filter(k=S.NAME, v=("error",), op=S.EQ))
+    return QueryEngine(spark).tag_names(expr, load_telemetry(spark, sf_dir))
+
+
+TAG_NAMES_SQL = f"""
+WITH f AS (SELECT * FROM {_T} WHERE name = 'error')
+SELECT tag_name, count FROM (
+  SELECT 'name' AS tag_name, count(name) AS count FROM f
+  UNION ALL SELECT 'user_id', count(user_id) FROM f
+  UNION ALL SELECT 'event_id', count(event_id) FROM f
+) WHERE count > 0
+"""
+
+
 # ---------------------------------------------------------------------------
 # formula engine
 
@@ -927,6 +942,15 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_lsh(emb, emb.filter(F.col("vec_id") < 5), k=5, num_planes=4)
 
 
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rows-only: IVF-cell ANN (sampled spherical-kmeans coarse quantizer,
+    n_probe cells per query — the FAISS-style 100 TB path)."""
+    from lakeside_spark.operators.similarity import ann_ivf as _ann_ivf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _ann_ivf(emb, emb.filter(F.col("vec_id") < 5), k=5, n_cells=16, n_probe=6)
+
+
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakeside_spark.operators.textstats import lang_id
 
@@ -1080,6 +1104,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_embedding": dedup_embedding,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh": ann_lsh,
+    "ann_ivf": ann_ivf,
     "text_langid": text_langid,
     "text_quality": text_quality,
     "text_tokens": text_tokens,
@@ -1108,6 +1133,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "compute_fns": compute_fns,
     "compute_strings": compute_strings,
     "tag_values": tag_values,
+    "tag_names": tag_names,
     "formula_ratio": formula_ratio,
     "formula_add_fill": formula_add_fill,
     "tpch_q1": tpch_q1,
@@ -1152,6 +1178,7 @@ ORACLES: dict[str, str] = {
     "compute_fns": COMPUTE_FNS_SQL,
     "compute_strings": COMPUTE_STRINGS_SQL,
     "tag_values": TAG_VALUES_SQL,
+    "tag_names": TAG_NAMES_SQL,
     "formula_ratio": FORMULA_RATIO_SQL,
     "formula_add_fill": FORMULA_ADD_FILL_SQL,
     "tpch_q1": TPCH_Q1_SQL,

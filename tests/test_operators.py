@@ -95,6 +95,28 @@ def test_simhash_is_deterministic_64bit(spark, sf_dir):
     assert all(0 <= h < 2**60 for _, h in a)
 
 
+def test_ann_ivf_recall_and_determinism(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from lakeside_spark.operators.similarity import ann_ivf, cosine_topk
+    from lakeside_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = {(r["q_id"], r["n_id"]) for r in cosine_topk(emb, q, k=5).collect()}
+    r1 = sorted((r["q_id"], r["n_id"], r["cos"]) for r in ann_ivf(emb, q, k=5, n_probe=6).collect())
+    r2 = sorted((r["q_id"], r["n_id"], r["cos"]) for r in ann_ivf(emb, q, k=5, n_probe=6).collect())
+    assert r1 == r2, "IVF must be deterministic (seeded quantizer)"
+    got = {(a, b) for a, b, _ in r1}
+    assert len(got & exact) / len(exact) >= 0.4, "IVF recall collapsed"
+    # probing ALL cells makes IVF exact — same pairs as brute force
+    full = {
+        (r["q_id"], r["n_id"])
+        for r in ann_ivf(emb, q, k=5, n_cells=8, n_probe=8).collect()
+    }
+    assert full == exact
+
+
 def test_banded_simhash_matches_all_pairs(spark, sf_dir):
     """Pigeonhole banding is exact: banded candidates + verify must equal
     the all-pairs ground truth at the same hamming budget."""
