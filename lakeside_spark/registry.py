@@ -480,6 +480,33 @@ WHERE CAST(value AS DOUBLE) > 250 GROUP BY 1
 """
 
 
+def metric_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-metric catalog: row count + value range + distinct series count
+    (reference: /api/v1/metricMetadata — name/type/tag metadata served from
+    segment catalogs; here one groupBy(name) over the scan)."""
+    tele = load_telemetry(spark, sf_dir)
+    return (
+        tele.filter(F.col(S.NAME).isNotNull())
+        .groupBy(S.NAME)
+        .agg(
+            F.count(F.lit(1)).alias("datapoints"),
+            F.round(F.min(S.VALUE), 6).alias("min_value"),
+            F.round(F.max(S.VALUE), 6).alias("max_value"),
+            F.round(F.avg(S.VALUE), 6).alias("avg_value"),
+            F.countDistinct("user_id").alias("series"),
+        )
+    )
+
+
+METRIC_METADATA_SQL = f"""
+SELECT name, count(*) AS datapoints,
+       ROUND(min(value), 6) AS min_value, ROUND(max(value), 6) AS max_value,
+       ROUND(avg(value), 6) AS avg_value,
+       count(DISTINCT user_id) AS series
+FROM {_T} WHERE name IS NOT NULL GROUP BY name
+"""
+
+
 def tag_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     expr = BaseExpr(filter=Filter(k=S.NAME, v=("error",), op=S.EQ))
     return QueryEngine(spark).tag_names(expr, load_telemetry(spark, sf_dir))
@@ -1134,6 +1161,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "compute_strings": compute_strings,
     "tag_values": tag_values,
     "tag_names": tag_names,
+    "metric_metadata": metric_metadata,
     "formula_ratio": formula_ratio,
     "formula_add_fill": formula_add_fill,
     "tpch_q1": tpch_q1,
@@ -1179,6 +1207,7 @@ ORACLES: dict[str, str] = {
     "compute_strings": COMPUTE_STRINGS_SQL,
     "tag_values": TAG_VALUES_SQL,
     "tag_names": TAG_NAMES_SQL,
+    "metric_metadata": METRIC_METADATA_SQL,
     "formula_ratio": FORMULA_RATIO_SQL,
     "formula_add_fill": FORMULA_ADD_FILL_SQL,
     "tpch_q1": TPCH_Q1_SQL,
