@@ -129,6 +129,15 @@ def parse_formula(expr: str) -> FormulaAST:
     return ast
 
 
+def formula_labels(ast: FormulaAST) -> set[str]:
+    """Expression ids referenced by a parsed formula."""
+    if isinstance(ast, Var):
+        return {ast.name}
+    if isinstance(ast, Node):
+        return formula_labels(ast.e1) | formula_labels(ast.e2)
+    return set()
+
+
 def eval_formula(
     ast: FormulaAST,
     series: dict[str, DataFrame],

@@ -217,6 +217,20 @@ def _function_call_from_obj(obj: dict) -> FunctionCall:
     return FunctionCall(name=obj["name"], arguments=tuple(args))
 
 
+def ast_input_from_json(payload: str | dict) -> tuple[dict[str, "BaseExpr"], list[str]]:
+    """Full graph-request payload → ({id: BaseExpr}, formulae)
+    (reference: ASTUtils.ASTInput / toASTInput — the /api/v1/graph body
+    carries a map of labeled base expressions plus formula strings that
+    reference those labels)."""
+    obj = json.loads(payload) if isinstance(payload, str) else payload
+    exprs = {
+        label: base_expr_from_json(node)
+        for label, node in obj.get("baseExpressions", {}).items()
+    }
+    formulae = list(obj.get("formulae", []))
+    return exprs, formulae
+
+
 def base_expr_from_json(payload: str | dict) -> BaseExpr:
     obj = json.loads(payload) if isinstance(payload, str) else payload
     if "filter" not in obj:

@@ -206,6 +206,47 @@ class QueryEngine:
             order.append(F.col("event_id").desc() if expr.order == "DESC" else F.col("event_id").asc())
         return df.orderBy(*order).limit(expr.limit)
 
+    def run_graph(
+        self,
+        exprs: dict[str, BaseExpr],
+        formulae: list[str],
+        df: DataFrame,
+        start_ts: int | None = None,
+        end_ts: int | None = None,
+        step_ms: int | None = None,
+    ) -> dict[str, DataFrame]:
+        """Evaluate a full graph request (reference: /api/v1/graph with an
+        ASTInput body — every labeled BaseExpr runs, then each formula
+        combines the labeled results). Returns {label_or_formula: DataFrame};
+        formula inputs are the per-step global aggregation of each labeled
+        series (reference: globalAgg over per-tag datapoint streams before
+        formula evaluation)."""
+        from lakeside_spark.ast.formula import (
+            eval_formula,
+            formula_labels,
+            parse_formula,
+        )
+
+        out: dict[str, DataFrame] = {
+            label: self.run(e, df, start_ts=start_ts, end_ts=end_ts, step_ms=step_ms)
+            for label, e in exprs.items()
+        }
+        if formulae:
+            global_series = {
+                label: s.groupBy(S.STEP_TS).agg(F.sum(S.VALUE).alias(S.VALUE))
+                for label, s in out.items()
+            }
+            for f in formulae:
+                ast = parse_formula(f)
+                missing = formula_labels(ast) - set(global_series)
+                if missing:
+                    raise ValueError(
+                        f"formula `{f}` references unknown expression id(s): "
+                        f"{sorted(missing)}"
+                    )
+                out[f] = eval_formula(ast, global_series)
+        return out
+
     def query_cardinality(
         self,
         expr: BaseExpr,

@@ -534,6 +534,70 @@ def _series(spark: SparkSession, sf_dir: str, flt, step_ms: int) -> DataFrame:
     return df.groupBy(S.STEP_TS).agg(F.sum(S.VALUE).alias(S.VALUE))
 
 
+def graph_request(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full /api/v1/graph request end-to-end: JSON ASTInput with two labeled
+    base expressions + a formula, evaluated in one call; results unioned as
+    (label, step_ts, value) — the DataFrame shape of the reference's
+    per-label SSE streams."""
+    from lakeside_spark.ast.model import ast_input_from_json
+
+    request = {
+        "baseExpressions": {
+            "a": {
+                "dataset": "logs",
+                "filter": {"k": S.NAME, "v": ["error"], "op": "eq"},
+                "chart": {"aggregation": "count"},
+            },
+            "b": {
+                "dataset": "logs",
+                "filter": {"k": S.NAME, "op": "exists"},
+                "chart": {"aggregation": "count"},
+            },
+        },
+        "formulae": ["(a / b) * 100"],
+    }
+    exprs, formulae = ast_input_from_json(request)
+    results = QueryEngine(spark, step_ms=DAY).run_graph(
+        exprs, formulae, load_telemetry(spark, sf_dir)
+    )
+    parts = []
+    for label in ("a", "b"):
+        parts.append(
+            results[label]
+            .groupBy(S.STEP_TS)
+            .agg(F.round(F.sum(S.VALUE), 6).alias(S.VALUE))
+            .select(F.lit(label).alias("label"), S.STEP_TS, S.VALUE)
+        )
+    parts.append(
+        _rounded(results["(a / b) * 100"]).select(
+            F.lit("(a / b) * 100").alias("label"), S.STEP_TS, S.VALUE
+        )
+    )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+GRAPH_REQUEST_SQL = f"""
+WITH a AS (
+  SELECT timestamp_ms - timestamp_ms % {DAY} AS step_ts,
+         CAST(count(value) AS DOUBLE) AS value
+  FROM {_T} WHERE name = 'error' GROUP BY 1
+), b AS (
+  SELECT timestamp_ms - timestamp_ms % {DAY} AS step_ts,
+         CAST(count(value) AS DOUBLE) AS value
+  FROM {_T} WHERE name IS NOT NULL GROUP BY 1
+)
+SELECT 'a' AS label, step_ts, ROUND(value, 6) AS value FROM a
+UNION ALL
+SELECT 'b', step_ts, ROUND(value, 6) FROM b
+UNION ALL
+SELECT '(a / b) * 100', a.step_ts, ROUND(a.value / b.value * 100, 6)
+FROM a JOIN b USING (step_ts) WHERE b.value != 0
+"""
+
+
 def formula_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(errors / total) * 100 per 1h step — Formula div + mul with constant."""
     a = _series(spark, sf_dir, Filter(k=S.NAME, v=("error",), op=S.EQ), HOUR)
@@ -1164,6 +1228,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "metric_metadata": metric_metadata,
     "formula_ratio": formula_ratio,
     "formula_add_fill": formula_add_fill,
+    "graph_request": graph_request,
     "tpch_q1": tpch_q1,
     "tpch_q3": tpch_q3,
     "tpch_q4": tpch_q4,
@@ -1210,6 +1275,7 @@ ORACLES: dict[str, str] = {
     "metric_metadata": METRIC_METADATA_SQL,
     "formula_ratio": FORMULA_RATIO_SQL,
     "formula_add_fill": FORMULA_ADD_FILL_SQL,
+    "graph_request": GRAPH_REQUEST_SQL,
     "tpch_q1": TPCH_Q1_SQL,
     "tpch_q3": TPCH_Q3_SQL,
     "tpch_q4": TPCH_Q4_SQL,
