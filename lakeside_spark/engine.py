@@ -64,10 +64,20 @@ def _agg_column(
 class QueryEngine:
     """Runs BaseExprs / tag queries over a canonical telemetry DataFrame."""
 
-    def __init__(self, spark, step_ms: int = S.DEFAULT_STEP_MS, approx: bool = False):
+    def __init__(
+        self,
+        spark,
+        step_ms: int = S.DEFAULT_STEP_MS,
+        approx: bool = False,
+        salt_partitions: int = 1,
+    ):
         self.spark = spark
         self.step_ms = step_ms
         self.approx = approx
+        #: >1 enables salted two-phase chart aggregation for hot-key skew
+        #: (a single dominant metric name lands on one reducer otherwise);
+        #: exact for count/sum/avg/min/max, ignored for sketch aggs
+        self.salt = salt_partitions
 
     # -- pipeline stages ----------------------------------------------------
 
@@ -189,6 +199,39 @@ class QueryEngine:
             if S.NAME in df.columns:
                 keys.append(F.col(S.NAME))
             keys += [F.col(g) for g in group_bys]
+        if self.salt > 1 and chart.aggregation in (S.COUNT, S.SUM, S.AVG, S.MIN, S.MAX):
+            # two-phase with a salt key: partial aggregates spread a hot
+            # (step_ts, name) key over `salt` reducers, the merge phase is
+            # tiny. Exact: count/sum/min/max re-aggregate losslessly; avg
+            # carries (sum, count). Sketch aggs (pNN, ces) skip salting —
+            # their partial buffers already combine map-side.
+            salt_col = F.pmod(F.monotonically_increasing_id(), F.lit(self.salt)).alias(
+                "__salt"
+            )
+            partials = {
+                S.COUNT: [F.count(target).alias("__c")],
+                S.SUM: [F.sum(target).alias("__s")],
+                S.MIN: [F.min(target).alias("__s")],
+                S.MAX: [F.max(target).alias("__s")],
+                S.AVG: [F.sum(target).alias("__s"), F.count(target).alias("__c")],
+            }[chart.aggregation]
+            merged = {
+                S.COUNT: F.sum("__c"),
+                S.SUM: F.sum("__s"),
+                S.MIN: F.min("__s"),
+                S.MAX: F.max("__s"),
+                S.AVG: F.sum("__s") / F.sum("__c"),
+            }[chart.aggregation]
+            value = self._chart_transform(expr, merged.cast("double"), step_ms)
+            part = df.groupBy(*keys, salt_col).agg(*partials)
+            final_keys = [S.STEP_TS] + [
+                c for c in part.columns if c not in ("__salt", "__s", "__c", S.STEP_TS)
+            ]
+            return (
+                part.groupBy(*final_keys)
+                .agg(value.alias(S.VALUE))
+                .orderBy(S.STEP_TS)
+            )
         return (
             df.groupBy(*keys)
             .agg(value.alias(S.VALUE))

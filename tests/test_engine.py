@@ -103,3 +103,27 @@ def test_tag_values(spark, sf_dir, ddb):
     got = QueryEngine(spark).tag_values(expr, tele, S.NAME)
     exp = ddb.sql("SELECT event_type, count(*) FROM events GROUP BY 1").fetchall()
     assert rows_set(got) == {tuple(r) for r in exp}
+
+
+def test_salted_aggregation_matches_unsalted(spark, sf_dir):
+    """Salted two-phase chart agg (hot-key skew path) is exact for
+    count/sum/avg/min/max."""
+    from lakeside_spark import schema as S
+    from lakeside_spark.ast.model import BaseExpr, ChartOptions, Filter
+    from lakeside_spark.engine import QueryEngine
+    from lakeside_spark.schema import load_telemetry
+
+    tele = load_telemetry(spark, sf_dir)
+    for agg in ("count", "sum", "avg", "min", "max"):
+        expr = BaseExpr(
+            filter=Filter(k=S.NAME, op=S.EXISTS),
+            chart=ChartOptions(aggregation=agg, group_bys=("user_id",)),
+        )
+        plain = QueryEngine(spark, step_ms=86_400_000).run(expr, tele)
+        salted = QueryEngine(spark, step_ms=86_400_000, salt_partitions=8).run(expr, tele)
+        a = sorted(map(tuple, plain.collect()))
+        b = sorted(map(tuple, salted.collect()))
+        assert len(a) == len(b), agg
+        for ra, rb in zip(a, b):
+            assert ra[:-1] == rb[:-1], agg
+            assert abs(ra[-1] - rb[-1]) < 1e-9 * max(1.0, abs(ra[-1])), (agg, ra, rb)

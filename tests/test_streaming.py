@@ -53,3 +53,53 @@ def test_streaming_counts_match_batch(spark, sf_dir):
         assert got == exp
     finally:
         shutil.rmtree(src_dir, ignore_errors=True)
+
+
+def test_watermark_drops_late_data(spark):
+    """Append-mode watermark semantics == the reference's bounded buffer
+    (TimeGroupedSketchAggregator: datapoints older than the buffer window
+    are dropped, not retro-merged)."""
+    import datetime as dt
+
+    def ev(eid, hh, mm):
+        return (eid, dt.datetime(2024, 1, 1, hh, mm), f"u{eid}", "click", 1.0, "{}")
+
+    schema = "event_id long, ts timestamp, user_id string, event_type string, value double, props string"
+    src_dir = tempfile.mkdtemp(prefix="stream_late_")
+    try:
+        # batch 0: three events in hour 00, one at hour 12 (advances the
+        # watermark to 11:00 once processed)
+        b0 = spark.createDataFrame([ev(1, 0, 5), ev(2, 0, 20), ev(3, 0, 40), ev(4, 12, 0)], schema)
+        b0.coalesce(1).write.mode("overwrite").parquet(f"{src_dir}/b0")
+
+        stream = (
+            spark.readStream.schema(b0.schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(src_dir)
+        )
+        agg = streaming_step_counts(stream, step="1 hour", watermark="1 hour")
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("late_counts")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            # micro-batch 1: b0 only -> watermark advances to 11:00
+            q.processAllAvailable()
+            # micro-batch 2: a LATE event for hour 00 (behind the watermark
+            # -> dropped) and a fresh one at hour 13
+            b1 = spark.createDataFrame([ev(5, 0, 50), ev(6, 13, 0)], schema)
+            b1.coalesce(1).write.mode("append").parquet(f"{src_dir}/b1")
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = {
+            r["step_ts"]: r["value"]
+            for r in spark.sql("SELECT * FROM late_counts").collect()
+        }
+        h0 = 1704067200000  # 2024-01-01T00:00Z
+        # the hour-00 window emitted WITHOUT the late event #5
+        assert got.get(h0) == 3.0, got
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
