@@ -863,6 +863,73 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14: promo revenue share — conditional aggregation over a broadcast
+    part join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    lo = F.lit("1996-01-01").cast("timestamp")
+    hi = F.lit("1996-02-01").cast("timestamp")
+    rev = _revenue_col()
+    joined = li.filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)).join(
+        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+    )
+    return joined.agg(
+        F.round(
+            F.lit(100.0)
+            * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0)).cast("decimal(28,6)")).cast("double")
+            / F.sum(rev).cast("double"),
+            6,
+        ).alias("promo_revenue")
+    )
+
+
+TPCH_Q14_SQL = f"""
+SELECT ROUND(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_REVENUE_SQL}
+                                   ELSE 0 END) AS DOUBLE)
+             / CAST(SUM({_REVENUE_SQL}) AS DOUBLE), 6) AS promo_revenue
+FROM lineitem, part
+WHERE l_partkey = p_partkey
+  AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-02-01'
+"""
+
+
+def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 shape: disjunctive brand/size/quantity predicates — the OR of
+    ANDs becomes the residual condition on a broadcast-hash join, with the
+    common l_partkey = p_partkey equi-key still hashable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    cond = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 5)
+        & F.col("l_quantity").between(1, 11)
+    ) | (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(10, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#34")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg(F.sum(_revenue_col()).cast("double").alias("revenue"))
+    )
+
+
+TPCH_Q19_SQL = f"""
+SELECT CAST(SUM({_REVENUE_SQL}) AS DOUBLE) AS revenue
+FROM lineitem, part
+WHERE l_partkey = p_partkey AND (
+      (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30))
+"""
+
+
 TPCH_Q10_SQL = f"""
 SELECT c_custkey, c_name, c_acctbal, n_name,
        CAST(SUM({_REVENUE_SQL}) AS DOUBLE) AS revenue
@@ -1235,6 +1302,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q5": tpch_q5,
     "tpch_q6": tpch_q6,
     "tpch_q10": tpch_q10,
+    "tpch_q14": tpch_q14,
+    "tpch_q19": tpch_q19,
 }
 
 ORACLES: dict[str, str] = {
@@ -1282,5 +1351,7 @@ ORACLES: dict[str, str] = {
     "tpch_q5": TPCH_Q5_SQL,
     "tpch_q6": TPCH_Q6_SQL,
     "tpch_q10": TPCH_Q10_SQL,
+    "tpch_q14": TPCH_Q14_SQL,
+    "tpch_q19": TPCH_Q19_SQL,
     # kmeans_names: rows-only (iterative clustering, not SQL-expressible)
 }

@@ -177,3 +177,16 @@ class TestClustering:
 
         assert jaccard_similarity("abc", "abc") == 1.0
         assert jaccard_similarity("abc", "xyz") == 0.0
+
+
+def test_function_specs_catalog():
+    """/api/v1/functionSpecs parity: same six functions, same arities."""
+    from lakeside_spark.ast.compute import FUNCTION_SPECS, function_specs
+
+    specs = function_specs()
+    assert set(specs) == {"mul", "div", "add", "sub", "concat", "strpos"}
+    assert specs["div"]["num_arguments"] == 2
+    assert specs["mul"]["num_arguments"] is None  # variadic
+    assert specs["concat"]["return_type"] == "string"
+    specs["mul"]["return_type"] = "mutated"
+    assert FUNCTION_SPECS["mul"]["return_type"] != "mutated"  # copies out
