@@ -1230,6 +1230,38 @@ def ema_smooth_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("ema", F.round("ema", 6))
 
 
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each purchase event joined as-of to the user's most recent click
+    (operators/asof.py — union+window composition, one keyed shuffle;
+    oracle: DuckDB's native ASOF JOIN)."""
+    from lakeside_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        F.col("value").alias("purchase_value"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        F.col("value").alias("click_value"),
+    )
+    return asof_join(purchases, clicks, on="user_id", left_ts="ts_ms", right_ts="ts_ms")
+
+
+ASOF_JOIN_SQL = """
+SELECT p.event_id, p.user_id, p.ts_ms, p.purchase_value,
+       c.click_value, c.ts_ms AS asof_ts_ms
+FROM (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, value AS purchase_value
+      FROM events WHERE event_type = 'purchase') p
+ASOF JOIN (SELECT user_id, epoch_ms(ts) AS ts_ms, value AS click_value
+           FROM events WHERE event_type = 'click') c
+ON p.user_id = c.user_id AND p.ts_ms >= c.ts_ms
+"""
+
+
 def kmeans_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rows-only: cluster the distinct (source, lang) labels of the corpus
     into batches of similar names (reference: ClusteringUtils.clustered —
@@ -1281,6 +1313,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ts_rate": ts_rate,
     "metrics_rollup": metrics_rollup,
     "kmeans_names": kmeans_names,
+    "asof_join": asof_join_events,
     "top_k_series": top_k_series,
     "exemplars": exemplars,
     "filter_eq_and_or": filter_eq_and_or,
@@ -1342,6 +1375,7 @@ ORACLES: dict[str, str] = {
     "tag_values": TAG_VALUES_SQL,
     "tag_names": TAG_NAMES_SQL,
     "metric_metadata": METRIC_METADATA_SQL,
+    "asof_join": ASOF_JOIN_SQL,
     "formula_ratio": FORMULA_RATIO_SQL,
     "formula_add_fill": FORMULA_ADD_FILL_SQL,
     "graph_request": GRAPH_REQUEST_SQL,

@@ -137,3 +137,24 @@ def test_identical_docs_have_zero_hamming(spark):
     pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_pairs(df, max_hamming=60).collect()}
     assert pairs[(1, 2)] == 0
     assert pairs.get((1, 3), 61) > 0
+
+
+def test_asof_join_semantics(spark):
+    """Ties match (>= semantics), unmatched left rows drop (inner) or
+    null-fill (left), tolerance bounds the lookback."""
+    from lakeside_spark.operators.asof import asof_join
+
+    L = spark.createDataFrame(
+        [(1, "u", 100), (2, "u", 205), (3, "u", 300), (4, "v", 50)],
+        "id long, k string, ts long",
+    )
+    R = spark.createDataFrame(
+        [("u", 100, 1.0), ("u", 200, 2.0), ("u", 300, 3.0), ("v", 60, 9.0)],
+        "k string, ts long, val double",
+    )
+    inner = [tuple(r) for r in asof_join(L, R, "k", "ts", "ts").orderBy("id").collect()]
+    assert inner == [(1, "u", 100, 1.0, 100), (2, "u", 205, 2.0, 200), (3, "u", 300, 3.0, 300)]
+    left = [tuple(r) for r in asof_join(L, R, "k", "ts", "ts", how="left").orderBy("id").collect()]
+    assert left[3] == (4, "v", 50, None, None)
+    tol = [tuple(r) for r in asof_join(L, R, "k", "ts", "ts", tolerance_ms=3).orderBy("id").collect()]
+    assert [t[0] for t in tol] == [1, 3]  # 205-200=5 > 3 -> dropped
