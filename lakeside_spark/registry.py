@@ -1262,6 +1262,45 @@ ON p.user_id = c.user_id AND p.ts_ms >= c.ts_ms
 """
 
 
+def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchases inside each user's first-click-plus-2h window
+    (operators/rangejoin.py — bucketed equi-join, never a nested-loop
+    theta join; oracle: plain BETWEEN join)."""
+    from lakeside_spark.operators.rangejoin import range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        F.col("user_id").alias("p_user"),
+        F.unix_millis("ts").alias("ts_ms"),
+    )
+    windows = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy(F.col("user_id").alias("w_user"))
+        .agg(F.min(F.unix_millis("ts")).alias("w_start"))
+        .withColumn("w_end", F.col("w_start") + F.lit(2 * HOUR))
+    )
+    out = range_join(
+        purchases, windows, point_ts="ts_ms", start_col="w_start",
+        end_col="w_end", on=("p_user", "w_user"), bucket_ms=HOUR,
+    )
+    return out.select("event_id", F.col("p_user").alias("user_id"), "ts_ms", "w_start", "w_end")
+
+
+RANGE_JOIN_SQL = """
+WITH p AS (
+  SELECT event_id, user_id AS p_user, epoch_ms(ts) AS ts_ms
+  FROM events WHERE event_type = 'purchase'
+), w AS (
+  SELECT user_id AS w_user, min(epoch_ms(ts)) AS w_start,
+         min(epoch_ms(ts)) + 7200000 AS w_end
+  FROM events WHERE event_type = 'click' GROUP BY 1
+)
+SELECT event_id, p_user AS user_id, ts_ms, w_start, w_end
+FROM p JOIN w ON p_user = w_user AND ts_ms BETWEEN w_start AND w_end
+"""
+
+
 def kmeans_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rows-only: cluster the distinct (source, lang) labels of the corpus
     into batches of similar names (reference: ClusteringUtils.clustered —
@@ -1314,6 +1353,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "metrics_rollup": metrics_rollup,
     "kmeans_names": kmeans_names,
     "asof_join": asof_join_events,
+    "range_join": range_join_events,
     "top_k_series": top_k_series,
     "exemplars": exemplars,
     "filter_eq_and_or": filter_eq_and_or,
@@ -1376,6 +1416,7 @@ ORACLES: dict[str, str] = {
     "tag_names": TAG_NAMES_SQL,
     "metric_metadata": METRIC_METADATA_SQL,
     "asof_join": ASOF_JOIN_SQL,
+    "range_join": RANGE_JOIN_SQL,
     "formula_ratio": FORMULA_RATIO_SQL,
     "formula_add_fill": FORMULA_ADD_FILL_SQL,
     "graph_request": GRAPH_REQUEST_SQL,

@@ -158,3 +158,28 @@ def test_asof_join_semantics(spark):
     assert left[3] == (4, "v", 50, None, None)
     tol = [tuple(r) for r in asof_join(L, R, "k", "ts", "ts", tolerance_ms=3).orderBy("id").collect()]
     assert [t[0] for t in tol] == [1, 3]  # 205-200=5 > 3 -> dropped
+
+
+def test_range_join_bucketed_equi(spark):
+    """Boundary containment is inclusive, intervals spanning many buckets
+    match without duplicates, and name collisions are rejected."""
+    from lakeside_spark.operators.rangejoin import range_join
+
+    pts = spark.createDataFrame(
+        [(1, "u", 100), (2, "u", 5000), (3, "u", 10_000), (4, "w", 100)],
+        "pid long, pk string, ts long",
+    )
+    ivs = spark.createDataFrame(
+        [(10, "u", 100, 10_000), (11, "u", 4000, 4500), (12, "v", 0, 99_999)],
+        "iid long, ik string, lo long, hi long",
+    )
+    out = [
+        (r["pid"], r["iid"])
+        for r in range_join(pts, ivs, "ts", "lo", "hi", on=("pk", "ik"), bucket_ms=1000)
+        .orderBy("pid", "iid")
+        .collect()
+    ]
+    # 1 and 3 sit on inclusive bounds; 2 misses [4000,4500]; w has no interval
+    assert out == [(1, 10), (2, 10), (3, 10)]
+    with pytest.raises(ValueError):
+        range_join(pts, pts.withColumnRenamed("pid", "x"), "ts", "lo", "hi")
