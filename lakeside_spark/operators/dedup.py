@@ -332,6 +332,60 @@ def minhash_lsh_pairs(
     return exact.join(candidates, ["id_a", "id_b"], "leftsemi")
 
 
+def connected_components(
+    pairs: DataFrame, max_iter: int = 25
+) -> DataFrame:
+    """Duplicate-cluster assignment: (doc_id, cluster_id) where cluster_id
+    is the minimum doc id reachable through the near-dup pair graph.
+
+    Min-label propagation: every node starts labeled with itself; each
+    round joins labels across edges and keeps the minimum; stops at the
+    first round with no label change. Rounds needed = graph diameter —
+    near-dup clusters are tiny cliques, so this converges in 2-3 rounds.
+    Each round is one broadcast-or-shuffle join + groupBy min (all
+    DataFrame ops; the driver only checks the convergence count).
+    Singletons are not emitted — absent ids are their own cluster.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .persist()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
 def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash over word tokens: bit j = sign of Σ_tokens (±1 per
     token's md5-derived bit j). Deterministic and portable (md5-based)."""

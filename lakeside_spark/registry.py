@@ -1262,6 +1262,98 @@ ON p.user_id = c.user_id AND p.ts_ms >= c.ts_ms
 """
 
 
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions per user (30 min), summarized
+    (operators/sessions.py — one keyed window, whole-stage codegen)."""
+    from lakeside_spark.operators.sessions import session_stats
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_millis("ts").alias("ts_ms")
+    )
+    return session_stats(ev, key="user_id", ts_col="ts_ms", gap_ms=30 * 60 * 1000)
+
+
+SESSIONIZE_SQL = """
+WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms FROM events),
+m AS (
+  SELECT user_id, ts_ms,
+         CASE WHEN ts_ms - lag(ts_ms) OVER w > 1800000
+                OR lag(ts_ms) OVER w IS NULL THEN 1 ELSE 0 END AS st
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms)
+), s AS (
+  SELECT user_id, ts_ms,
+         CAST(SUM(st) OVER (PARTITION BY user_id ORDER BY ts_ms
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM m
+)
+SELECT user_id, session_id, min(ts_ms) AS session_start,
+       max(ts_ms) AS session_end, count(*) AS n_events,
+       max(ts_ms) - min(ts_ms) AS duration_ms
+FROM s GROUP BY user_id, session_id
+"""
+
+
+def ts_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-step value histogram (reference: histogram MetricType rendered
+    as heatmaps; fixed-width buckets here, counts per (step, bucket))."""
+    tele = load_telemetry(spark, sf_dir)
+    bucket = (F.floor(F.col(S.VALUE) / 50) * 50).cast("double")
+    return (
+        tele.filter(F.col(S.NAME) == "view")
+        .groupBy(
+            (F.col(S.TIMESTAMP) - F.col(S.TIMESTAMP) % F.lit(DAY)).alias(S.STEP_TS),
+            bucket.alias("bucket_lo"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias(S.VALUE))
+    )
+
+
+TS_HISTOGRAM_SQL = f"""
+SELECT timestamp_ms - timestamp_ms % {DAY} AS step_ts,
+       CAST(FLOOR(value / 50) * 50 AS DOUBLE) AS bucket_lo,
+       CAST(count(*) AS DOUBLE) AS value
+FROM {_T} WHERE name = 'view' GROUP BY 1, 2
+"""
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → duplicate clusters via min-label connected
+    components; oracle: DuckDB recursive-CTE transitive closure."""
+    from lakeside_spark.operators.dedup import connected_components, ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.12)
+    return connected_components(pairs)
+
+
+# WITH RECURSIVE applies to the whole CTE list (only `reach` recurses)
+DEDUP_CLUSTERS_SQL = _SHINGLE_CTE.replace("WITH w", "WITH RECURSIVE w", 1) + """
+, ex AS (SELECT doc_id, unnest(shs) AS shingle FROM sh),
+sizes AS (SELECT doc_id, len(shs) AS n_sh FROM sh),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b FROM common
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.12
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+FROM reach GROUP BY src
+"""
+
+
 def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Purchases inside each user's first-click-plus-2h window
     (operators/rangejoin.py — bucketed equi-join, never a nested-loop
@@ -1354,6 +1446,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmeans_names": kmeans_names,
     "asof_join": asof_join_events,
     "range_join": range_join_events,
+    "sessionize": sessionize_events,
+    "ts_histogram": ts_histogram,
+    "dedup_clusters": dedup_clusters,
     "top_k_series": top_k_series,
     "exemplars": exemplars,
     "filter_eq_and_or": filter_eq_and_or,
@@ -1417,6 +1512,9 @@ ORACLES: dict[str, str] = {
     "metric_metadata": METRIC_METADATA_SQL,
     "asof_join": ASOF_JOIN_SQL,
     "range_join": RANGE_JOIN_SQL,
+    "sessionize": SESSIONIZE_SQL,
+    "ts_histogram": TS_HISTOGRAM_SQL,
+    "dedup_clusters": DEDUP_CLUSTERS_SQL,
     "formula_ratio": FORMULA_RATIO_SQL,
     "formula_add_fill": FORMULA_ADD_FILL_SQL,
     "graph_request": GRAPH_REQUEST_SQL,
