@@ -35,6 +35,12 @@ HEADLINE = [
     "tpch_q5",
     "tpch_q6",
     "tpch_q10",
+    "tpch_q14",
+    "tpch_q19",
+    "asof_join",
+    "range_join",
+    "sessionize",
+    "ts_histogram",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",

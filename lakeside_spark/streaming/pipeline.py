@@ -54,6 +54,30 @@ def streaming_step_counts(
     )
 
 
+def streaming_sessions(
+    stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Streaming sessionization: Spark's session_window merges events into
+    gap-bounded sessions as they arrive — the streaming twin of
+    operators/sessions.sessionize (same gap semantics, session closes once
+    the watermark passes last_event + gap)."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col(key_col),
+            F.unix_millis(F.col("session_window.start")).alias("session_start"),
+            F.unix_millis(F.col("session_window.end")).alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def seal_to_parquet(
     df: DataFrame, path: str, checkpoint: str, trigger_seconds: int = 5
 ) -> DataStreamWriter:

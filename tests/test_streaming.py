@@ -103,3 +103,44 @@ def test_watermark_drops_late_data(spark):
         assert got.get(h0) == 3.0, got
     finally:
         shutil.rmtree(src_dir, ignore_errors=True)
+
+
+def test_streaming_sessions_match_batch(spark, sf_dir):
+    """session_window streaming sessions == batch sessionize on the same
+    data (session_window's end = last event + gap; compare on start/count)."""
+    from lakeside_spark.operators.sessions import session_stats
+    from lakeside_spark.sources.tables import load_table
+    from lakeside_spark.streaming.pipeline import streaming_sessions
+
+    events = load_table(spark, sf_dir, "events")
+    src_dir = tempfile.mkdtemp(prefix="stream_sess_")
+    try:
+        events.write.mode("overwrite").parquet(f"{src_dir}/b0")
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(src_dir)
+        )
+        agg = streaming_sessions(stream, gap="30 minutes", watermark="0 seconds")
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("stream_sessions")
+            .outputMode("complete")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = {
+            (r["user_id"], r["session_start"]): r["n_events"]
+            for r in spark.sql("SELECT * FROM stream_sessions").collect()
+        }
+        batch = session_stats(
+            events.select("user_id", F.unix_millis("ts").alias("ts_ms")),
+            key="user_id", ts_col="ts_ms", gap_ms=30 * 60 * 1000,
+        ).collect()
+        exp = {(r["user_id"], r["session_start"]): r["n_events"] for r in batch}
+        assert got == exp
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
