@@ -1354,6 +1354,31 @@ FROM reach GROUP BY src
 """
 
 
+def corpus_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end dedup pipeline a training corpus actually runs:
+    near-dup pairs → duplicate clusters → drop every non-canonical member
+    (keep the min-id doc per cluster). Output is the surviving corpus."""
+    from lakeside_spark.operators.dedup import connected_components, ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.12)
+    clusters = connected_components(pairs)
+    drop = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    return docs.join(drop, "doc_id", "left_anti").select("doc_id", "lang", "source", "n_chars")
+
+
+CORPUS_DEDUPE_SQL = DEDUP_CLUSTERS_SQL.replace(
+    """SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+FROM reach GROUP BY src""",
+    """, drop_ids AS (
+  SELECT src AS doc_id FROM reach GROUP BY src
+  HAVING least(src, min(dst)) != src
+)
+SELECT doc_id, lang, source, n_chars FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM drop_ids)""",
+)
+
+
 def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Purchases inside each user's first-click-plus-2h window
     (operators/rangejoin.py — bucketed equi-join, never a nested-loop
@@ -1449,6 +1474,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessionize": sessionize_events,
     "ts_histogram": ts_histogram,
     "dedup_clusters": dedup_clusters,
+    "corpus_dedupe": corpus_dedupe,
     "top_k_series": top_k_series,
     "exemplars": exemplars,
     "filter_eq_and_or": filter_eq_and_or,
@@ -1515,6 +1541,7 @@ ORACLES: dict[str, str] = {
     "sessionize": SESSIONIZE_SQL,
     "ts_histogram": TS_HISTOGRAM_SQL,
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
+    "corpus_dedupe": CORPUS_DEDUPE_SQL,
     "formula_ratio": FORMULA_RATIO_SQL,
     "formula_add_fill": FORMULA_ADD_FILL_SQL,
     "graph_request": GRAPH_REQUEST_SQL,
