@@ -4,6 +4,7 @@ operators never degenerate into cartesian products. These are the
 properties that decide whether a plan survives a 100 TB scale-up."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from lakeside_spark.registry import QUERIES
 
@@ -61,3 +62,37 @@ def test_whole_stage_codegen_in_hot_path(spark, sf_dir, name):
     plan = df._jdf.queryExecution().executedPlan().toString()
     # codegen'd stages print as "*(n) Operator" in the final adaptive plan
     assert "isFinalPlan=true" in plan and "*(" in plan, plan[:2000]
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    """Two tables bucketed on the join key join WITHOUT a shuffle — the
+    bucketed-write-once / join-free-forever pattern for repeated 100 TB
+    fact-fact joins."""
+    from lakeside_spark.sources.bucketed import read_bucketed, write_bucketed
+    from lakeside_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    write_bucketed(li, "li_b", "l_orderkey", 8, str(tmp_path / "li_b"))
+    write_bucketed(orders, "ord_b", "o_orderkey", 8, str(tmp_path / "ord_b"))
+    try:
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = read_bucketed(spark, "li_b").join(
+                read_bucketed(spark, "ord_b"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            j.collect()
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan[:1500]
+            assert "Exchange hashpartitioning" not in plan, plan[:1500]
+            # sanity: same row count as the unbucketed join
+            plain = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            assert j.count() == plain.count()
+        finally:
+            if prev is not None:
+                spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS li_b")
+        spark.sql("DROP TABLE IF EXISTS ord_b")
