@@ -45,3 +45,41 @@ def test_json_exemplar_request(spark, sf_dir):
     assert 0 < len(rows) <= 25
     ts = [r[S.TIMESTAMP] for r in rows]
     assert ts == sorted(ts)
+
+
+def test_cli_runner_graph_request(tmp_path, sf_dir):
+    """python -m lakeside_spark: the /api/v1/graph stand-in end-to-end."""
+    import json as _json
+    import subprocess
+    import sys
+
+    req = {
+        "baseExpressions": {
+            "a": {"filter": {"k": "name", "v": ["error"], "op": "eq"},
+                  "chart": {"aggregation": "count"}},
+        },
+        "formulae": [],
+    }
+    p = tmp_path / "req.json"
+    p.write_text(_json.dumps(req))
+    out = subprocess.run(
+        [sys.executable, "-m", "lakeside_spark", str(p), "--sf-dir", sf_dir,
+         "--step-ms", "86400000"],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-800:]
+    rows = [_json.loads(l) for l in out.stdout.splitlines() if l.strip()]
+    assert rows and all(r["label"] == "a" and r["name"] == "error" for r in rows)
+
+
+def test_cli_runner_rejects_bad_request(tmp_path, sf_dir):
+    import subprocess
+    import sys
+
+    p = tmp_path / "bad.json"
+    p.write_text("{not json")
+    out = subprocess.run(
+        [sys.executable, "-m", "lakeside_spark", str(p), "--sf-dir", sf_dir],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert out.returncode == 2 and "not valid JSON" in out.stderr
