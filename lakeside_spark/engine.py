@@ -316,6 +316,48 @@ class QueryEngine:
         agg = F.approx_count_distinct(key) if self.approx else F.countDistinct(key)
         return df.agg(agg.cast("double").alias(S.VALUE))
 
+    def cardinality_sketch_rollup(
+        self,
+        expr: BaseExpr,
+        df: DataFrame,
+        ingest_step_ms: int,
+        query_step_ms: int,
+    ) -> DataFrame:
+        """The reference's actual sketch path, end-to-end: per-segment HLL
+        sketches built at ingest grain, then UNION-merged (not recomputed)
+        at query grain (TimeGroupedSketchAggregator + HllSketch.union,
+        QueryEngineV2.computeCardinality). Spark 3.5+ Datasketches exprs
+        make this native: hll_sketch_agg at ingest_step, hll_union_agg +
+        hll_sketch_estimate at query_step. At 100 TB the ingest sketches
+        are tiny pre-aggregated state (bytes per series-hour), so the
+        query-time shuffle moves sketches, never raw rows."""
+        existing = self._existing(df, expr)
+        df = self._apply_extract(df, expr)
+        df = self._apply_compute(df, expr)
+        df = df.filter(filter_to_column(expr.filter, existing))
+        group_bys = tuple(
+            g for g in (expr.chart.group_bys if expr.chart else ()) if g in df.columns
+        )
+        key = (
+            F.concat_ws("|", *[F.col(g) for g in group_bys])
+            if group_bys
+            else F.col(S.NAME)
+        )
+        ingest_step = F.col(S.TIMESTAMP) - F.col(S.TIMESTAMP) % F.lit(ingest_step_ms)
+        sealed = df.groupBy(ingest_step.alias("ingest_ts")).agg(
+            F.hll_sketch_agg(key).alias("hll")
+        )
+        query_step = F.col("ingest_ts") - F.col("ingest_ts") % F.lit(query_step_ms)
+        return (
+            sealed.groupBy(query_step.alias(S.STEP_TS))
+            .agg(
+                F.hll_sketch_estimate(F.hll_union_agg("hll"))
+                .cast("double")
+                .alias(S.VALUE)
+            )
+            .orderBy(S.STEP_TS)
+        )
+
     def tag_names(self, expr: BaseExpr, df: DataFrame) -> DataFrame:
         """Available tag names + non-null counts for a filtered query
         (reference: /api/v1/tags/{dataset} with no tagName — tag keys come

@@ -177,6 +177,20 @@ FROM {_T} WHERE name IN ('click', 'view', 'purchase')
 """
 
 
+def ts_cardinality_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rows-only (approximate by design): hourly HLL sketches union-merged
+    to daily estimates — the reference's sealed-segment sketch-merge path
+    with Spark's native Datasketches aggregates. Accuracy vs the exact
+    count is asserted in tests (HLL lgK=12: ~2-3% typical error)."""
+    expr = BaseExpr(
+        filter=Filter(k=S.NAME, op=S.EXISTS),
+        chart=ChartOptions(aggregation="ces", group_bys=("user_id",)),
+    )
+    return QueryEngine(spark).cardinality_sketch_rollup(
+        expr, load_telemetry(spark, sf_dir), ingest_step_ms=HOUR, query_step_ms=DAY
+    )
+
+
 def ts_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-series windowed smoothing: 3-step trailing moving average over
     the hourly count series (SQL-expressible sibling of the stateful EMA;
@@ -1465,6 +1479,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ts_percentile": ts_percentile,
     "ts_cardinality": ts_cardinality,
     "query_cardinality": query_cardinality,
+    "ts_cardinality_sketch": ts_cardinality_sketch,
     "ts_moving_avg": ts_moving_avg,
     "ts_rate": ts_rate,
     "metrics_rollup": metrics_rollup,

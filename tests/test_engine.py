@@ -127,3 +127,32 @@ def test_salted_aggregation_matches_unsalted(spark, sf_dir):
         for ra, rb in zip(a, b):
             assert ra[:-1] == rb[:-1], agg
             assert abs(ra[-1] - rb[-1]) < 1e-9 * max(1.0, abs(ra[-1])), (agg, ra, rb)
+
+
+def test_cardinality_sketch_rollup_accuracy(spark, sf_dir):
+    """HLL sketch-merge rollup (hour sketches -> day union) stays within
+    5% of the exact per-day distinct count — merging sketches must NOT
+    double-count users appearing in many hours."""
+    from lakeside_spark import schema as S
+    from lakeside_spark.ast.model import BaseExpr, ChartOptions, Filter
+    from lakeside_spark.engine import QueryEngine
+    from lakeside_spark.schema import load_telemetry
+
+    tele = load_telemetry(spark, sf_dir)
+    expr = BaseExpr(
+        filter=Filter(k=S.NAME, op=S.EXISTS),
+        chart=ChartOptions(aggregation="ces", group_bys=("user_id",)),
+    )
+    est = {
+        r[S.STEP_TS]: r[S.VALUE]
+        for r in QueryEngine(spark).cardinality_sketch_rollup(
+            expr, tele, ingest_step_ms=3_600_000, query_step_ms=86_400_000
+        ).collect()
+    }
+    exact = {
+        r[S.STEP_TS]: r[S.VALUE]
+        for r in QueryEngine(spark, step_ms=86_400_000).run(expr, tele).collect()
+    }
+    assert set(est) == set(exact)
+    for k, v in exact.items():
+        assert abs(est[k] - v) / max(v, 1.0) < 0.05, (k, est[k], v)
