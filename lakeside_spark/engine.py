@@ -358,6 +358,42 @@ class QueryEngine:
             .orderBy(S.STEP_TS)
         )
 
+    def percentile_sketch_rollup(
+        self,
+        expr: BaseExpr,
+        df: DataFrame,
+        ingest_step_ms: int,
+        query_step_ms: int,
+        quantile: float = 0.95,
+    ) -> DataFrame:
+        """Mergeable quantile sketches across segments — the reference's
+        DDSketch path (TimeGroupedSketchAggregator merges per-segment
+        DDSketches per step; getFromSketch reads the quantile). Spark's
+        Datasketches KLL aggregates give the same shape natively:
+        kll_sketch_agg at ingest grain, kll_merge_agg at query grain, then
+        one quantile read per step. Sketch bytes, not raw values, cross
+        the query-time shuffle."""
+        existing = self._existing(df, expr)
+        df = self._apply_extract(df, expr)
+        df = self._apply_compute(df, expr)
+        df = df.filter(filter_to_column(expr.filter, existing))
+        ingest_step = F.col(S.TIMESTAMP) - F.col(S.TIMESTAMP) % F.lit(ingest_step_ms)
+        keys = [F.col(S.NAME)] if S.NAME in df.columns else []
+        sealed = df.groupBy(ingest_step.alias("ingest_ts"), *keys).agg(
+            F.kll_sketch_agg_double(F.col(S.VALUE).cast("double")).alias("kll")
+        )
+        query_step = F.col("ingest_ts") - F.col("ingest_ts") % F.lit(query_step_ms)
+        merged = sealed.groupBy(query_step.alias(S.STEP_TS), *keys).agg(
+            F.kll_merge_agg_double("kll").alias("kll")
+        )
+        return merged.select(
+            S.STEP_TS,
+            *[k.alias(S.NAME) for k in keys],
+            F.kll_sketch_get_quantile_double("kll", F.lit(quantile))
+            .cast("double")
+            .alias(S.VALUE),
+        ).orderBy(S.STEP_TS)
+
     def tag_names(self, expr: BaseExpr, df: DataFrame) -> DataFrame:
         """Available tag names + non-null counts for a filtered query
         (reference: /api/v1/tags/{dataset} with no tagName — tag keys come

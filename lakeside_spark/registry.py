@@ -191,6 +191,19 @@ def ts_cardinality_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ts_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rows-only (approximate by design): hourly KLL quantile sketches
+    merged to daily p95 — the reference's DDSketch merge path
+    (TimeGroupedSketchAggregator) on Spark's native Datasketches KLL."""
+    expr = BaseExpr(
+        filter=Filter(k=S.NAME, v=("view", "click"), op=S.IN),
+        chart=ChartOptions(aggregation="p95"),
+    )
+    return QueryEngine(spark).percentile_sketch_rollup(
+        expr, load_telemetry(spark, sf_dir), ingest_step_ms=HOUR, query_step_ms=DAY
+    )
+
+
 def ts_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-series windowed smoothing: 3-step trailing moving average over
     the hourly count series (SQL-expressible sibling of the stateful EMA;
@@ -1480,6 +1493,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ts_cardinality": ts_cardinality,
     "query_cardinality": query_cardinality,
     "ts_cardinality_sketch": ts_cardinality_sketch,
+    "ts_percentile_sketch": ts_percentile_sketch,
     "ts_moving_avg": ts_moving_avg,
     "ts_rate": ts_rate,
     "metrics_rollup": metrics_rollup,

@@ -156,3 +156,47 @@ def test_cardinality_sketch_rollup_accuracy(spark, sf_dir):
     assert set(est) == set(exact)
     for k, v in exact.items():
         assert abs(est[k] - v) / max(v, 1.0) < 0.05, (k, est[k], v)
+
+
+def test_percentile_sketch_rollup_accuracy(spark, sf_dir):
+    """KLL sketch-merge p95 (hour sketches -> day merge) tracks the exact
+    per-day p95 within KLL rank error (k=200 -> ~1.65% rank error; on a
+    smooth value distribution that lands within a few percent in value)."""
+    from pyspark.sql import functions as F
+
+    from lakeside_spark import schema as S
+    from lakeside_spark.ast.model import BaseExpr, ChartOptions, Filter
+    from lakeside_spark.engine import QueryEngine
+    from lakeside_spark.schema import load_telemetry
+
+    tele = load_telemetry(spark, sf_dir)
+    expr = BaseExpr(
+        filter=Filter(k=S.NAME, v=("view", "click"), op=S.IN),
+        chart=ChartOptions(aggregation="p95"),
+    )
+    est = {
+        (r[S.STEP_TS], r[S.NAME]): r[S.VALUE]
+        for r in QueryEngine(spark).percentile_sketch_rollup(
+            expr, tele, ingest_step_ms=3_600_000, query_step_ms=86_400_000
+        ).collect()
+    }
+    # KLL guarantees RANK error, not value error: assert the estimate's
+    # rank inside each group's exact value set is ~0.95 (small groups make
+    # rank granular, so the tolerance includes one order statistic)
+    groups = {}
+    rows = (
+        tele.filter(F.col(S.NAME).isin("view", "click"))
+        .select(
+            (F.col(S.TIMESTAMP) - F.col(S.TIMESTAMP) % F.lit(86_400_000)).alias(S.STEP_TS),
+            S.NAME,
+            S.VALUE,
+        )
+        .collect()
+    )
+    for r in rows:
+        groups.setdefault((r[S.STEP_TS], r[S.NAME]), []).append(r[S.VALUE])
+    assert set(est) == set(groups)
+    for k, vals in groups.items():
+        rank = sum(1 for v in vals if v <= est[k]) / len(vals)
+        tol = 0.05 + 1.5 / len(vals)
+        assert abs(rank - 0.95) <= tol or rank == 1.0, (k, est[k], rank, len(vals))
