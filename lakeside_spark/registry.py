@@ -204,6 +204,64 @@ def ts_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day retained distinct users (exact): users active on day d
+    AND day d+1. One distinct pass + a self-join on (day+1, user)."""
+    tele = load_telemetry(spark, sf_dir)
+    du = (
+        tele.filter(F.col(S.NAME).isNotNull())
+        .select(
+            (F.col(S.TIMESTAMP) - F.col(S.TIMESTAMP) % F.lit(DAY)).alias("day"),
+            "user_id",
+        )
+        .distinct()
+    )
+    nxt = du.select((F.col("day") - DAY).alias("day"), F.col("user_id").alias("u2"))
+    return (
+        du.join(nxt, (du["day"] == nxt["day"]) & (du["user_id"] == nxt["u2"]))
+        .groupBy(du["day"].alias(S.STEP_TS))
+        .agg(F.count(F.lit(1)).cast("double").alias("retained"))
+        .orderBy(S.STEP_TS)
+    )
+
+
+USER_RETENTION_SQL = f"""
+WITH du AS (
+  SELECT DISTINCT timestamp_ms - timestamp_ms % {DAY} AS day, user_id
+  FROM {_T} WHERE name IS NOT NULL
+)
+SELECT a.day AS step_ts, CAST(count(*) AS DOUBLE) AS retained
+FROM du a JOIN du b ON b.day = a.day + {DAY} AND a.user_id = b.user_id
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def user_retention_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rows-only (approximate): theta-sketch variant — per-day user-set
+    sketches intersected across adjacent days. Theta sketches support set
+    INTERSECTION, which HLL (the reference's sketch) cannot express; at
+    100 TB the per-day sketches are pre-aggregated state and retention
+    becomes a sketch-pair op instead of a distinct self-join."""
+    tele = load_telemetry(spark, sf_dir)
+    day = (F.col(S.TIMESTAMP) - F.col(S.TIMESTAMP) % F.lit(DAY)).alias("day")
+    sketches = (
+        tele.filter(F.col(S.NAME).isNotNull())
+        .groupBy(day)
+        .agg(F.theta_sketch_agg("user_id").alias("th"))
+    )
+    nxt = sketches.select((F.col("day") - DAY).alias("day"), F.col("th").alias("th2"))
+    return (
+        sketches.join(nxt, "day")
+        .select(
+            F.col("day").alias(S.STEP_TS),
+            F.theta_sketch_estimate(F.theta_intersection("th", "th2"))
+            .cast("double")
+            .alias("retained"),
+        )
+        .orderBy(S.STEP_TS)
+    )
+
+
 def ts_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-series windowed smoothing: 3-step trailing moving average over
     the hourly count series (SQL-expressible sibling of the stateful EMA;
@@ -1494,6 +1552,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "query_cardinality": query_cardinality,
     "ts_cardinality_sketch": ts_cardinality_sketch,
     "ts_percentile_sketch": ts_percentile_sketch,
+    "user_retention": user_retention,
+    "user_retention_sketch": user_retention_sketch,
     "ts_moving_avg": ts_moving_avg,
     "ts_rate": ts_rate,
     "metrics_rollup": metrics_rollup,
@@ -1550,6 +1610,7 @@ ORACLES: dict[str, str] = {
     "ts_percentile": TS_PERCENTILE_SQL,
     "ts_cardinality": TS_CARDINALITY_SQL,
     "query_cardinality": QUERY_CARDINALITY_SQL,
+    "user_retention": USER_RETENTION_SQL,
     "ts_moving_avg": TS_MOVING_AVG_SQL,
     "ts_rate": TS_RATE_SQL,
     "metrics_rollup": METRICS_ROLLUP_SQL,

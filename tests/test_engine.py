@@ -200,3 +200,13 @@ def test_percentile_sketch_rollup_accuracy(spark, sf_dir):
         rank = sum(1 for v in vals if v <= est[k]) / len(vals)
         tol = 0.05 + 1.5 / len(vals)
         assert abs(rank - 0.95) <= tol or rank == 1.0, (k, est[k], rank, len(vals))
+
+
+def test_retention_sketch_tracks_exact(spark, sf_dir):
+    from lakeside_spark.registry import QUERIES
+
+    ex = {r["step_ts"]: r["retained"] for r in QUERIES["user_retention"](spark, sf_dir).collect()}
+    sk = {r["step_ts"]: r["retained"] for r in QUERIES["user_retention_sketch"](spark, sf_dir).collect()}
+    assert set(ex) == set(sk)
+    for k, v in ex.items():
+        assert abs(sk[k] - v) / max(v, 1.0) < 0.05, (k, sk[k], v)
