@@ -22,6 +22,9 @@ HEADLINE = [
     "ts_percentile",
     "ts_cardinality",
     "query_cardinality",
+    "ts_cardinality_sketch",
+    "ts_percentile_sketch",
+    "user_retention",
     "ts_moving_avg",
     "exemplars",
     "filter_contains_regex",

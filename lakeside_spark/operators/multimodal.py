@@ -41,7 +41,7 @@ def with_media_metadata(df: DataFrame, binary_col: str = "media") -> DataFrame:
     return df.withColumn(
         "media_meta",
         F.struct(
-            F.octet_length(F.col(binary_col)).alias("byte_size"),
+            F.octet_length(F.col(binary_col)).cast("long").alias("byte_size"),
             fmt.alias("format"),
             F.sha1(F.col(binary_col)).alias("content_sha1"),
         ),

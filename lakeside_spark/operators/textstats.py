@@ -29,7 +29,7 @@ _EN_STOPWORDS = ("the", "and", "of", "is", "a", "to", "in")
 
 def _marker_count(text_col: str, markers: tuple[str, ...]) -> F.Column:
     pattern = r"\b(" + "|".join(markers) + r")\b"
-    return F.regexp_count(normalized(text_col), F.lit(pattern))
+    return F.regexp_count(normalized(text_col), F.lit(pattern)).cast("long")
 
 
 def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -79,8 +79,8 @@ def token_counts(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     """Whitespace token count + BPE-ish regex token count."""
     return docs.select(
         F.col(id_col).alias("doc_id"),
-        F.size(words(text_col)).alias("ws_tokens"),
-        F.regexp_count(F.col(text_col), F.lit(BPE_PATTERN)).alias("bpe_tokens"),
+        F.size(words(text_col)).cast("long").alias("ws_tokens"),
+        F.regexp_count(F.col(text_col), F.lit(BPE_PATTERN)).cast("long").alias("bpe_tokens"),
     )
 
 

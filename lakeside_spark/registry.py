@@ -814,11 +814,14 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(_revenue_col()).cast("double").alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
+        # date as string: engines disagree on timestamp unit (ns vs us)
+        # in their pandas/Arrow output, which trips strict schema compares
+        .withColumn("o_orderdate", F.date_format("o_orderdate", "yyyy-MM-dd"))
     )
 
 
 TPCH_Q3_SQL = f"""
-SELECT l_orderkey, o_orderdate, o_orderpriority,
+SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_orderpriority,
        CAST(SUM({_REVENUE_SQL}) AS DOUBLE) AS revenue
 FROM customer, orders, lineitem
 WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
