@@ -301,15 +301,32 @@ def ann_lsh(
     partition instead of the whole corpus; scoring still runs the BLAS
     kernel within the bucket join."""
     planes = _hyperplane_matrix(num_planes, dim)
-    c = _parallelize(corpus).select(
-        F.col(id_col).alias("n_id"),
-        as_double_array(vec_col).alias("nv"),
-        lsh_bucket_col(as_double_array(vec_col), planes).alias("bucket"),
+    spark = corpus.sparkSession
+    bc_planes = spark.sparkContext.broadcast(planes)
+
+    def bucketize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # bucket bits via one numpy matmul per Arrow batch — the per-row
+        # higher-order-function dot product is interpreted JVM-side and
+        # ~100x slower per vector at corpus scale
+        P = bc_planes.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.array(list(pdf["v"]), dtype=np.float64)
+            bits = (m @ P.T) > 0
+            bucket = ["".join("1" if b else "0" for b in row) for row in bits]
+            yield pd.DataFrame({"id": pdf["id"], "v": pdf["v"], "bucket": bucket})
+
+    c = (
+        _parallelize(corpus)
+        .select(F.col(id_col).alias("id"), as_double_array(vec_col).alias("v"))
+        .mapInPandas(bucketize, schema="id bigint, v array<double>, bucket string")
+        .select(F.col("id").alias("n_id"), F.col("v").alias("nv"), "bucket")
     )
-    q = queries.select(
-        F.col(id_col).alias("q_id"),
-        as_double_array(vec_col).alias("qv"),
-        lsh_bucket_col(as_double_array(vec_col), planes).alias("bucket"),
+    q = (
+        queries.select(F.col(id_col).alias("id"), as_double_array(vec_col).alias("v"))
+        .mapInPandas(bucketize, schema="id bigint, v array<double>, bucket string")
+        .select(F.col("id").alias("q_id"), F.col("v").alias("qv"), "bucket")
     )
     from lakeside_spark.functions.vectors import cosine
 
