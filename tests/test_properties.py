@@ -1,0 +1,85 @@
+"""Property tests (hypothesis): operators vs pure-Python reference models
+on random inputs — the time-series joins have enough edge cases (ties,
+empty keys, tolerance windows) that example tests alone under-cover."""
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+KEYS = st.sampled_from(["a", "b"])
+TS = st.integers(min_value=0, max_value=50)
+
+
+@st.composite
+def keyed_events(draw, max_rows=12):
+    n = draw(st.integers(0, max_rows))
+    return [(i, draw(KEYS), draw(TS)) for i in range(n)]
+
+
+def _model_asof(left, right, tolerance=None):
+    out = []
+    for lid, lk, lts in left:
+        cands = [(rts, rv) for rk, rts, rv in right if rk == lk and rts <= lts]
+        if not cands:
+            continue
+        rts, rv = max(cands)  # latest ts; ties broken by value (unique below)
+        if tolerance is not None and lts - rts > tolerance:
+            continue
+        out.append((lid, rv, rts))
+    return sorted(out)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(left=keyed_events(), right=keyed_events())
+def test_asof_join_matches_model(spark, left, right):
+    from lakeside_spark.operators.asof import asof_join
+
+    # unique right values so the model's tie-break is well-defined: one
+    # right row per (key, ts)
+    seen = set()
+    rrows = []
+    for i, (rid, rk, rts) in enumerate(right):
+        if (rk, rts) in seen:
+            continue
+        seen.add((rk, rts))
+        rrows.append((rk, rts, float(i)))
+    L = spark.createDataFrame(
+        [(lid, lk, lts) for lid, lk, lts in left] or [(None, None, None)],
+        "id long, k string, ts long",
+    ).filter("id is not null")
+    R = spark.createDataFrame(
+        rrows or [(None, None, None)], "k string, ts long, val double"
+    ).filter("k is not null")
+    got = sorted(
+        (r["id"], r["val"], r["asof_ts"])
+        for r in asof_join(L, R, "k", "ts", "ts").collect()
+    )
+    assert got == _model_asof(left, [(k, t, v) for k, t, v in rrows])
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(events=keyed_events(max_rows=15), gap=st.integers(1, 10))
+def test_sessionize_matches_model(spark, events, gap):
+    from lakeside_spark.operators.sessions import session_stats
+
+    df = spark.createDataFrame(
+        [(k, ts) for _, k, ts in events] or [(None, None)], "user_id string, ts_ms long"
+    ).filter("user_id is not null")
+    got = {
+        (r["user_id"], r["session_id"]): (r["session_start"], r["session_end"], r["n_events"])
+        for r in session_stats(df, "user_id", "ts_ms", gap_ms=gap).collect()
+    }
+    # model: sort per key, split where delta > gap
+    model = {}
+    for k in {k for _, k, _ in events}:
+        ts = sorted(t for _, kk, t in events if kk == k)
+        sid, start, prev, cnt = 0, None, None, 0
+        for t in ts:
+            if prev is None or t - prev > gap:
+                if start is not None:
+                    model[(k, sid)] = (start, prev, cnt)
+                sid, start, cnt = sid + 1, t, 0
+            cnt += 1
+            prev = t
+        if start is not None:
+            model[(k, sid)] = (start, prev, cnt)
+    assert got == model
