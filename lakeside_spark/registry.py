@@ -114,6 +114,20 @@ FROM {_T} WHERE name IS NOT NULL GROUP BY 1, 2
 """
 
 
+def ts_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    expr = BaseExpr(
+        filter=Filter(k=S.NAME, op=S.EXISTS),
+        chart=ChartOptions(aggregation="min"),
+    )
+    return QueryEngine(spark, step_ms=DAY).run(expr, load_telemetry(spark, sf_dir))
+
+
+TS_MIN_SQL = f"""
+SELECT timestamp_ms - timestamp_ms % {DAY} AS step_ts, name, MIN(value) AS value
+FROM {_T} WHERE name IS NOT NULL GROUP BY 1, 2
+"""
+
+
 def ts_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
     expr = BaseExpr(
         filter=Filter(k=S.VALUE, v=("100",), op=S.GT, data_type=S.NUMBER_TYPE),
@@ -1549,6 +1563,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ts_sum": ts_sum,
     "ts_avg": ts_avg,
     "ts_max": ts_max,
+    "ts_min": ts_min,
     "ts_groupby": ts_groupby,
     "ts_percentile": ts_percentile,
     "ts_cardinality": ts_cardinality,
@@ -1609,6 +1624,7 @@ ORACLES: dict[str, str] = {
     "ts_sum": TS_SUM_SQL,
     "ts_avg": TS_AVG_SQL,
     "ts_max": TS_MAX_SQL,
+    "ts_min": TS_MIN_SQL,
     "ts_groupby": TS_GROUPBY_SQL,
     "ts_percentile": TS_PERCENTILE_SQL,
     "ts_cardinality": TS_CARDINALITY_SQL,

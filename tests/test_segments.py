@@ -44,3 +44,32 @@ def test_partition_pruning_in_plan(spark, lake):
     # partition filters must reference the layout columns, not be empty
     pf = plan.split("PartitionFilters: [")[1].split("]")[0]
     assert "dateint" in pf and "dataset" in pf
+
+
+def test_compaction_reduces_files_preserves_rows(spark, sf_dir, tmp_path):
+    import glob
+
+    from lakeside_spark.sources.segments import compact_segments, write_segments
+    from lakeside_spark.sources.tables import load_table
+    from lakeside_spark.schema import load_telemetry
+
+    lake = str(tmp_path / "lake")
+    tele = load_telemetry(spark, sf_dir)
+    # simulate many tiny sealed segments: 16 files per partition
+    from pyspark.sql import functions as F
+
+    ts = F.timestamp_millis(F.col("timestamp_ms"))
+    df = (
+        tele.withColumn("dataset", F.lit("logs"))
+        .withColumn("dateint", F.date_format(ts, "yyyyMMdd").cast("int"))
+        .withColumn("hour", F.date_format(ts, "HH").cast("int"))
+        .repartition(16)
+    )
+    df.write.mode("overwrite").partitionBy("dataset", "dateint", "hour").parquet(lake)
+    rows_before = spark.read.parquet(lake).count()
+    files_before = len(glob.glob(f"{lake}/**/*.parquet", recursive=True))
+    compact_segments(spark, lake, target_file_bytes=64 * 1024 * 1024)
+    rows_after = spark.read.parquet(lake).count()
+    files_after = len(glob.glob(f"{lake}/**/*.parquet", recursive=True))
+    assert rows_after == rows_before
+    assert files_after < files_before, (files_before, files_after)
