@@ -83,3 +83,87 @@ def decode_features(
             yield pd.DataFrame({id_col: pdf[id_col], "features": feats})
 
     return df.select(id_col, binary_col).mapInPandas(batches, schema=schema)
+
+
+def resize_media(
+    df: DataFrame,
+    width: int,
+    height: int,
+    binary_col: str = "media",
+    id_col: str = "doc_id",
+    fake: bool = False,
+) -> DataFrame:
+    """binary → resized binary + output dims, Arrow-batched.
+
+    Real image decode/resample is STUBBED (no codec libs here); the fake
+    path emits a deterministic byte buffer of exactly width*height bytes so
+    batch shape, output schema, and size accounting are all real and
+    testable. A production kernel swaps only the inner function (e.g.
+    PIL/libvips), keeping the partition-parallel plumbing unchanged.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "image resize requires codec libraries not present in this "
+            "container; call with fake=True for the deterministic test path"
+        )
+    schema = f"{id_col} bigint, media binary, width int, height int"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = width * height
+        for pdf in it:
+            out = [
+                bytes(
+                    hashlib.md5(buf + bytes([i % 251])).digest()[0]
+                    for i in range(n)
+                )
+                if len(buf)
+                else b""
+                for buf in pdf[binary_col]
+            ]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "media": out,
+                    "width": [width] * len(pdf),
+                    "height": [height] * len(pdf),
+                }
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(batches, schema=schema)
+
+
+def sample_frames(
+    df: DataFrame,
+    every_n: int = 10,
+    max_frames: int = 4,
+    binary_col: str = "media",
+    id_col: str = "doc_id",
+    fake: bool = False,
+) -> DataFrame:
+    """video binary → exploded (id, frame_idx, frame) rows, Arrow-batched.
+
+    The fan-out (one input row → up to max_frames output rows) is the part
+    that matters at scale: mapInPandas lets the batch emit a different row
+    count than it received, so frame sampling never needs a driver-side
+    explode. Real frame extraction is STUBBED; the fake path slices the
+    input bytes deterministically per frame index.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "frame sampling requires codec libraries not present in this "
+            "container; call with fake=True for the deterministic test path"
+        )
+    schema = f"{id_col} bigint, frame_idx int, frame binary"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, frames = [], [], []
+            for did, buf in zip(pdf[id_col], pdf[binary_col]):
+                n_frames = min(max_frames, max(len(buf) // every_n, 1))
+                for fi in range(n_frames):
+                    ids.append(did)
+                    idxs.append(fi)
+                    frames.append(bytes(buf[fi * every_n : (fi + 1) * every_n]))
+            yield pd.DataFrame({id_col: ids, "frame_idx": idxs, "frame": frames})
+
+    return df.select(id_col, binary_col).mapInPandas(batches, schema=schema)

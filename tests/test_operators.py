@@ -183,3 +183,31 @@ def test_range_join_bucketed_equi(spark):
     assert out == [(1, 10), (2, 10), (3, 10)]
     with pytest.raises(ValueError):
         range_join(pts, pts.withColumnRenamed("pid", "x"), "ts", "lo", "hi")
+
+
+def test_multimodal_resize_and_frames_plumbing(spark, sf_dir):
+    from lakeside_spark.operators.multimodal import (
+        resize_media,
+        sample_frames,
+        synthesize_media,
+    )
+
+    media = synthesize_media(load_table(spark, sf_dir, "documents").limit(10))
+    resized = resize_media(media, width=4, height=3, fake=True).collect()
+    assert len(resized) == 10
+    assert all(len(r["media"]) == 12 and r["width"] == 4 and r["height"] == 3 for r in resized)
+    # deterministic
+    again = resize_media(media, width=4, height=3, fake=True).collect()
+    assert sorted(r["media"] for r in resized) == sorted(r["media"] for r in again)
+
+    frames = sample_frames(media, every_n=16, max_frames=3, fake=True).collect()
+    assert len(frames) > 10  # fan-out happened
+    per_doc = {}
+    for r in frames:
+        per_doc.setdefault(r["doc_id"], []).append(r["frame_idx"])
+    assert all(sorted(v) == list(range(len(v))) and len(v) <= 3 for v in per_doc.values())
+    # stubbed real path
+    with pytest.raises(NotImplementedError):
+        resize_media(media, 2, 2).collect()
+    with pytest.raises(NotImplementedError):
+        sample_frames(media).collect()
