@@ -1271,6 +1271,30 @@ FROM f
 """
 
 
+def corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-gated corpus (the curation sibling of corpus_dedupe): keep
+    docs with quality ≥ 0.5 and a sane length band — the standard
+    pre-training filter pass, fully pushdown-able."""
+    from lakeside_spark.operators.textstats import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = quality_score(docs).select("doc_id", "quality")
+    return (
+        docs.join(q, "doc_id")
+        .filter((F.col("quality") >= 0.5) & (F.col("n_chars") >= 80) & (F.col("n_chars") <= 5000))
+        .select("doc_id", "lang", "source", "n_chars", "quality")
+    )
+
+
+CORPUS_QUALITY_FILTER_SQL = (
+    "WITH q AS (" + TEXT_QUALITY_SQL + """)
+SELECT d.doc_id, d.lang, d.source, d.n_chars, q.quality
+FROM documents d JOIN q ON d.doc_id = q.doc_id
+WHERE q.quality >= 0.5 AND d.n_chars BETWEEN 80 AND 5000
+"""
+)
+
+
 def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakeside_spark.operators.textstats import token_counts
 
@@ -1555,6 +1579,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf": ann_ivf,
     "text_langid": text_langid,
     "text_quality": text_quality,
+    "corpus_quality_filter": corpus_quality_filter,
     "text_tokens": text_tokens,
     "doc_fingerprint": doc_fingerprint,
     "multimodal_meta": multimodal_meta,
@@ -1615,6 +1640,7 @@ ORACLES: dict[str, str] = {
     "ann_cosine_topk": ANN_COSINE_TOPK_SQL,
     "text_langid": TEXT_LANGID_SQL,
     "text_quality": TEXT_QUALITY_SQL,
+    "corpus_quality_filter": CORPUS_QUALITY_FILTER_SQL,
     "text_tokens": TEXT_TOKENS_SQL,
     "doc_fingerprint": DOC_FINGERPRINT_SQL,
     "multimodal_meta": MULTIMODAL_META_SQL,
