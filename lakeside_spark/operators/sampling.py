@@ -1,0 +1,96 @@
+"""Deterministic corpus sampling and sequence packing — the last two
+stages of a training-data pipeline (filter → dedup → sample → pack).
+
+Sampling uses a content-derived hash gate instead of RNG: md5(doc_id) maps
+each doc to a stable point in [0, 1), and a per-stratum rate keeps docs
+below it. Fully reproducible across runs/engines (the oracle runs the
+same expression), no seed plumbing, and resampling at a higher rate is a
+superset of the lower rate — the property curation pipelines actually
+want when they grow a mixture.
+
+Packing greedily fills token-budget bins per stratum via applyInPandas:
+each stratum's docs arrive sorted and are folded into bins in one pass.
+Bins never cross strata, so the operation distributes by the stratum key
+(one shuffle); within a group the fold is linear.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_gate(id_col: str, rate_pct: F.Column | float) -> F.Column:
+    """Deterministic [0,100) bucket from md5(id): keep when < rate_pct.
+
+    Portable: CAST('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 8) AS
+    BIGINT) % 100 in any engine with md5."""
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    rate = rate_pct if isinstance(rate_pct, F.Column) else F.lit(rate_pct)
+    return bucket < rate
+
+
+def stratified_sample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Keep rate_pct% of each stratum, deterministically (no RNG).
+
+    rates maps stratum value -> percentage [0, 100]; unlisted strata use
+    default_rate. The gate is a per-row expression: fully pushdown-able,
+    no shuffle, and stable under re-execution and engine changes.
+    """
+    rate = F.lit(float(default_rate))
+    for value, pct in sorted(rates.items()):
+        rate = F.when(F.col(stratum_col) == value, F.lit(float(pct))).otherwise(rate)
+    return docs.filter(hash_gate(id_col, rate))
+
+
+def pack_documents(
+    docs: DataFrame,
+    budget_tokens: int,
+    tokens_col: str = "n_tokens",
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Greedy sequence packing: fold each stratum's docs (ordered by id)
+    into bins of at most budget_tokens; oversized docs get a bin alone.
+
+    Output: (stratum, bin_id, doc_id, n_tokens). Distributed by stratum —
+    packing is inherently sequential within a bin stream, so the stratum
+    is the parallelism unit (salt wide strata upstream if one dominates).
+    """
+
+    def pack(keys: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col)
+        bins, used, current = [], 0, 0
+        for t in pdf[tokens_col]:
+            if used > 0 and used + t > budget_tokens:
+                current += 1
+                used = 0
+            bins.append(current)
+            used += t
+            if used >= budget_tokens:
+                current += 1
+                used = 0
+        out = pdf[[id_col, tokens_col]].copy()
+        out.insert(0, "bin_id", bins)
+        out.insert(0, stratum_col, keys[0])
+        return out
+
+    schema = f"{stratum_col} string, bin_id long, {id_col} bigint, {tokens_col} bigint"
+    return (
+        docs.select(stratum_col, id_col, tokens_col)
+        .groupBy(stratum_col)
+        .applyInPandas(pack, schema=schema)
+    )

@@ -1295,6 +1295,41 @@ WHERE q.quality >= 0.5 AND d.n_chars BETWEEN 80 AND 5000
 )
 
 
+def corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample (hash gate, no RNG): 50% of en,
+    20% of de, 10% of everything else — a mixture-weighting pass that is
+    reproducible across runs and engines."""
+    from lakeside_spark.operators.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs, rates={"en": 50.0, "de": 20.0}, default_rate=10.0
+    ).select("doc_id", "lang", "source", "n_chars")
+
+
+CORPUS_SAMPLE_SQL = """
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100
+      < CASE lang WHEN 'en' THEN 50.0 WHEN 'de' THEN 20.0 ELSE 10.0 END
+"""
+
+
+def corpus_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rows-only: greedy sequence packing of per-language doc streams into
+    2048-token bins (applyInPandas fold — inherently sequential per bin
+    stream, distributed across strata)."""
+    from lakeside_spark.operators.sampling import pack_documents
+    from lakeside_spark.operators.textstats import token_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = token_counts(docs).select("doc_id", F.col("ws_tokens").alias("n_tokens"))
+    return pack_documents(
+        docs.select("doc_id", "lang").join(toks, "doc_id"),
+        budget_tokens=2048,
+    )
+
+
 def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakeside_spark.operators.textstats import token_counts
 
@@ -1580,6 +1615,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_langid": text_langid,
     "text_quality": text_quality,
     "corpus_quality_filter": corpus_quality_filter,
+    "corpus_sample": corpus_sample,
+    "corpus_pack": corpus_pack,
     "text_tokens": text_tokens,
     "doc_fingerprint": doc_fingerprint,
     "multimodal_meta": multimodal_meta,
@@ -1641,6 +1678,8 @@ ORACLES: dict[str, str] = {
     "text_langid": TEXT_LANGID_SQL,
     "text_quality": TEXT_QUALITY_SQL,
     "corpus_quality_filter": CORPUS_QUALITY_FILTER_SQL,
+    "corpus_sample": CORPUS_SAMPLE_SQL,
+    # corpus_pack: rows-only (sequential greedy fold, not SQL-expressible)
     "text_tokens": TEXT_TOKENS_SQL,
     "doc_fingerprint": DOC_FINGERPRINT_SQL,
     "multimodal_meta": MULTIMODAL_META_SQL,

@@ -211,3 +211,34 @@ def test_multimodal_resize_and_frames_plumbing(spark, sf_dir):
         resize_media(media, 2, 2).collect()
     with pytest.raises(NotImplementedError):
         sample_frames(media).collect()
+
+
+def test_pack_documents_invariants(spark, sf_dir):
+    """Every doc is assigned exactly once; no bin exceeds the budget unless
+    it holds a single oversized doc; bins are contiguous per stratum."""
+    from lakeside_spark.operators.sampling import pack_documents
+    from lakeside_spark.operators.textstats import token_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = token_counts(docs).select("doc_id", F.col("ws_tokens").alias("n_tokens"))
+    inp = docs.select("doc_id", "lang").join(toks, "doc_id")
+    packed = pack_documents(inp, budget_tokens=200).toPandas()
+    assert len(packed) == inp.count()
+    assert packed.doc_id.is_unique
+    for (_, b), g in packed.groupby(["lang", "bin_id"]):
+        assert g.n_tokens.sum() <= 200 or len(g) == 1, (b, g.n_tokens.sum())
+    for _, g in packed.groupby("lang"):
+        bins = sorted(g.bin_id.unique())
+        assert bins == list(range(len(bins)))
+
+
+def test_stratified_sample_superset_property(spark, sf_dir):
+    """Raising a stratum's rate only ADDS docs (hash gate monotonicity) —
+    the reproducibility property seeded RNG sampling lacks."""
+    from lakeside_spark.operators.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    lo = {r["doc_id"] for r in stratified_sample(docs, {"en": 20.0}).collect()}
+    hi = {r["doc_id"] for r in stratified_sample(docs, {"en": 60.0}).collect()}
+    assert lo <= hi
+    assert len(hi) > len(lo)
