@@ -51,6 +51,10 @@ HEADLINE = [
     "ann_cosine_topk",
     "text_tokens",
     "doc_fingerprint",
+    "corpus_quality_filter",
+    "corpus_sample",
+    "corpus_pack",
+    "corpus_dedupe",
 ]
 
 
