@@ -333,19 +333,41 @@ def minhash_lsh_pairs(
 
 
 def connected_components(
-    pairs: DataFrame, max_iter: int = 25
+    pairs: DataFrame, max_iter: int = 25, local_max_edges: int = 1_000_000
 ) -> DataFrame:
     """Duplicate-cluster assignment: (doc_id, cluster_id) where cluster_id
     is the minimum doc id reachable through the near-dup pair graph.
 
-    Min-label propagation: every node starts labeled with itself; each
-    round joins labels across edges and keeps the minimum; stops at the
-    first round with no label change. Rounds needed = graph diameter —
-    near-dup clusters are tiny cliques, so this converges in 2-3 rounds.
-    Each round is one broadcast-or-shuffle join + groupBy min (all
-    DataFrame ops; the driver only checks the convergence count).
+    Near-dup graphs are tiny relative to the corpus (they only contain
+    docs with at least one duplicate), so when the edge list fits the
+    driver (≤ local_max_edges) a single collect + union-find answers in
+    one job instead of diameter-many join rounds. Past that, min-label
+    propagation: every node starts labeled with itself; each round joins
+    labels across edges and keeps the minimum; stops at the first round
+    with no label change (rounds = graph diameter; all DataFrame ops).
     Singletons are not emitted — absent ids are their own cluster.
     """
+    n_pairs = pairs.limit(local_max_edges + 1).count()
+    if n_pairs <= local_max_edges:
+        rows = pairs.select("id_a", "id_b").collect()
+        parent: dict = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in rows:
+            ra, rb = find(r[0]), find(r[1])
+            if ra != rb:
+                # union by min so the root IS the cluster id
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        out = sorted((node, find(node)) for node in parent)
+        return pairs.sparkSession.createDataFrame(
+            out or [(None, None)], schema="doc_id bigint, cluster_id bigint"
+        ).filter("doc_id is not null")
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
