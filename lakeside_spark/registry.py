@@ -579,6 +579,30 @@ WHERE CAST(value AS DOUBLE) > 250 GROUP BY 1
 """
 
 
+def tag_values_extracted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tag-value counts over a SYNTHETIC (regex-extracted) tag — the
+    reference's isTagSynthetic path (QueryEngineV2.scala:431-435: an
+    EXISTS filter on the extracted key replaces the raw tag filter)."""
+    expr = BaseExpr(
+        filter=Filter(k="k_bucket", op=S.EXISTS, extracted=True),
+        extractor=Extractor(
+            regex='"k": ([0-9])',
+            fields=(ExtractedField("k_bucket", S.STRING_TYPE),),
+        ),
+    )
+    return QueryEngine(spark).tag_values(
+        expr, load_telemetry(spark, sf_dir), "k_bucket"
+    )
+
+
+TAG_VALUES_EXTRACTED_SQL = f"""
+SELECT regexp_extract(message, '"k": ([0-9])', 1) AS k_bucket, count(*) AS count
+FROM {_T}
+WHERE regexp_matches(message, '"k": ([0-9])')
+GROUP BY 1
+"""
+
+
 def metric_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-metric catalog: row count + value range + distinct series count
     (reference: /api/v1/metricMetadata — name/type/tag metadata served from
@@ -1654,6 +1678,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "compute_fns": compute_fns,
     "compute_strings": compute_strings,
     "tag_values": tag_values,
+    "tag_values_extracted": tag_values_extracted,
     "tag_names": tag_names,
     "metric_metadata": metric_metadata,
     "formula_ratio": formula_ratio,
@@ -1708,6 +1733,7 @@ ORACLES: dict[str, str] = {
     "compute_fns": COMPUTE_FNS_SQL,
     "compute_strings": COMPUTE_STRINGS_SQL,
     "tag_values": TAG_VALUES_SQL,
+    "tag_values_extracted": TAG_VALUES_EXTRACTED_SQL,
     "tag_names": TAG_NAMES_SQL,
     "metric_metadata": METRIC_METADATA_SQL,
     "asof_join": ASOF_JOIN_SQL,
