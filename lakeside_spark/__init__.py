@@ -15,9 +15,13 @@ from lakeside_spark.ast.model import (
     Extractor,
     Filter,
     NotClause,
+    ast_input_from_json,
     base_expr_from_json,
 )
 from lakeside_spark.engine import QueryEngine
+from lakeside_spark.operators.asof import asof_join
+from lakeside_spark.operators.rangejoin import range_join
+from lakeside_spark.operators.sessions import session_stats, sessionize
 from lakeside_spark.session import get_spark
 
 __all__ = [
@@ -29,8 +33,13 @@ __all__ = [
     "Filter",
     "NotClause",
     "QueryEngine",
+    "asof_join",
+    "ast_input_from_json",
     "base_expr_from_json",
     "get_spark",
+    "range_join",
+    "session_stats",
+    "sessionize",
 ]
 
 __version__ = "0.1.0"
