@@ -238,6 +238,41 @@ class QueryEngine:
             .orderBy(S.STEP_TS)
         )
 
+    def multi_agg(
+        self,
+        expr: BaseExpr,
+        df: DataFrame,
+        aggregations: tuple[str, ...] = (S.SUM, S.AVG, S.MIN, S.MAX),
+        step_ms: int | None = None,
+    ) -> DataFrame:
+        """All requested simple aggregations of one chart expr in a SINGLE
+        groupBy (one scan, one shuffle). The reference evaluates one
+        aggregation per request (getChartSql); batching N panels over the
+        same metric here collapses N scans into one — at 100 TB that is the
+        difference between one pass over the fact table and four. Columns
+        come out as ``{agg}_value``; partial aggregation computes every
+        measure map-side in the same buffer."""
+        step_ms = step_ms or self.step_ms
+        existing = self._existing(df, expr)
+        df = self._apply_extract(df, expr)
+        df = self._apply_compute(df, expr)
+        df = df.filter(filter_to_column(expr.filter, existing))
+        chart = expr.chart
+        group_bys = tuple(g for g in chart.group_bys if g in df.columns)
+        step_col = F.col(S.TIMESTAMP) - F.col(S.TIMESTAMP) % F.lit(step_ms)
+        target = self._chart_value_column(expr)
+        keys = [step_col.alias(S.STEP_TS)]
+        if S.NAME in df.columns:
+            keys.append(F.col(S.NAME))
+        keys += [F.col(g) for g in group_bys]
+        measures = [
+            self._chart_transform(
+                expr, _agg_column(a, target, group_bys, self.approx).cast("double"), step_ms
+            ).alias(f"{a}_value")
+            for a in aggregations
+        ]
+        return df.groupBy(*keys).agg(*measures).orderBy(S.STEP_TS)
+
     def _run_exemplars(self, expr: BaseExpr, df: DataFrame) -> DataFrame:
         """Raw-row query (reference: BaseExpr.scala:237-239): ORDER BY
         timestamp [DESC] LIMIT n. event_id breaks ties so limits are

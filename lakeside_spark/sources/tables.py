@@ -34,14 +34,29 @@ _TS_COLUMNS = {
 
 
 # plan cache: re-listing files + reading footers costs ~50-100ms per query;
-# the logical plan is immutable so reuse is safe (keyed on the live session)
-_PLAN_CACHE: dict[tuple[int, str, str, bool], DataFrame] = {}
+# the logical plan is immutable so reuse is safe (keyed on the session's
+# applicationId — stable for the session's lifetime, unlike id(spark) which
+# CPython can recycle after a stopped session is garbage-collected)
+_PLAN_CACHE: dict[tuple[str, str, str, bool], DataFrame] = {}
+
+
+def _ensure_nanos_readable(spark: SparkSession) -> None:
+    """The testdata parquet encodes TIMESTAMP(NANOS), which Spark only reads
+    with ``spark.sql.legacy.parquet.nanosAsLong`` on. Callers (the driver)
+    may hand us a vanilla SparkSession, so set it at runtime — the conf is
+    runtime-settable and idempotent; the LongType→timestamp restore below
+    handles the resulting bigint columns."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # already set read-only/identical — reads will still work
 
 
 def load_table(
     spark: SparkSession, sf_dir: str, name: str, merge_schema: bool = False
 ) -> DataFrame:
-    key = (id(spark), sf_dir, name, merge_schema)
+    _ensure_nanos_readable(spark)
+    key = (spark.sparkContext.applicationId, sf_dir, name, merge_schema)
     cached = _PLAN_CACHE.get(key)
     if cached is not None:
         return cached

@@ -1,0 +1,54 @@
+"""Driver-parity gate: the round-1 killer was that the driver supplies its
+own *vanilla* SparkSession (no confs from lakeside_spark.session.get_spark),
+and the testdata parquet encodes TIMESTAMP(NANOS) which a vanilla session
+refuses to read. This test reproduces the driver exactly: a bare
+``SparkSession.builder.getOrCreate()`` in a fresh subprocess (so no conf
+leaks from the pytest session) running registry queries end-to-end.
+"""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+
+SF_DIR = "/root/testdata/sf0.001"
+
+_SCRIPT = r"""
+import sys
+sys.path.insert(0, "/root/repo")
+from pyspark.sql import SparkSession
+
+# exactly what the driver does: its own session, none of our confs
+spark = (
+    SparkSession.builder.master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+import __spark_entry__ as e
+
+qs = e.queries()
+# one query per table family that carries TIMESTAMP(NANOS) columns
+for key in ["ts_count", "tpch_q1", "asof_join", "exemplars", "ema_smooth"]:
+    df = qs[key](spark, "%s")
+    n = df.count()
+    assert n >= 0, key
+    print(key, "OK", n)
+
+# entry() contract itself
+out = e.entry(spark)
+assert out.count() > 0
+print("entry OK")
+spark.stop()
+""" % SF_DIR
+
+
+def test_vanilla_session_reads_nanos_parquet():
+    proc = subprocess.run(
+        [sys.executable, "-c", _SCRIPT],
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0, f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr[-4000:]}"
+    assert "entry OK" in proc.stdout

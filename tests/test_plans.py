@@ -14,9 +14,9 @@ def _plan(spark, sf_dir, name: str) -> str:
 
 
 def test_telemetry_filter_pushdown(spark, sf_dir):
-    plan = _plan(spark, sf_dir, "ts_sum")
+    plan = _plan(spark, sf_dir, "ts_multi_agg")
     scan = next(l for l in plan.splitlines() if "FileScan" in l and "events" in l)
-    assert "event_type" in scan and "IN (purchase,click)" in scan, scan
+    assert "event_type" in scan and "IN (purchase,click,view)" in scan, scan
 
 
 def test_tpch_q6_scan_pushdown_and_pruning(spark, sf_dir):
