@@ -317,8 +317,10 @@ def minhash_lsh_pairs(
     )
     # verify ONLY the candidate pairs (this bounded verification is the whole
     # point of LSH at scale — never the all-pairs join). The candidate doc
-    # set is small by construction, so exact jaccard over it runs through the
-    # same Gram kernel as the exact path, then inner-joins the LSH pairs.
+    # set grows with the corpus, so verification goes through
+    # ngram_jaccard_pairs' auto strategy probe: small candidate sets take the
+    # dense Gram kernel, large ones the distributed explode-join — never an
+    # unconditional single task.
     cand_ids = (
         candidates.select(F.col("id_a").alias("__cand_id"))
         .union(candidates.select(F.col("id_b").alias("__cand_id")))
@@ -327,8 +329,9 @@ def minhash_lsh_pairs(
     cand_docs = docs.join(
         F.broadcast(cand_ids), F.col(id_col) == F.col("__cand_id"), "leftsemi"
     )
-    sh = _shingled_rows(cand_docs, text_col, id_col, n)
-    exact = _jaccard_from_counts(_gram_pair_counts(sh, threshold), threshold)
+    exact = ngram_jaccard_pairs(
+        cand_docs, threshold, n=n, text_col=text_col, id_col=id_col
+    )
     return exact.join(candidates, ["id_a", "id_b"], "leftsemi")
 
 
@@ -347,9 +350,13 @@ def connected_components(
     with no label change (rounds = graph diameter; all DataFrame ops).
     Singletons are not emitted — absent ids are their own cluster.
     """
+    # persisted: the size probe and the collect/edge-build below would
+    # otherwise each re-run the (possibly expensive) pair pipeline
+    pairs = pairs.select("id_a", "id_b").persist()
     n_pairs = pairs.limit(local_max_edges + 1).count()
     if n_pairs <= local_max_edges:
-        rows = pairs.select("id_a", "id_b").collect()
+        rows = pairs.collect()
+        pairs.unpersist()
         parent: dict = {}
 
         def find(x):
@@ -374,12 +381,15 @@ def connected_components(
         .distinct()
         .persist()
     )
+    edges.count()  # materialize so the pair pipeline runs exactly once
+    pairs.unpersist()
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
         .persist()
     )
+    changed = 0
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["id"])
@@ -404,6 +414,16 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed > 0:
+        import warnings
+
+        warnings.warn(
+            f"connected_components: min-label propagation did not converge in "
+            f"{max_iter} rounds ({changed} labels still changing) — component "
+            f"diameter exceeds max_iter; cluster ids may be unmerged supersets",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     edges.unpersist()
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
 

@@ -125,27 +125,131 @@ def embedding_dup_pairs(
     threshold: float = 0.9,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    strategy: str = "auto",
+    broadcast_limit: int = 100_000,
+    bands: int = 8,
+    planes_per_band: int = 8,
 ) -> DataFrame:
-    """All pairs (id_a < id_b) with cosine ≥ threshold (exact).
+    """All pairs (id_a < id_b) with cosine ≥ threshold.
 
-    One side is broadcast as the gram-block right operand; at corpus sizes
-    past broadcast limits, swap in LSH bucketing (ann_lsh) to block pairs."""
-    ids, unit = _collect_unit_matrix(
-        emb.withColumn(vec_col, as_double_array(vec_col)), vec_col, id_col
-    )
-    if not len(ids):
-        return emb.sparkSession.createDataFrame(
-            [], schema="id_a bigint, id_b bigint, cos double"
+    strategy="broadcast" (exact): the corpus is collected once as the
+    broadcast gram-block operand — right answer while n·d doubles fit a
+    broadcast, wrong answer at 100 TB (driver OOM).
+    strategy="lsh" (the scale path): banded hyperplane-LSH candidate
+    generation — each vector lands in `bands` buckets keyed by the sign
+    pattern of `planes_per_band` hyperplane projections; a pair is a
+    candidate if ANY band key collides — followed by an EXACT cosine verify
+    of candidates only. The corpus is never collected; candidates arrive by
+    bucket equi-join. No false positives (verify is exact); recall < 1 with
+    P(miss) = (1 - p^planes_per_band)^bands for p = 1 - arccos(cos)/π,
+    which for near-dup thresholds (≥0.9) and the defaults is a few percent
+    and drops geometrically with `bands`.
+    strategy="auto": one count() decides at `broadcast_limit`.
+    """
+    emb = emb.withColumn(vec_col, as_double_array(vec_col))
+    if strategy == "auto":
+        strategy = "broadcast" if emb.count() <= broadcast_limit else "lsh"
+    if strategy == "broadcast":
+        ids, unit = _collect_unit_matrix(emb, vec_col, id_col)
+        if not len(ids):
+            return emb.sparkSession.createDataFrame(
+                [], schema="id_a bigint, id_b bigint, cos double"
+            )
+        scored = _scored_against(
+            emb, ids, unit, vec_col, id_col,
+            exclude_self=True, threshold=threshold, upper_triangle=True,
         )
-    scored = _scored_against(
-        emb, ids, unit, vec_col, id_col,
-        exclude_self=True, threshold=threshold, upper_triangle=True,
+        return scored.select(
+            F.col("q_id").alias("id_a"),
+            F.col("n_id").alias("id_b"),
+            F.round("cos", 6).alias("cos"),
+        )
+    return _embedding_pairs_lsh(
+        emb, threshold, vec_col, id_col, bands, planes_per_band
     )
-    return scored.select(
-        F.col("q_id").alias("id_a"),
-        F.col("n_id").alias("id_b"),
-        F.round("cos", 6).alias("cos"),
+
+
+def _embedding_pairs_lsh(
+    emb: DataFrame,
+    threshold: float,
+    vec_col: str,
+    id_col: str,
+    bands: int,
+    planes_per_band: int,
+) -> DataFrame:
+    """Banded hyperplane-LSH candidates + exact verify (see
+    embedding_dup_pairs). Shuffle budget: one bucket-row shuffle (ids only —
+    vectors do NOT ride through the bands-times-duplicated candidate join),
+    one distinct over candidate pairs, two id-keyed joins to fetch the pair's
+    vectors for the exact verify."""
+    spark = emb.sparkSession
+    first = emb.select(F.size(vec_col)).first()
+    if first is None:
+        return spark.createDataFrame([], schema="id_a bigint, id_b bigint, cos double")
+    dim = first[0]
+    planes = _hyperplane_matrix(bands * planes_per_band, dim)
+    bc = spark.sparkContext.broadcast(planes)
+    ppb = planes_per_band
+
+    def bucketize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        P = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.array(list(pdf["v"]), dtype=np.float64)
+            bits = (m @ P.T) > 0  # [n, bands*ppb]
+            n = len(pdf)
+            out_id = np.repeat(pdf["id"].to_numpy(np.int64), bands)
+            out_band = np.tile(np.arange(bands, dtype=np.int32), n)
+            weights = 1 << np.arange(ppb, dtype=np.int64)
+            keys = bits.reshape(n, bands, ppb) @ weights  # [n, bands]
+            yield pd.DataFrame(
+                {"id": out_id, "band": out_band, "bucket": keys.ravel()}
+            )
+
+    buckets = (
+        _parallelize(emb)
+        .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .mapInPandas(bucketize, schema="id bigint, band int, bucket bigint")
     )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    paired = candidates.join(va, "id_a").join(vb, "id_b")
+
+    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ma = np.array(list(pdf["va"]), dtype=np.float64)
+            mb = np.array(list(pdf["vb"]), dtype=np.float64)
+            na = np.linalg.norm(ma, axis=1)
+            nb = np.linalg.norm(mb, axis=1)
+            na[na == 0] = 1.0
+            nb[nb == 0] = 1.0
+            cos = (ma * mb).sum(axis=1) / (na * nb)
+            keep = cos >= threshold
+            yield pd.DataFrame(
+                {
+                    "id_a": pdf["id_a"].to_numpy(np.int64)[keep],
+                    "id_b": pdf["id_b"].to_numpy(np.int64)[keep],
+                    "cos": cos[keep],
+                }
+            )
+
+    return paired.mapInPandas(
+        verify, schema="id_a bigint, id_b bigint, cos double"
+    ).select("id_a", "id_b", F.round("cos", 6).alias("cos"))
 
 
 def _hyperplane_matrix(num_planes: int, dim: int) -> np.ndarray:

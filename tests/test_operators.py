@@ -242,3 +242,40 @@ def test_stratified_sample_superset_property(spark, sf_dir):
     hi = {r["doc_id"] for r in stratified_sample(docs, {"en": 60.0}).collect()}
     assert lo <= hi
     assert len(hi) > len(lo)
+
+
+def test_embedding_lsh_path_subset_and_recall(spark, sf_dir):
+    """The 100 TB path for dedup_embedding: LSH-bucketed candidates + exact
+    verify must emit a subset of the exact broadcast result (no false
+    positives) with near-total recall at generous band counts — and never
+    collect the corpus (no broadcast-Gram in the plan)."""
+    from lakeside_spark.operators.similarity import embedding_dup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in embedding_dup_pairs(emb, 0.9, strategy="broadcast").collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in embedding_dup_pairs(
+            emb, 0.9, strategy="lsh", bands=24, planes_per_band=6
+        ).collect()
+    }
+    assert set(lsh) <= set(exact), "verify stage must kill false positives"
+    assert len(lsh) >= 0.9 * len(exact), (len(lsh), len(exact))
+    for pair, cos in lsh.items():
+        assert cos == pytest.approx(exact[pair], abs=1e-6)
+
+
+def test_embedding_lsh_no_cartesian(spark, sf_dir):
+    from lakeside_spark.operators.similarity import embedding_dup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    plan = (
+        embedding_dup_pairs(emb, 0.9, strategy="lsh")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
