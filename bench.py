@@ -88,6 +88,35 @@ def main() -> None:
         total += best
         print(f"# {name}: {best:.3f}s ({n} rows)", file=sys.stderr)
 
+    # numbers-vs-numbers baseline: run the DuckDB oracle SQL for the
+    # oracle-backed headline subset in-process (DuckDB is the reference's
+    # actual execution engine — core pushes generated SQL to DuckDB per
+    # segment), and report the wall-clock ratio on the SAME queries.
+    import duckdb
+
+    from lakeside_spark.registry import ORACLES
+    from lakeside_spark.sources.tables import ALL_TABLES
+
+    con = duckdb.connect()
+    for t in ALL_TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle_subset = [q for q in HEADLINE if q in ORACLES]
+    spark_subset_wall = sum(per_query[q] for q in oracle_subset)
+    duck_total = 0.0
+    for name in oracle_subset:
+        best = float("inf")
+        for _ in range(2):
+            start = time.perf_counter()
+            con.sql(ORACLES[name]).fetchall()
+            best = min(best, time.perf_counter() - start)
+        duck_total += best
+    ratio = round(spark_subset_wall / duck_total, 3) if duck_total else None
+    print(
+        f"# oracle subset ({len(oracle_subset)}q): spark {spark_subset_wall:.2f}s"
+        f" vs duckdb {duck_total:.2f}s -> ratio {ratio}",
+        file=sys.stderr,
+    )
+
     print(
         json.dumps(
             {
@@ -96,6 +125,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": per_query,
                 "sf": sf,
+                "oracle_subset_queries": len(oracle_subset),
+                "spark_oracle_subset_sec": round(spark_subset_wall, 4),
+                "duckdb_oracle_subset_sec": round(duck_total, 4),
+                "spark_over_duckdb_ratio": ratio,
             }
         )
     )
