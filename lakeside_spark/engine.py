@@ -429,17 +429,26 @@ class QueryEngine:
             .alias(S.VALUE),
         ).orderBy(S.STEP_TS)
 
-    def tag_names(self, expr: BaseExpr, df: DataFrame) -> DataFrame:
+    def tag_names(
+        self, expr: BaseExpr, df: DataFrame, drop_noisy: bool = False
+    ) -> DataFrame:
         """Available tag names + non-null counts for a filtered query
         (reference: /api/v1/tags/{dataset} with no tagName — tag keys come
         from segment metadata; here one map-side aggregate over the scan
-        counts every non-canonical column at once, no per-tag pass)."""
+        counts every non-canonical column at once, no per-tag pass).
+        drop_noisy applies NoisyTagsDropper semantics (reference
+        NoisyTagsDropper.scala via Commons.scala:414): internal/bookkeeping
+        tag names and rollup_* columns never reach the response."""
         existing = self._existing(df, expr)
         df = self._apply_extract(df, expr)
         df = self._apply_compute(df, expr)
         df = df.filter(filter_to_column(expr.filter, existing))
         canonical = {S.TIMESTAMP, S.VALUE, S.MESSAGE, S.STEP_TS}
         tags = [c for c in df.columns if c not in canonical]
+        if drop_noisy:
+            from lakeside_spark.functions.noisytags import is_noisy_tag_name
+
+            tags = [t for t in tags if not is_noisy_tag_name(t)]
         counts = df.agg(*[F.count(t).alias(t) for t in tags])
         pairs = F.array(
             *[
@@ -454,12 +463,43 @@ class QueryEngine:
         )
 
     def tag_values(
-        self, expr: BaseExpr, df: DataFrame, tag_name: str
+        self, expr: BaseExpr, df: DataFrame, tag_name: str, drop_noisy: bool = False
     ) -> DataFrame:
         """Distinct tag values + counts (reference: generateSql isTagQuery
-        path, BaseExpr.scala:127-143)."""
+        path, BaseExpr.scala:127-143). drop_noisy removes null/empty/'null'
+        values the way NoisyTagsDropper strips them from datapoint tags."""
         existing = self._existing(df, expr)
         df = self._apply_extract(df, expr)
         df = self._apply_compute(df, expr)
         df = df.filter(filter_to_column(expr.filter, existing))
+        if drop_noisy:
+            from lakeside_spark.functions.noisytags import displayable_value
+
+            df = df.filter(displayable_value(F.col(tag_name)))
         return df.groupBy(F.col(tag_name)).agg(F.count(F.lit(1)).alias("count"))
+
+    def scope_tags(
+        self, df: DataFrame, scope_dims: tuple[str, ...]
+    ) -> DataFrame:
+        """Scope-dimension catalog (reference: /api/v1/scopeTags,
+        QueryApi.scala:56-62 serving Commons.INFRA_DIMENSIONS): the infra
+        dimensions a customer can scope queries by, restricted to those
+        actually present in the data, with distinct-value counts — one
+        map-side-combinable aggregate over the scan."""
+        dims = [d for d in scope_dims if d in df.columns]
+        if not dims:
+            return df.sparkSession.createDataFrame(
+                [], schema="tag_name string, n_values bigint"
+            )
+        counts = df.agg(*[F.countDistinct(d).alias(d) for d in dims])
+        pairs = F.array(
+            *[
+                F.struct(F.lit(d).alias("tag_name"), F.col(d).alias("n_values"))
+                for d in dims
+            ]
+        )
+        return (
+            counts.select(F.explode(pairs).alias("p"))
+            .select("p.tag_name", "p.n_values")
+            .filter(F.col("n_values") > 0)
+        )

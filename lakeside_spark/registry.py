@@ -611,6 +611,45 @@ SELECT tag_name, count FROM (
 """
 
 
+def tag_names_denoised(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tag_names with NoisyTagsDropper semantics (reference
+    NoisyTagsDropper.scala via Commons.scala:414): bookkeeping columns —
+    here synthetic rollup_/hour/sketch columns stamped onto the telemetry —
+    are dropped from the catalog; real tags keep their counts."""
+    tele = (
+        load_telemetry(spark, sf_dir)
+        .withColumn("rollup_sum", F.col(S.VALUE) * 2)
+        .withColumn("hour", F.lit(7))
+        .withColumn("sketch", F.lit("0xdead"))
+    )
+    expr = BaseExpr(filter=Filter(k=S.NAME, v=("error",), op=S.EQ))
+    return QueryEngine(spark).tag_names(expr, tele, drop_noisy=True)
+
+
+# the oracle sees the same synthetic noisy columns; the denoised result must
+# equal the plain catalog — i.e. rollup_sum/hour/sketch never appear
+TAG_NAMES_DENOISED_SQL = TAG_NAMES_SQL
+
+
+def scope_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scope-dimension catalog (reference /api/v1/scopeTags serving
+    Commons.INFRA_DIMENSIONS = [kube namespace, service, resource file],
+    QueryApi.scala:56-62): the dimensions queries can be scoped by,
+    restricted to those present in the dataset with distinct-value counts.
+    The events mapping's scope dimensions are user_id and name."""
+    return QueryEngine(spark).scope_tags(
+        load_telemetry(spark, sf_dir), scope_dims=("user_id", S.NAME, "kube_namespace")
+    )
+
+
+SCOPE_TAGS_SQL = f"""
+SELECT tag_name, n_values FROM (
+  SELECT 'user_id' AS tag_name, count(DISTINCT user_id) AS n_values FROM {_T}
+  UNION ALL SELECT 'name', count(DISTINCT name) FROM {_T}
+) WHERE n_values > 0
+"""
+
+
 # ---------------------------------------------------------------------------
 # formula engine
 
@@ -1613,6 +1652,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tag_values": tag_values,
     "tag_values_extracted": tag_values_extracted,
     "tag_names": tag_names,
+    "tag_names_denoised": tag_names_denoised,
+    "scope_tags": scope_tags,
     "metric_metadata": metric_metadata,
     # --- filter algebra + pipeline stages
     "filter_eq_and_or": filter_eq_and_or,
@@ -1706,6 +1747,8 @@ ORACLES: dict[str, str] = {
     "tag_values": TAG_VALUES_SQL,
     "tag_values_extracted": TAG_VALUES_EXTRACTED_SQL,
     "tag_names": TAG_NAMES_SQL,
+    "tag_names_denoised": TAG_NAMES_DENOISED_SQL,
+    "scope_tags": SCOPE_TAGS_SQL,
     "metric_metadata": METRIC_METADATA_SQL,
     "asof_join": ASOF_JOIN_SQL,
     "range_join": RANGE_JOIN_SQL,
