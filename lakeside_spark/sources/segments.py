@@ -30,11 +30,20 @@ def write_segments(
     (reference dateint/hour path parity). Writers at scale should aim for
     ~100-500 MB files per partition (repartition by the partition key first).
     """
-    ts = F.timestamp_millis(F.col(S.TIMESTAMP))
+    # timezone-INDEPENDENT partition derivation: pure integer math on epoch
+    # millis plus DateType arithmetic (dates carry no timezone), so written
+    # partitions always agree with read_segments' UTC pruning
+    # (_dateint_hour) no matter what spark.sql.session.timeZone a
+    # caller-supplied session uses
+    epoch_day = (F.col(S.TIMESTAMP) / F.lit(86_400_000)).cast("long")
+    dateint = F.date_format(
+        F.date_add(F.to_date(F.lit("1970-01-01")), epoch_day.cast("int")), "yyyyMMdd"
+    ).cast("int")
+    hour = ((F.col(S.TIMESTAMP) / F.lit(3_600_000)).cast("long") % 24).cast("int")
     df = (
         telemetry.withColumn("dataset", F.lit(dataset))
-        .withColumn("dateint", F.date_format(ts, "yyyyMMdd").cast("int"))
-        .withColumn("hour", F.date_format(ts, "HH").cast("int"))
+        .withColumn("dateint", dateint)
+        .withColumn("hour", hour)
         .repartition("dateint", "hour")
     )
     writer = df.write.mode("overwrite").partitionBy("dataset", "dateint", "hour")
@@ -54,39 +63,49 @@ def compact_segments(
     byte-count, dominates scan planning time — compaction batches them to
     ~target_file_bytes.
 
-    Per-partition file counts come from actual partition bytes, so skewed
-    hours compact to more files instead of one giant one. Uses an
-    overwrite of a temp copy then swap-free write with dynamic partition
-    overwrite so untouched partitions are preserved.
+    Crash-safe: the compacted lake is written to a sibling temp directory,
+    row-count-verified against the source, and only then swapped into place
+    with two renames — a failure at any earlier point leaves the original
+    lake untouched (on an object store the same two-phase shape applies
+    with the store's atomic-rename/committer primitive).
     """
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    import os
+    import shutil
+
+    base = path.rstrip("/")
+    tmp, old = base + ".compact.tmp", base + ".compact.old"
+    shutil.rmtree(tmp, ignore_errors=True)
     try:
         df = spark.read.option("mergeSchema", "true").parquet(path)
-        stats = (
-            df.groupBy("dataset", "dateint", "hour")
-            .count()
-            .collect()
-        )
-        # estimate rows per target file from overall average row width
-        total_rows = sum(r["count"] for r in stats) or 1
-        import os
-
+        total_rows = df.count() or 1
         total_bytes = sum(
             os.path.getsize(os.path.join(dp, f))
             for dp, _, fs in os.walk(path)
             for f in fs
             if f.endswith(".parquet")
         )
+        # estimate rows per target file from overall average row width;
+        # skewed hours get ceil(rows/rows_per_file) files, never one giant
         rows_per_file = max(1, int(target_file_bytes / max(total_bytes / total_rows, 1)))
-        # one write, partition-aware: repartition by partition keys with a
-        # per-row file slot so each partition gets ceil(rows/rows_per_file)
-        # output files
-        out = df.repartition("dataset", "dateint", "hour").write.mode("overwrite")
-        out = out.option("maxRecordsPerFile", rows_per_file)
-        out.partitionBy("dataset", "dateint", "hour").parquet(path)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        (
+            df.repartition("dataset", "dateint", "hour")
+            .write.mode("overwrite")
+            .option("maxRecordsPerFile", rows_per_file)
+            .partitionBy("dataset", "dateint", "hour")
+            .parquet(tmp)
+        )
+        compacted_rows = spark.read.option("mergeSchema", "true").parquet(tmp).count()
+        if compacted_rows != total_rows:
+            raise RuntimeError(
+                f"compact_segments: row count changed during compaction "
+                f"({total_rows} -> {compacted_rows}); source left untouched"
+            )
+        os.rename(base, old)
+        os.rename(tmp, base)
+        shutil.rmtree(old)
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
 
 
 def read_segments(

@@ -73,3 +73,50 @@ def test_compaction_reduces_files_preserves_rows(spark, sf_dir, tmp_path):
     files_after = len(glob.glob(f"{lake}/**/*.parquet", recursive=True))
     assert rows_after == rows_before
     assert files_after < files_before, (files_before, files_after)
+
+
+def test_partitions_timezone_independent(spark, sf_dir, tmp_path):
+    """write_segments must derive dateint/hour from UTC integer math, not
+    the session timezone — otherwise read-side UTC pruning silently drops
+    rows near day/hour boundaries on non-UTC sessions."""
+    lake = str(tmp_path / "tzlake")
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        tele = load_telemetry(spark, sf_dir)
+        write_segments(tele, lake, dataset="logs")
+        bounds = tele.select(F.min(S.TIMESTAMP), F.max(S.TIMESTAMP)).first()
+        got = read_segments(
+            spark, lake, dataset="logs", start_ts=bounds[0], end_ts=bounds[1] + 1
+        )
+        assert got.count() == tele.count()
+        # spot-check: every partition value equals the UTC derivation
+        row = got.select(S.TIMESTAMP, "dateint", "hour").first()
+        from lakeside_spark.sources.segments import _dateint_hour
+
+        day, hour = _dateint_hour(row[S.TIMESTAMP])
+        assert (row["dateint"], row["hour"]) == (day, hour)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_compaction_failure_leaves_source_intact(spark, sf_dir, tmp_path, monkeypatch):
+    """A crash mid-compaction (here: during the temp write) must not lose
+    lake data — the swap only happens after the temp copy verifies."""
+    import lakeside_spark.sources.segments as seg
+
+    lake = str(tmp_path / "crashlake")
+    tele = load_telemetry(spark, sf_dir).limit(500)
+    write_segments(tele, lake, dataset="logs")
+    before = read_segments(spark, lake, dataset="logs").count()
+
+    import os as os_mod
+
+    def exploding_rename(src, dst):
+        raise OSError("simulated crash before swap")
+
+    monkeypatch.setattr(os_mod, "rename", exploding_rename)
+    with pytest.raises(OSError, match="simulated crash"):
+        seg.compact_segments(spark, lake)
+    monkeypatch.undo()
+    assert read_segments(spark, lake, dataset="logs").count() == before
