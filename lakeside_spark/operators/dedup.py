@@ -120,67 +120,75 @@ def _shingled_rows(docs: DataFrame, text_col: str, id_col: str, n: int) -> DataF
 
 
 def _gram_pair_counts(sh: DataFrame, threshold: float) -> DataFrame:
-    """Exact all-pairs shingle intersections via one BLAS Gram matmul.
+    """Exact all-pairs shingle intersections via row-block-parallel BLAS
+    Gram matmuls.
 
-    Input: exploded (doc_id, shingle) rows, distinct per doc. The
-    rows are routed to a single Arrow kernel that dictionary-encodes
-    both axes, builds the doc×shingle 0/1 matrix M, and computes G = M·Mᵀ in
-    row blocks. |A| = diag(G) (shingles are distinct), so the jaccard
-    threshold is applied INSIDE the kernel and only qualifying pairs leave
-    the task — no pair shuffle at all.
+    Input: exploded (doc_id, shingle) rows, distinct per doc. The rows are
+    dictionary-encoded ONCE (shingles first squashed to 64-bit hashes so
+    only two int arrays move, never strings), the compact sparse pair list
+    is broadcast, and every task rebuilds the dense doc×shingle 0/1 matrix
+    M to compute ITS row block of G = M·Mᵀ — the n² work spreads over all
+    cores instead of one task. |A| = diag(G) (shingles are distinct), so
+    the jaccard threshold is applied inside the kernel and only qualifying
+    pairs leave a task — no pair shuffle at all.
 
-    This is the small/medium-corpus exact path (docs ≲ tens of thousands; G
-    is O(n²)). Larger corpora use the distributed explode-join (fan-out
-    bounded by shingle diversity) or — the real 100 TB path — MinHash LSH.
+    This is the small/medium-corpus exact path (docs ≲ tens of thousands —
+    the gate in ngram_jaccard_pairs — so the broadcast is tens of MB and
+    the per-task dense M is bounded; task count additionally capped so
+    Σ task M-copies stay ≈24 GB). Larger corpora use the distributed
+    explode-join, or — the real 100 TB path — MinHash LSH.
     Output: (id_a, id_b, n_common, n_a, n_b); jaccard math done by the
     caller with the same double-precision expression the oracle uses.
     """
-    ex = sh.repartition(1)
+    spark = sh.sparkSession
+    schema = "id_a bigint, id_b bigint, n_common bigint, n_a bigint, n_b bigint"
+    pdf = sh.select("doc_id", F.xxhash64("shingle").alias("shingle")).toPandas()
+    if not len(pdf):
+        return spark.createDataFrame([], schema=schema)
+    d_codes, d_ids = pd.factorize(pdf["doc_id"].to_numpy(np.int64))
+    s_codes, _ = pd.factorize(pdf["shingle"].to_numpy(np.int64))
+    d_ids = np.asarray(d_ids, dtype=np.int64)
+    n, m = len(d_ids), int(s_codes.max()) + 1
+    par = spark.sparkContext.defaultParallelism
+    mat_bytes = n * m * 4
+    n_tasks = int(max(1, min(par, 24e9 // max(mat_bytes, 1), n // 64 or 1)))
+    blk = (n + n_tasks - 1) // n_tasks
+    bc = spark.sparkContext.broadcast(
+        (d_codes.astype(np.int32), s_codes.astype(np.int32), d_ids, n, m)
+    )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        doc_parts, sh_parts = [], []
-        for pdf in batches:
-            if len(pdf):
-                doc_parts.append(pdf["doc_id"].to_numpy(np.int64))
-                sh_parts.append(pdf["shingle"])
-        if not doc_parts:
-            return
-        doc = np.concatenate(doc_parts)
-        sh_vals = pd.concat(sh_parts, ignore_index=True) if len(sh_parts) > 1 else sh_parts[0]
-        d_codes, d_ids = pd.factorize(doc)
-        s_codes, _ = pd.factorize(sh_vals)
-        d_ids = np.asarray(d_ids, dtype=np.int64)
-        n, m = len(d_ids), int(s_codes.max()) + 1
+        dc, sc, ids, n, m = bc.value
         M = np.zeros((n, m), dtype=np.float32)
-        M[d_codes, s_codes] = 1.0
+        M[dc, sc] = 1.0
         sizes = M.sum(axis=1).astype(np.int64)
-        # row-blocked Gram keeps peak memory at block×n, not n×n
-        block = max(1, min(n, 16 * 1024 * 1024 // max(n, 1)))
-        for lo in range(0, n, block):
-            hi = min(lo + block, n)
-            G = (M[lo:hi] @ M.T).astype(np.int64)  # counts ≤ 2^24: f32 exact
-            na = sizes[lo:hi, None]
-            nb = sizes[None, :]
-            jac = G / (na + nb - G)  # float64, same op as the SQL oracle
-            ii, jj = np.nonzero(jac >= threshold)
-            gi, gj = ii + lo, jj
-            keep = d_ids[gi] < d_ids[gj]  # upper triangle by ORIGINAL id
-            gi, gj = gi[keep], jj[keep]
-            if not len(gi):
-                continue
-            yield pd.DataFrame(
-                {
-                    "id_a": d_ids[gi],
-                    "id_b": d_ids[gj],
-                    "n_common": G[gi - lo, gj],
-                    "n_a": sizes[gi],
-                    "n_b": sizes[gj],
-                }
-            )
+        for part in batches:
+            for k in part["k"].to_numpy(np.int64):
+                lo, hi = int(k) * blk, min(int(k) * blk + blk, n)
+                if lo >= n:
+                    continue
+                G = (M[lo:hi] @ M.T).astype(np.int64)  # counts ≤ 2^24: f32 exact
+                na = sizes[lo:hi, None]
+                nb = sizes[None, :]
+                jac = G / (na + nb - G)  # float64, same op as the SQL oracle
+                ii, jj = np.nonzero(jac >= threshold)
+                gi, gj = ii + lo, jj
+                keep = ids[gi] < ids[gj]  # upper triangle by ORIGINAL id
+                gi, gj = gi[keep], jj[keep]
+                if not len(gi):
+                    continue
+                yield pd.DataFrame(
+                    {
+                        "id_a": ids[gi],
+                        "id_b": ids[gj],
+                        "n_common": G[gi - lo, gj],
+                        "n_a": sizes[gi],
+                        "n_b": sizes[gj],
+                    }
+                )
 
-    return ex.mapInPandas(
-        kernel, schema="id_a bigint, id_b bigint, n_common bigint, n_a bigint, n_b bigint"
-    )
+    blocks = spark.range(n_tasks).toDF("k").repartition(n_tasks)
+    return blocks.mapInPandas(kernel, schema=schema)
 
 
 def _jaccard_from_counts(counts: DataFrame, threshold: float) -> DataFrame:
