@@ -184,6 +184,28 @@ def ts_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ts_percentile_ddsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rows-only (approximate by design, relative-error ≤ 1% contract):
+    hourly DDSketch log-bucket counts merged to daily p95 — the reference's
+    ACTUAL sketch model (DDSketch in TimeGroupedSketchAggregator), whose
+    merge is bucket-wise count addition, re-expressed as two groupBys and
+    one window. Accuracy contract asserted in tests/test_engine.py."""
+    from lakeside_spark.operators.ddsketch import (
+        ddsketch_buckets,
+        ddsketch_merge,
+        ddsketch_quantile,
+    )
+
+    tele = load_telemetry(spark, sf_dir).filter(
+        F.col(S.NAME).isin("view", "click")
+    )
+    hourly = ddsketch_buckets(tele, step_ms=HOUR)
+    daily = ddsketch_merge(hourly, step_ms=DAY)
+    return ddsketch_quantile(daily, q=0.95).withColumn(
+        S.VALUE, F.round(S.VALUE, 6)
+    )
+
+
 def user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Day-over-day retained distinct users (exact): users active on day d
     AND day d+1. One distinct pass + a self-join on (day+1, user)."""
@@ -2118,6 +2140,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ema_smooth": ema_smooth_series,
     "ts_cardinality_sketch": ts_cardinality_sketch,
     "ts_percentile_sketch": ts_percentile_sketch,
+    "ts_percentile_ddsketch": ts_percentile_ddsketch,
     "user_retention_sketch": user_retention_sketch,
 }
 

@@ -210,3 +210,45 @@ def test_retention_sketch_tracks_exact(spark, sf_dir):
     assert set(ex) == set(sk)
     for k, v in ex.items():
         assert abs(sk[k] - v) / max(v, 1.0) < 0.05, (k, sk[k], v)
+
+
+def test_ddsketch_relative_error_contract(spark, sf_dir):
+    """DDSketch guarantee: |est - true_q| <= alpha * |true_q| for the
+    nearest-rank item — the reference's accuracy model (relative error),
+    strictly stronger at the tails than KLL's rank-error bound."""
+    import math
+
+    import numpy as np
+    from lakeside_spark.operators.ddsketch import ddsketch_buckets, ddsketch_quantile
+    from lakeside_spark.schema import load_telemetry
+
+    alpha = 0.01
+    q = 0.95
+    tele = load_telemetry(spark, sf_dir).filter(F.col(S.NAME).isNotNull())
+    DAY = 86_400_000
+    sketch = ddsketch_quantile(
+        ddsketch_buckets(tele, step_ms=DAY, alpha=alpha), q=q, alpha=alpha
+    )
+    got = {(r[S.STEP_TS], r[S.NAME]): r[S.VALUE] for r in sketch.collect()}
+    pdf = tele.select(S.TIMESTAMP, S.NAME, S.VALUE).toPandas()
+    pdf["day"] = pdf[S.TIMESTAMP] - pdf[S.TIMESTAMP] % DAY
+    assert got
+    for (day, name), grp in pdf.groupby(["day", S.NAME]):
+        vals = np.sort(grp[S.VALUE].to_numpy())
+        true = vals[max(0, math.ceil(q * len(vals)) - 1)]
+        est = got[(day, name)]
+        assert abs(est - true) <= alpha * abs(true) + 1e-12, (day, name, est, true)
+
+
+def test_ddsketch_merge_is_lossless(spark, sf_dir):
+    """The sealed-segment rollup property: hourly sketches merged to daily
+    equal sketches built at daily grain directly — exactly (counts add)."""
+    from lakeside_spark.operators.ddsketch import ddsketch_buckets, ddsketch_merge
+    from lakeside_spark.schema import load_telemetry
+
+    tele = load_telemetry(spark, sf_dir).filter(F.col(S.NAME).isNotNull())
+    HOUR, DAY = 3_600_000, 86_400_000
+    merged = ddsketch_merge(ddsketch_buckets(tele, step_ms=HOUR), step_ms=DAY)
+    direct = ddsketch_buckets(tele, step_ms=DAY)
+    key = lambda r: (r[S.STEP_TS], r[S.NAME], r["bucket"], r["cnt"])  # noqa: E731
+    assert sorted(map(key, merged.collect())) == sorted(map(key, direct.collect()))
