@@ -96,3 +96,20 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS li_b")
         spark.sql("DROP TABLE IF EXISTS ord_b")
+
+
+@pytest.mark.parametrize("key", ["tpch_q7", "tpch_q8", "tpch_q15", "tpch_q18"])
+def test_new_tpch_no_nested_loop(key, spark, sf_dir):
+    plan = _plan(spark, sf_dir, key)
+    assert "CartesianProduct" not in plan, key
+    assert "BroadcastNestedLoopJoin" not in plan, key
+    assert "BroadcastHashJoin" in plan, f"{key}: dims must broadcast"
+
+
+def test_q21_semi_anti_shape(spark, sf_dir):
+    """EXISTS/NOT EXISTS compile to semi/anti joins on the fact key — the
+    plan property that keeps q21 from degenerating at scale."""
+    plan = _plan(spark, sf_dir, "tpch_q21")
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
