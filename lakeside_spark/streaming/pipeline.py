@@ -90,3 +90,65 @@ def seal_to_parquet(
         .outputMode("append")
         .trigger(processingTime=f"{trigger_seconds} seconds")
     )
+
+
+def streaming_ddsketch_buckets(
+    stream: DataFrame,
+    step: str = "1 hour",
+    watermark: str = "30 seconds",
+    ts_col: str = "ts",
+    name_col: str = "event_type",
+    value_col: str = "value",
+    alpha: float = 0.01,
+) -> DataFrame:
+    """DDSketch bucket counts over the UNSEALED (streaming) path — the
+    reference computes sketches for unsealed segments and merges them with
+    sealed-segment sketches at query time. Because a DDSketch here is just
+    (window, name, bucket, cnt) rows, the streaming output UNIONS with
+    batch `operators.ddsketch.ddsketch_buckets` rows and merges by
+    `sum(cnt)` — sealed + unsealed with no special-case code path."""
+    import math
+
+    gamma = (1.0 + alpha) / (1.0 - alpha)
+    v = F.col(value_col).cast("double")
+    absb = F.ceil(F.log(F.abs(v)) / F.lit(math.log(gamma))).cast("long")
+    bucket = (
+        F.when(v > 1e-9, absb).when(v < -1e-9, -absb).otherwise(F.lit(0))
+    )
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.window(F.col(ts_col), step),
+            F.col(name_col).alias(S.NAME),
+            bucket.alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.unix_millis(F.col("window.start")).alias(S.STEP_TS),
+            S.NAME,
+            "bucket",
+            "cnt",
+        )
+    )
+
+
+def streaming_dedup_exact(
+    stream: DataFrame,
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming exact dedup for an ingest pipeline: drop rows whose
+    normalized-content hash was already seen within the watermark horizon.
+    `dropDuplicatesWithinWatermark` keys state on the 16-byte hash only and
+    expires it with the watermark — bounded state, the streaming twin of
+    operators/dedup.dedup_exact's hash-groupBy."""
+    from lakeside_spark.functions.text import normalized
+
+    content_hash = F.md5(normalized(text_col))
+    return (
+        stream.withColumn("__h", content_hash)
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["__h"])
+        .drop("__h")
+    )

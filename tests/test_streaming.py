@@ -144,3 +144,98 @@ def test_streaming_sessions_match_batch(spark, sf_dir):
         assert got == exp
     finally:
         shutil.rmtree(src_dir, ignore_errors=True)
+
+
+def test_streaming_ddsketch_merges_with_sealed(spark, sf_dir):
+    """Unsealed-segment parity: sketches computed on the stream must union
+    with batch (sealed) sketches and merge losslessly — the reference's
+    sealed+unsealed query merge, with no special-case code path."""
+    from lakeside_spark import schema as S
+    from lakeside_spark.operators.ddsketch import ddsketch_buckets, ddsketch_merge
+    from lakeside_spark.schema import load_telemetry
+    from lakeside_spark.streaming.pipeline import streaming_ddsketch_buckets
+
+    events = load_table(spark, sf_dir, "events")
+    src_dir = tempfile.mkdtemp(prefix="stream_dd_")
+    try:
+        # "unsealed": odd events arrive on the stream; "sealed": even batch
+        events.filter(F.col("event_id") % 2 == 1).write.mode("overwrite").parquet(
+            f"{src_dir}/b0"
+        )
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(src_dir)
+        )
+        agg = streaming_ddsketch_buckets(stream, step="1 hour", watermark="0 seconds")
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("dd_unsealed")
+            .outputMode("complete")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        unsealed = spark.sql("SELECT * FROM dd_unsealed")
+        sealed = ddsketch_buckets(
+            load_telemetry(spark, sf_dir).filter(F.col("event_id") % 2 == 0),
+            step_ms=3_600_000,
+        )
+        DAY = 86_400_000
+        merged = ddsketch_merge(unsealed.unionByName(sealed), step_ms=DAY)
+        direct = ddsketch_buckets(load_telemetry(spark, sf_dir), step_ms=DAY)
+        key = lambda r: (r[S.STEP_TS], r[S.NAME], r["bucket"], r["cnt"])  # noqa: E731
+        assert sorted(map(key, merged.collect())) == sorted(map(key, direct.collect()))
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+
+
+def test_streaming_dedup_drops_cross_batch_duplicates(spark):
+    """Exact-dedup streaming twin: a duplicate arriving in a later
+    micro-batch (within the watermark) is dropped; distinct texts pass."""
+    import time
+
+    from pyspark.sql import Row
+    from lakeside_spark.streaming.pipeline import streaming_dedup_exact
+
+    src_dir = tempfile.mkdtemp(prefix="stream_dedup_")
+    ckpt = tempfile.mkdtemp(prefix="stream_dedup_ck_")
+    schema = "ts timestamp, doc_id bigint, text string"
+    t0 = "2024-01-01 00:00:00"
+    rows0 = [Row(ts=t0, doc_id=1, text="alpha  beta"), Row(ts=t0, doc_id=2, text="gamma")]
+    rows1 = [Row(ts=t0, doc_id=3, text="Alpha beta"), Row(ts=t0, doc_id=4, text="delta")]
+    try:
+        df0 = spark.createDataFrame(rows0).withColumn("ts", F.col("ts").cast("timestamp"))
+        df0.write.mode("overwrite").parquet(f"{src_dir}/b0")
+        stream = (
+            spark.readStream.schema(schema)
+            .option("recursiveFileLookup", "true")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+        )
+        out = streaming_dedup_exact(stream, watermark="1 hour")
+        q = (
+            out.writeStream.format("memory")
+            .queryName("dedup_stream")
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            df1 = spark.createDataFrame(rows1).withColumn("ts", F.col("ts").cast("timestamp"))
+            df1.write.mode("append").parquet(f"{src_dir}/b1")
+            time.sleep(0.5)
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = sorted(
+            r["doc_id"] for r in spark.sql("SELECT * FROM dedup_stream").collect()
+        )
+        # doc 3 normalizes to doc 1's text ("alpha beta") -> dropped
+        assert got == [1, 2, 4]
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
