@@ -222,6 +222,22 @@ def ngram_jaccard_pairs(
     minhash_lsh_pairs, which bounds candidates before verifying.
     """
     ex = _shingled_rows(docs, text_col, id_col, n).persist()
+    return _jaccard_pairs_from_shingles(
+        ex, threshold, strategy, kernel_max_docs, kernel_max_dict
+    )
+
+
+def _jaccard_pairs_from_shingles(
+    ex: DataFrame,
+    threshold: float,
+    strategy: str = "auto",
+    kernel_max_docs: int = 50_000,
+    kernel_max_dict: int = 8_192,
+) -> DataFrame:
+    """Exact jaccard pairs from pre-computed (doc_id, shingle) rows — the
+    strategy probe + kernel/join split shared by ngram_jaccard_pairs and
+    the MinHash-LSH verification stage (which already owns shingle rows
+    from the signature pass and must not re-shingle)."""
     if strategy == "auto":
         n_docs, n_dict = ex.agg(
             F.approx_count_distinct("doc_id"), F.approx_count_distinct("shingle")
@@ -263,6 +279,7 @@ def minhash_signatures(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    shingle_rows: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, sig: array<bigint>[num_hashes]) — sig[i] = min over shingles
     of (A_i * h31(shingle) + B_i) mod P (family constants MINHASH_AB).
@@ -270,10 +287,12 @@ def minhash_signatures(
     ONE md5 per shingle occurrence; the per-index values are affine integer
     mixes of it — all static columns in whole-stage codegen (nested
     higher-order lambdas would fall back to interpreted eval, ~20× slower),
-    then a single groupBy(doc_id) min-aggregates the signature."""
-    flat = _shingled_rows(docs, text_col, id_col, n).withColumn(
-        "h31", md5_long(F.col("shingle")) % MINHASH_P
-    )
+    then a single groupBy(doc_id) min-aggregates the signature.
+    ``shingle_rows``: pre-computed (doc_id, shingle) rows to reuse (skips
+    re-shingling when the caller also needs the rows for verification)."""
+    if shingle_rows is None:
+        shingle_rows = _shingled_rows(docs, text_col, id_col, n)
+    flat = shingle_rows.withColumn("h31", md5_long(F.col("shingle")) % MINHASH_P)
     hash_cols = [
         ((F.lit(a) * F.col("h31") + F.lit(b)) % MINHASH_P).alias(f"h{i}")
         for i, (a, b) in enumerate(MINHASH_AB[:num_hashes])
@@ -304,7 +323,10 @@ def minhash_lsh_pairs(
     documented recall trade-off of the scale path).
     """
     rows = num_hashes // bands
-    sig = minhash_signatures(docs, num_hashes, n, text_col, id_col)
+    # shingle ONCE: the signature pass and the verification stage share
+    # these rows (previously verification re-shingled every candidate doc)
+    ex = _shingled_rows(docs, text_col, id_col, n).persist()
+    sig = minhash_signatures(docs, num_hashes, n, text_col, id_col, shingle_rows=ex)
     band_keys = F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
         lambda b: F.concat(
@@ -334,12 +356,10 @@ def minhash_lsh_pairs(
         .union(candidates.select(F.col("id_b").alias("__cand_id")))
         .distinct()
     )
-    cand_docs = docs.join(
-        F.broadcast(cand_ids), F.col(id_col) == F.col("__cand_id"), "leftsemi"
+    cand_sh = ex.join(
+        F.broadcast(cand_ids), F.col("doc_id") == F.col("__cand_id"), "leftsemi"
     )
-    exact = ngram_jaccard_pairs(
-        cand_docs, threshold, n=n, text_col=text_col, id_col=id_col
-    )
+    exact = _jaccard_pairs_from_shingles(cand_sh, threshold)
     return exact.join(candidates, ["id_a", "id_b"], "leftsemi")
 
 
