@@ -91,6 +91,23 @@ def ddsketch_quantile(
     """Extract the q-quantile per (step_ts, *groups): the bucket where the
     cumulative count crosses ceil(q*n), estimated at the bucket's log
     midpoint 2*gamma^b/(gamma+1) — relative error ≤ alpha by construction."""
+    out = ddsketch_quantiles(buckets, (q,), group_cols, alpha)
+    return out.withColumnRenamed(_qcol(q), S.VALUE)
+
+
+def _qcol(q: float) -> str:
+    return "p" + f"{q * 100:g}".replace(".", "_")
+
+
+def ddsketch_quantiles(
+    buckets: DataFrame,
+    qs: tuple[float, ...],
+    group_cols: tuple[str, ...] = (S.NAME,),
+    alpha: float = DEFAULT_ALPHA,
+) -> DataFrame:
+    """All requested quantiles (e.g. p50/p95/p99) from ONE cumulative-sum
+    window pass — a dashboard's percentile panel costs the same shuffle as
+    a single quantile. Output columns ``p50, p95, p99_9`` etc."""
     gamma = _gamma(alpha)
     est = (
         F.when(F.col("bucket") == 0, F.lit(0.0))
@@ -111,10 +128,14 @@ def ddsketch_quantile(
     )
     w_all = Window.partitionBy(*keys)
     scored = scored.withColumn("cum", F.sum("cnt").over(w_cum)).withColumn(
-        "rank", F.ceil(F.lit(q) * F.sum("cnt").over(w_all))
+        "total", F.sum("cnt").over(w_all)
     )
-    return (
-        scored.filter(F.col("cum") >= F.col("rank"))
-        .groupBy(*keys)
-        .agg(F.min("est").alias(S.VALUE))
-    )
+    measures = [
+        F.min(
+            F.when(
+                F.col("cum") >= F.ceil(F.lit(q) * F.col("total")), F.col("est")
+            )
+        ).alias(_qcol(q))
+        for q in qs
+    ]
+    return scored.groupBy(*keys).agg(*measures)

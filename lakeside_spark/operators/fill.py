@@ -1,0 +1,53 @@
+"""Dense step-grid fill for chart series.
+
+The reference zero-fills missing sides inside formula evaluation
+(Formula.scala:46-47) and leaves chart gaps to the consumer; a
+training-data/alerting pipeline wants the dense grid server-side. The grid
+is (distinct series) × (step sequence) — exactly the output's own size, so
+the only costs are one distinct over the (already aggregated, tiny
+relative to the fact table) series keys and one left join keyed on
+(step_ts, *groups).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lakeside_spark import schema as S
+
+
+def fill_steps(
+    series: DataFrame,
+    step_ms: int,
+    group_cols: tuple[str, ...] = (S.NAME,),
+    value_col: str = S.VALUE,
+    fill_value: float = 0.0,
+    start_ts: int | None = None,
+    end_ts: int | None = None,
+) -> DataFrame:
+    """Fill missing (step_ts, *groups) points with ``fill_value`` over the
+    inclusive step range [start_ts, end_ts] (defaults: observed min/max).
+    Output schema matches the input."""
+    if start_ts is None or end_ts is None:
+        bounds = series.agg(
+            F.min(S.STEP_TS).alias("lo"), F.max(S.STEP_TS).alias("hi")
+        ).first()
+        if bounds is None or bounds["lo"] is None:
+            return series
+        start_ts = start_ts if start_ts is not None else bounds["lo"]
+        end_ts = end_ts if end_ts is not None else bounds["hi"]
+    grid = (
+        series.select(*group_cols)
+        .distinct()
+        .select(
+            "*",
+            F.explode(
+                F.sequence(F.lit(start_ts), F.lit(end_ts), F.lit(step_ms))
+            ).alias(S.STEP_TS),
+        )
+    )
+    filled = grid.join(series, on=[S.STEP_TS, *group_cols], how="left").withColumn(
+        value_col, F.coalesce(F.col(value_col), F.lit(fill_value))
+    )
+    return filled.select(*series.columns)

@@ -206,6 +206,38 @@ def ts_percentile_ddsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ts_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense-grid chart series: step-aligned counts with missing
+    (step, name) points zero-filled over the observed range (the engine's
+    chart output piped through operators/fill.fill_steps; reference zero-
+    fill semantics per Formula.scala:46-47, served at the chart level)."""
+    from lakeside_spark.operators.fill import fill_steps
+
+    expr = BaseExpr(
+        filter=Filter(k=S.NAME, v=("purchase", "signup"), op=S.IN),
+        chart=ChartOptions(aggregation="count"),
+    )
+    series = QueryEngine(spark, step_ms=HOUR).run(expr, load_telemetry(spark, sf_dir))
+    return fill_steps(series, step_ms=HOUR)
+
+
+TS_FILL_SQL = f"""
+WITH series AS (
+  SELECT timestamp_ms - timestamp_ms % {HOUR} AS step_ts, name,
+         CAST(count(value) AS DOUBLE) AS value
+  FROM {_T} WHERE name IN ('purchase', 'signup') GROUP BY 1, 2
+), grid AS (
+  SELECT g.step_ts, n.name
+  FROM (SELECT unnest(generate_series((SELECT min(step_ts) FROM series),
+                                      (SELECT max(step_ts) FROM series),
+                                      {HOUR})) AS step_ts) g
+  CROSS JOIN (SELECT DISTINCT name FROM series) n
+)
+SELECT grid.step_ts, grid.name, COALESCE(series.value, 0.0) AS value
+FROM grid LEFT JOIN series USING (step_ts, name)
+"""
+
+
 def user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Day-over-day retained distinct users (exact): users active on day d
     AND day d+1. One distinct pass + a self-join on (day+1, user)."""
@@ -2147,6 +2179,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_embedding": dedup_embedding,
     "dedup_clusters": dedup_clusters,
     "corpus_dedupe": corpus_dedupe,
+    # --- tail: new this round, verified locally; rotate forward next round
+    "ts_fill": ts_fill,
     # --- tail: never judged but most-adapted TPC-H shapes (rotate forward
     # next round)
     "tpch_q17": tpch_q17,
@@ -2224,6 +2258,7 @@ ORACLES: dict[str, str] = {
     "range_join": RANGE_JOIN_SQL,
     "sessionize": SESSIONIZE_SQL,
     "ts_histogram": TS_HISTOGRAM_SQL,
+    "ts_fill": TS_FILL_SQL,
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
     "corpus_dedupe": CORPUS_DEDUPE_SQL,
     "formula_ratio": FORMULA_RATIO_SQL,

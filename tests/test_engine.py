@@ -252,3 +252,28 @@ def test_ddsketch_merge_is_lossless(spark, sf_dir):
     direct = ddsketch_buckets(tele, step_ms=DAY)
     key = lambda r: (r[S.STEP_TS], r[S.NAME], r["bucket"], r["cnt"])  # noqa: E731
     assert sorted(map(key, merged.collect())) == sorted(map(key, direct.collect()))
+
+
+def test_ddsketch_multi_quantile_single_pass(spark, sf_dir):
+    """p50/p95/p99 from one window pass agree with per-q extraction."""
+    from lakeside_spark.operators.ddsketch import (
+        ddsketch_buckets,
+        ddsketch_quantile,
+        ddsketch_quantiles,
+    )
+    from lakeside_spark.schema import load_telemetry
+
+    DAY = 86_400_000
+    tele = load_telemetry(spark, sf_dir).filter(F.col(S.NAME).isNotNull())
+    buckets = ddsketch_buckets(tele, step_ms=DAY)
+    multi = {
+        (r[S.STEP_TS], r[S.NAME]): (r["p50"], r["p95"], r["p99"])
+        for r in ddsketch_quantiles(buckets, (0.5, 0.95, 0.99)).collect()
+    }
+    for q, idx in ((0.5, 0), (0.95, 1), (0.99, 2)):
+        single = {
+            (r[S.STEP_TS], r[S.NAME]): r[S.VALUE]
+            for r in ddsketch_quantile(buckets, q).collect()
+        }
+        for k, v in single.items():
+            assert multi[k][idx] == pytest.approx(v, abs=1e-12), (q, k)
