@@ -20,8 +20,16 @@ from lakeside_spark.ast.model import (
 )
 from lakeside_spark.engine import QueryEngine
 from lakeside_spark.operators.asof import asof_join
+from lakeside_spark.operators.ddsketch import (
+    ddsketch_buckets,
+    ddsketch_merge,
+    ddsketch_quantile,
+    ddsketch_quantiles,
+)
+from lakeside_spark.operators.fill import fill_steps
 from lakeside_spark.operators.rangejoin import range_join
 from lakeside_spark.operators.sessions import session_stats, sessionize
+from lakeside_spark.operators.tagcompress import compress_tag_stream
 from lakeside_spark.session import get_spark
 
 __all__ = [
@@ -36,6 +44,12 @@ __all__ = [
     "asof_join",
     "ast_input_from_json",
     "base_expr_from_json",
+    "compress_tag_stream",
+    "ddsketch_buckets",
+    "ddsketch_merge",
+    "ddsketch_quantile",
+    "ddsketch_quantiles",
+    "fill_steps",
     "get_spark",
     "range_join",
     "session_stats",
