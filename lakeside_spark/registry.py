@@ -240,20 +240,28 @@ FROM grid LEFT JOIN series USING (step_ts, name)
 
 def user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Day-over-day retained distinct users (exact): users active on day d
-    AND day d+1. One distinct pass + a self-join on (day+1, user)."""
+    AND day d+1. ONE user-keyed shuffle: per-user day sets (partial
+    collect_set dedupes map-side), adjacency checked inside the array, then
+    a map-side-combinable count per day — replaces the distinct + shifted
+    self-join formulation, which re-shuffles the whole distinct set."""
     tele = load_telemetry(spark, sf_dir)
-    du = (
+    day = (F.col(S.TIMESTAMP) - F.col(S.TIMESTAMP) % F.lit(DAY)).alias("day")
+    per_user = (
         tele.filter(F.col(S.NAME).isNotNull())
-        .select(
-            (F.col(S.TIMESTAMP) - F.col(S.TIMESTAMP) % F.lit(DAY)).alias("day"),
-            "user_id",
-        )
-        .distinct()
+        .select(day, "user_id")
+        .groupBy("user_id")
+        .agg(F.collect_set("day").alias("days"))
     )
-    nxt = du.select((F.col("day") - DAY).alias("day"), F.col("user_id").alias("u2"))
+    retained_days = per_user.select(
+        F.explode(
+            F.filter(
+                F.col("days"),
+                lambda d: F.array_contains(F.col("days"), d + F.lit(DAY)),
+            )
+        ).alias(S.STEP_TS)
+    )
     return (
-        du.join(nxt, (du["day"] == nxt["day"]) & (du["user_id"] == nxt["u2"]))
-        .groupBy(du["day"].alias(S.STEP_TS))
+        retained_days.groupBy(S.STEP_TS)
         .agg(F.count(F.lit(1)).cast("double").alias("retained"))
         .orderBy(S.STEP_TS)
     )
