@@ -24,6 +24,8 @@ HEADLINE = [
     "query_cardinality",
     "ts_cardinality_sketch",
     "ts_percentile_sketch",
+    "ts_percentile_ddsketch",
+    "ts_fill",
     "user_retention",
     "ts_moving_avg",
     "exemplars",
@@ -40,6 +42,15 @@ HEADLINE = [
     "tpch_q10",
     "tpch_q14",
     "tpch_q19",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q12",
+    "tpch_q13",
+    "tpch_q15",
+    "tpch_q17",
+    "tpch_q18",
+    "tpch_q21",
+    "tpch_q22",
     "asof_join",
     "range_join",
     "sessionize",
