@@ -208,13 +208,15 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     strategy: str = "auto",
     kernel_max_docs: int = 50_000,
-    kernel_max_dict: int = 8_192,
+    kernel_max_cells: int = 32 * 1024 * 1024,
 ) -> DataFrame:
     """Exact Jaccard near-dup pairs (id_a < id_b, jaccard ≥ threshold).
 
-    strategy="kernel": single-task BLAS Gram (see _gram_pair_counts) — wins
-    when the shingle dictionary is small (dense doc×shingle matrix fits and
-    the explode-join fan-out Σ_shingle f² would be quadratic in docs).
+    strategy="kernel": row-block-parallel BLAS Gram (see _gram_pair_counts)
+    — wins when the dense doc×shingle matrix is buildable (n_docs·n_dict ≤
+    kernel_max_cells — past ~32M cells the per-task dense-matrix build
+    costs more than the distributed join) and the explode-join fan-out
+    Σ_shingle f² would be quadratic in docs.
     strategy="join": explode → join on shingle → count — distributed, cheap
     for diverse corpora where per-shingle doc-frequency is bounded. "auto"
     probes (n_docs, distinct shingles) with one small agg over the cached
@@ -223,7 +225,7 @@ def ngram_jaccard_pairs(
     """
     ex = _shingled_rows(docs, text_col, id_col, n).persist()
     return _jaccard_pairs_from_shingles(
-        ex, threshold, strategy, kernel_max_docs, kernel_max_dict
+        ex, threshold, strategy, kernel_max_docs, kernel_max_cells
     )
 
 
@@ -232,7 +234,7 @@ def _jaccard_pairs_from_shingles(
     threshold: float,
     strategy: str = "auto",
     kernel_max_docs: int = 50_000,
-    kernel_max_dict: int = 8_192,
+    kernel_max_cells: int = 32 * 1024 * 1024,
 ) -> DataFrame:
     """Exact jaccard pairs from pre-computed (doc_id, shingle) rows — the
     strategy probe + kernel/join split shared by ngram_jaccard_pairs and
@@ -243,7 +245,9 @@ def _jaccard_pairs_from_shingles(
             F.approx_count_distinct("doc_id"), F.approx_count_distinct("shingle")
         ).first()
         strategy = (
-            "kernel" if n_docs <= kernel_max_docs and n_dict <= kernel_max_dict else "join"
+            "kernel"
+            if n_docs <= kernel_max_docs and n_docs * n_dict <= kernel_max_cells
+            else "join"
         )
     if strategy == "kernel":
         return _jaccard_from_counts(_gram_pair_counts(ex, threshold), threshold)
@@ -356,9 +360,11 @@ def minhash_lsh_pairs(
         .union(candidates.select(F.col("id_b").alias("__cand_id")))
         .distinct()
     )
+    # persisted: the strategy probe and the kernel feed would otherwise each
+    # re-scan the full corpus shingle cache through the semi-join
     cand_sh = ex.join(
         F.broadcast(cand_ids), F.col("doc_id") == F.col("__cand_id"), "leftsemi"
-    )
+    ).persist()
     exact = _jaccard_pairs_from_shingles(cand_sh, threshold)
     return exact.join(candidates, ["id_a", "id_b"], "leftsemi")
 
