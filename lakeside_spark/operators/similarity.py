@@ -94,6 +94,50 @@ def _scored_against(
     )
 
 
+def _rowwise_cosine(
+    paired: DataFrame,
+    va_col: str,
+    vb_col: str,
+    out_a: str,
+    out_b: str,
+    threshold: float | None = None,
+) -> DataFrame:
+    """Vectorized row-wise cosine over candidate pairs in one Arrow kernel.
+
+    Candidate volumes make per-row higher-order-function dot products (the
+    interpreted JVM path) the bottleneck; one numpy pass per batch keeps the
+    scoring in BLAS. Optional threshold filters inside the batch, before
+    any shuffle."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ma = np.array(list(pdf[va_col]), dtype=np.float64)
+            mb = np.array(list(pdf[vb_col]), dtype=np.float64)
+            na = np.linalg.norm(ma, axis=1)
+            nb = np.linalg.norm(mb, axis=1)
+            na[na == 0] = 1.0
+            nb[nb == 0] = 1.0
+            cos = (ma * mb).sum(axis=1) / (na * nb)
+            keep = (
+                cos >= threshold
+                if threshold is not None
+                else np.ones(len(cos), dtype=bool)
+            )
+            yield pd.DataFrame(
+                {
+                    out_a: pdf[out_a].to_numpy(np.int64)[keep],
+                    out_b: pdf[out_b].to_numpy(np.int64)[keep],
+                    "cos": cos[keep],
+                }
+            )
+
+    return paired.mapInPandas(
+        kernel, schema=f"{out_a} bigint, {out_b} bigint, cos double"
+    )
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -226,30 +270,9 @@ def _embedding_pairs_lsh(
     va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     paired = candidates.join(va, "id_a").join(vb, "id_b")
-
-    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            ma = np.array(list(pdf["va"]), dtype=np.float64)
-            mb = np.array(list(pdf["vb"]), dtype=np.float64)
-            na = np.linalg.norm(ma, axis=1)
-            nb = np.linalg.norm(mb, axis=1)
-            na[na == 0] = 1.0
-            nb[nb == 0] = 1.0
-            cos = (ma * mb).sum(axis=1) / (na * nb)
-            keep = cos >= threshold
-            yield pd.DataFrame(
-                {
-                    "id_a": pdf["id_a"].to_numpy(np.int64)[keep],
-                    "id_b": pdf["id_b"].to_numpy(np.int64)[keep],
-                    "cos": cos[keep],
-                }
-            )
-
-    return paired.mapInPandas(
-        verify, schema="id_a bigint, id_b bigint, cos double"
-    ).select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+    return _rowwise_cosine(paired, "va", "vb", "id_a", "id_b", threshold).select(
+        "id_a", "id_b", F.round("cos", 6).alias("cos")
+    )
 
 
 def _hyperplane_matrix(num_planes: int, dim: int) -> np.ndarray:
@@ -375,13 +398,14 @@ def ann_ivf(
     ]
     q_df = spark.createDataFrame(probe_rows, schema="q_id bigint, qv array<double>, cell int")
 
-    from lakeside_spark.functions.vectors import as_double_array, cosine
+    from lakeside_spark.functions.vectors import as_double_array
 
-    scored = (
+    cand = (
         assigned.join(F.broadcast(q_df), "cell")
         .filter(F.col("q_id") != F.col("n_id"))
-        .withColumn("cos", cosine(F.col("qv"), as_double_array("nv")))
+        .select("q_id", "n_id", "qv", as_double_array("nv").alias("nv"))
     )
+    scored = _rowwise_cosine(cand, "qv", "nv", "q_id", "n_id")
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -432,13 +456,12 @@ def ann_lsh(
         .mapInPandas(bucketize, schema="id bigint, v array<double>, bucket string")
         .select(F.col("id").alias("q_id"), F.col("v").alias("qv"), "bucket")
     )
-    from lakeside_spark.functions.vectors import cosine
-
-    scored = (
+    cand = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("q_id") != F.col("n_id"))
-        .withColumn("cos", cosine(F.col("qv"), F.col("nv")))
+        .select("q_id", "n_id", "qv", "nv")
     )
+    scored = _rowwise_cosine(cand, "qv", "nv", "q_id", "n_id")
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
