@@ -2131,6 +2131,64 @@ def kmeans_names(spark: SparkSession, sf_dir: str) -> DataFrame:
 # judges every oracle-backed key that lacks a hard signal yet; rows-only
 # (no-oracle-by-design) keys and text ops already hash-verified in round 1
 # (whose code has not changed since) sit at the tail.
+# ---------------------------------------------------------------------------
+# trigram segment index (reference NLPUtils.scala + QueryEngineV2.scala:740)
+
+_TRIGRAM_IDX = dict(indexed_dims=("message",), full_value_dims=("name",))
+
+
+def _trigram_lake(spark: SparkSession, sf_dir: str) -> str:
+    """Seal the telemetry stream into a partitioned lake + trigram sidecar
+    once per (process, sf_dir); queries then exercise index-pruned reads."""
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = os.path.join(tempfile.gettempdir(), f"lakeside_triglake_{tag}")
+    done = os.path.join(path, "_trigram_index", "_SUCCESS")
+    if not os.path.exists(done):
+        from lakeside_spark.sources.segments import write_segments
+        from lakeside_spark.sources.trigram_index import build_trigram_index
+
+        write_segments(load_telemetry(spark, sf_dir), path, dataset="logs")
+        build_trigram_index(spark, path, **_TRIGRAM_IDX)
+    return path
+
+
+def trigram_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-pruned segment scan: a contains+eq conjunction compiles to a
+    trigram fingerprint probe and only may-match segment files are read
+    (reference: trigram segment index, NLPUtils.scala:90-188). The result
+    must equal a full-scan filter — the oracle runs the same predicate
+    over every row."""
+    from lakeside_spark.sources.trigram_index import read_segments_indexed
+
+    path = _trigram_lake(spark, sf_dir)
+    clause = BinaryClause(
+        Filter(k=S.MESSAGE, v=('"k": 8',), op=S.CONTAINS),
+        Filter(k=S.NAME, v=("error",), op=S.EQ),
+        "and",
+    )
+    df = read_segments_indexed(spark, path, clause, **_TRIGRAM_IDX)
+    return (
+        df.groupBy(F.col(S.NAME).alias("name"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum(S.VALUE), 4).alias("sum_value"),
+        )
+        .orderBy("name")
+    )
+
+
+TRIGRAM_PRUNE_SQL = f"""
+SELECT name, COUNT(*) AS cnt, ROUND(SUM(value), 4) AS sum_value
+FROM {_T}
+WHERE regexp_matches(message, '(?i).*"k": 8.*') AND name = 'error'
+GROUP BY name ORDER BY name
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- untested in round 1 (driver cap): highest-value first
     "tpch_q1": tpch_q1,
@@ -2186,8 +2244,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_embedding": dedup_embedding,
     "dedup_clusters": dedup_clusters,
-    "corpus_dedupe": corpus_dedupe,
+    # --- trigram segment index: brand-new surface, needs first judging
+    "trigram_prune": trigram_prune,
     # --- tail: new this round, verified locally; rotate forward next round
+    "corpus_dedupe": corpus_dedupe,
     "ts_fill": ts_fill,
     # --- tail: never judged but most-adapted TPC-H shapes (rotate forward
     # next round)
@@ -2265,6 +2325,7 @@ ORACLES: dict[str, str] = {
     "asof_join": ASOF_JOIN_SQL,
     "range_join": RANGE_JOIN_SQL,
     "sessionize": SESSIONIZE_SQL,
+    "trigram_prune": TRIGRAM_PRUNE_SQL,
     "ts_histogram": TS_HISTOGRAM_SQL,
     "ts_fill": TS_FILL_SQL,
     "dedup_clusters": DEDUP_CLUSTERS_SQL,

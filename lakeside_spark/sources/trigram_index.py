@@ -1,0 +1,397 @@
+"""Trigram fingerprint segment index — data skipping for string predicates.
+
+The reference prunes segments *before* any parquet read with a trigram
+index: every sealed segment row in its catalog carries a ``fingerprints
+BIGINT[]`` column (hashes of ``field:trigram``), filters compile to a
+trigram AND/OR tree (core NLPUtils.scala:90-131, the regex→trigram idea
+from Russ Cox's codesearch), and ``computeSegmentIds``
+(NLPUtils.scala:156-188) intersects/unions per-fingerprint segment sets.
+The catalog probe is ``fingerprints && ?::BIGINT[]``
+(query-api QueryEngineV2.scala:740-899).
+
+Spark-native equivalent implemented here:
+
+- **index build** (:func:`build_trigram_index`): one distributed pass over
+  the lake computes, per segment *file*, the distinct fingerprint set —
+  an "exists" fingerprint per non-null column (``field:.*``, the
+  reference's EXISTS_REGEX, Commons.scala:61), full-value fingerprints for
+  low-cardinality identifier dims (reference INDEX_FULL_VALUE_DIMENSIONS,
+  Commons.scala:114), and lowercased value trigrams for content dims
+  (reference DIMENSIONS_TO_INDEX, Commons.scala:111). Fingerprints are
+  ``xxhash64`` longs computed JVM-side; the sidecar lands at
+  ``{lake}/_trigram_index`` (the ``_`` prefix keeps lake reads from
+  picking it up).
+- **query compile** (:func:`clause_to_trigram_query`): mirrors
+  NLPUtils.toTrigramQuery over our filter AST — eq/in probe value
+  fingerprints, contains probes the literal's trigrams, regex extracts
+  *required* literal trigrams from the pattern via the stdlib regex
+  parser (falling back to exists when the pattern guarantees nothing),
+  has/exists probe the exists fingerprint, NOT and range ops degrade
+  soundly to match-all/exists. Pruning is always *sound*: a segment
+  containing any matching row is never skipped.
+- **pruned read** (:func:`read_segments_indexed`): probes the sidecar
+  with an IN-list of fingerprints (pushed to the parquet dictionary /
+  row-group stats), evaluates the AND/OR tree driver-side exactly like
+  computeSegmentIds, and hands Spark the surviving file list — excluded
+  segments are never listed, footer-read, or scanned. At 100 TB this is
+  the difference between "scan everything and filter" and "read the ~30
+  segments that can possibly match a needle regex": the index is
+  O(distinct trigrams × segments), ~1e4 smaller than the data, and the
+  probe collects only rows for the query's own fingerprints.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakeside_spark import schema as S
+from lakeside_spark.ast.model import BinaryClause, Filter, NotClause, QueryClause
+
+try:  # python 3.11+: re._parser; older: sre_parse
+    from re import _parser as sre_parse  # type: ignore[attr-defined]
+except ImportError:  # pragma: no cover
+    import sre_parse  # type: ignore[no-redef]
+
+EXISTS_VALUE = ".*"  # reference EXISTS_REGEX (Commons.scala:61)
+INDEX_DIR = "_trigram_index"
+
+# operator tags mirroring TrigramQuery.Op (NLPUtils.scala:35):
+# reference 0=match-all, 2=and, 3=or
+ALL, AND, OR = "all", "and", "or"
+
+
+@dataclass(frozen=True)
+class TrigramQuery:
+    """AND/OR tree over fingerprint strings (reference TrigramQuery)."""
+
+    op: str  # ALL | AND | OR
+    fps: frozenset[str] = frozenset()  # leaf fingerprint strings "field:gram"
+    sub: tuple["TrigramQuery", ...] = field(default=())
+
+
+_MATCH_ALL = TrigramQuery(ALL)
+
+
+def _fp(fld: str, gram: str) -> str:
+    # reference computeFingerprint = hash(s"$fieldName:$trigram")
+    # (Commons.scala:134); we keep the string form in the tree and let
+    # xxhash64 map it to the stored long at probe time.
+    return f"{fld}:{gram}"
+
+
+def _trigrams(value: str) -> set[str]:
+    v = value.lower()  # contains/regex match case-insensitively
+    return {v[i : i + 3] for i in range(len(v) - 2)}
+
+
+def _and_trigrams(fld: str, literal: str) -> TrigramQuery:
+    grams = _trigrams(literal)
+    if not grams:
+        return TrigramQuery(AND, frozenset({_fp(fld, EXISTS_VALUE)}))
+    return TrigramQuery(AND, frozenset(_fp(fld, g) for g in grams))
+
+
+def _exists(fld: str) -> TrigramQuery:
+    return TrigramQuery(AND, frozenset({_fp(fld, EXISTS_VALUE)}))
+
+
+# ---------------------------------------------------------------------------
+# regex → required literal extraction (sound: literals the pattern MUST
+# contain; anything uncertain degrades to match-all for that fragment)
+
+
+def required_literals(pattern: str) -> list[str] | None:
+    """Literal runs every match of ``pattern`` must contain, or None when
+    the pattern guarantees nothing (e.g. ``.*``, pure classes). Branches
+    are handled by :func:`_regex_query`; this walks one alternative."""
+    try:
+        parsed = sre_parse.parse(pattern)
+    except Exception:
+        return None
+    runs = _walk_required(list(parsed))
+    return [r for r in runs if len(r) >= 3] or None
+
+
+def _walk_required(ops) -> list[str]:
+    runs: list[str] = []
+    cur: list[str] = []
+
+    def flush() -> None:
+        if cur:
+            runs.append("".join(cur))
+            cur.clear()
+
+    for op, arg in ops:
+        name = str(op)
+        if name == "LITERAL":
+            cur.append(chr(arg))
+        elif name == "AT":  # anchors don't break literal adjacency
+            continue
+        elif name == "SUBPATTERN":
+            flush()
+            runs.extend(_walk_required(list(arg[3])))
+        elif name == "MAX_REPEAT" or name == "MIN_REPEAT":
+            flush()
+            lo = arg[0]
+            if lo >= 1:  # occurs at least once → its literals are required
+                runs.extend(_walk_required(list(arg[2])))
+        else:
+            # IN/ANY/BRANCH/GROUPREF/...: no single literal guaranteed here
+            flush()
+    flush()
+    return runs
+
+
+def _regex_query(fld: str, pattern: str) -> TrigramQuery:
+    """Compile one regex to a trigram query. Top-level alternation becomes
+    OR (NLPUtils handles this inside the native trigram compiler); every
+    branch must yield trigrams or the whole pattern is just 'exists'."""
+    try:
+        parsed = list(sre_parse.parse(pattern))
+    except Exception:
+        return _exists(fld)
+    # unwrap grouping: "(a|b)" parses as SUBPATTERN[BRANCH[...]]
+    while len(parsed) == 1 and str(parsed[0][0]) == "SUBPATTERN":
+        parsed = list(parsed[0][1][3])
+    if len(parsed) == 1 and str(parsed[0][0]) == "BRANCH":
+        subs = []
+        for branch in parsed[0][1][1]:
+            runs = [r for r in _walk_required(list(branch)) if len(r) >= 3]
+            if not runs:
+                return _exists(fld)  # one unconstrained branch → no pruning
+            subs.append(
+                TrigramQuery(
+                    AND,
+                    frozenset(_fp(fld, g) for r in runs for g in _trigrams(r)),
+                )
+            )
+        return TrigramQuery(OR, sub=tuple(subs))
+    runs = required_literals(pattern)
+    if not runs:
+        return _exists(fld)
+    return TrigramQuery(
+        AND, frozenset(_fp(fld, g) for r in runs for g in _trigrams(r))
+    )
+
+
+# ---------------------------------------------------------------------------
+# filter AST → trigram query (reference NLPUtils.toTrigramQuery:90-131)
+
+
+def clause_to_trigram_query(
+    clause: QueryClause,
+    indexed_dims: tuple[str, ...],
+    full_value_dims: tuple[str, ...] = (),
+) -> TrigramQuery:
+    if isinstance(clause, BinaryClause):
+        q1 = clause_to_trigram_query(clause.q1, indexed_dims, full_value_dims)
+        q2 = clause_to_trigram_query(clause.q2, indexed_dims, full_value_dims)
+        if clause.op == "and":
+            return TrigramQuery(AND, sub=(q1, q2))
+        return TrigramQuery(OR, sub=(q1, q2))
+    if isinstance(clause, NotClause):
+        # reference: NotQuery → None (no pruning possible; NLPUtils.scala:118)
+        return _MATCH_ALL
+
+    f: Filter = clause
+    if f.extracted or f.computed:
+        return _MATCH_ALL  # value doesn't exist in stored columns
+    if f.op in (S.HAS, S.EXISTS):
+        return _exists(f.k)
+    if f.op == S.EQ:
+        return _value_query(f.k, f.v[0], indexed_dims, full_value_dims)
+    if f.op == S.IN:
+        return TrigramQuery(
+            OR,
+            sub=tuple(
+                _value_query(f.k, v, indexed_dims, full_value_dims) for v in f.v
+            ),
+        )
+    if f.op == S.CONTAINS and f.k in indexed_dims:
+        return _and_trigrams(f.k, f.v[0])
+    if f.op == S.REGEX and f.k in indexed_dims:
+        return _regex_query(f.k, f.v[0])
+    # !=, not_in, ranges, contains/regex on unindexed dims: the row filter
+    # still needs the column to exist (missing column → FALSE, filters.py)
+    return _exists(f.k)
+
+
+def _value_query(
+    fld: str, value: str, indexed: tuple[str, ...], full_value: tuple[str, ...]
+) -> TrigramQuery:
+    if fld in full_value:
+        return TrigramQuery(AND, frozenset({_fp(fld, value)}))
+    if fld in indexed:
+        return _and_trigrams(fld, value)
+    return _exists(fld)
+
+
+def _leaf_fps(q: TrigramQuery) -> set[str]:
+    out = set(q.fps)
+    for s in q.sub:
+        out |= _leaf_fps(s)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# index build
+
+
+def build_trigram_index(
+    spark: SparkSession,
+    path: str,
+    indexed_dims: tuple[str, ...] = (),
+    full_value_dims: tuple[str, ...] = (),
+) -> None:
+    """One distributed pass: per segment file, the distinct fingerprint
+    set (exists + full-value + trigram), stored as xxhash64 longs in the
+    ``_trigram_index`` sidecar. Incremental production ingest would append
+    one small index file per sealed segment instead of rebuilding."""
+    lake = spark.read.option("mergeSchema", "true").parquet(path)
+    # input_file_name() yields a file: URI; store the path relative to the
+    # lake root so the lake (and its sidecar) can move together
+    base = os.path.abspath(path).rstrip("/")
+    file_col = F.expr(
+        f"substring(input_file_name(), instr(input_file_name(), '{base}') + {len(base) + 1})"
+    ).alias("file")
+    cols = list(lake.columns)
+    parts = []
+    # exists fingerprints (field:.* — reference EXISTS_REGEX): ONE pass
+    # computing per-file non-null presence for every column, then melted
+    presence = lake.groupBy(file_col).agg(
+        *[F.max(F.col(c).isNotNull()).alias(c) for c in cols]
+    )
+    stack = ", ".join(f"'{c}', `{c}`" for c in cols)
+    parts.append(
+        presence.selectExpr(
+            "file", f"stack({len(cols)}, {stack}) as (col, present)"
+        )
+        .filter("present")
+        .select("file", F.concat("col", F.lit(":" + EXISTS_VALUE)).alias("fp_str"))
+    )
+    for c in full_value_dims:
+        parts.append(
+            lake.filter(F.col(c).isNotNull())
+            .select(file_col, F.col(c).cast("string").alias("v"))
+            .distinct()
+            .select("file", F.concat(F.lit(f"{c}:"), F.col("v")).alias("fp_str"))
+        )
+    for c in indexed_dims:
+        grams = F.expr(
+            "transform(sequence(1, length(val) - 2), i -> substring(val, i, 3))"
+        )
+        parts.append(
+            lake.filter(F.col(c).isNotNull())
+            .select(file_col, F.lower(F.col(c).cast("string")).alias("val"))
+            .filter(F.length("val") >= 3)
+            .distinct()  # trigram explode over DISTINCT values, not rows
+            .select("file", F.explode(grams).alias("g"))
+            .select(
+                "file", F.concat(F.lit(f"{c}:"), F.col("g")).alias("fp_str")
+            )
+        )
+    index = parts[0]
+    for p in parts[1:]:
+        index = index.unionByName(p)
+    # xxhash64 longs for compact dictionary-friendly probes (the reference
+    # stores BIGINT[] fingerprints the same way)
+    (
+        index.distinct()
+        .select("file", F.xxhash64("fp_str").alias("fp"))
+        .repartition(1)
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, INDEX_DIR))
+    )
+
+
+# ---------------------------------------------------------------------------
+# prune + read
+
+
+def prune_segments(
+    spark: SparkSession,
+    path: str,
+    clause: QueryClause,
+    indexed_dims: tuple[str, ...],
+    full_value_dims: tuple[str, ...] = (),
+) -> tuple[list[str], int]:
+    """(surviving absolute file paths, total indexed files). Mirrors
+    computeSegmentIds (NLPUtils.scala:156-188): leaf = intersection over
+    the leaf's fingerprint segment-sets, AND = intersect children,
+    OR = union children, match-all = every file."""
+    index = spark.read.parquet(os.path.join(path, INDEX_DIR))
+    tq = clause_to_trigram_query(clause, indexed_dims, full_value_dims)
+    probe_strs = sorted(_leaf_fps(tq))
+    all_files = {r[0] for r in index.select("file").distinct().collect()}
+    if probe_strs:
+        # hash the probe strings with the SAME jvm xxhash64 used at build
+        probe_df = spark.createDataFrame(
+            [(s,) for s in probe_strs], "fp_str string"
+        ).select("fp_str", F.xxhash64("fp_str").alias("fp"))
+        hashes = {r["fp_str"]: r["fp"] for r in probe_df.collect()}
+        hits = (
+            index.filter(F.col("fp").isin(list(hashes.values())))
+            .groupBy("fp")
+            .agg(F.collect_set("file").alias("files"))
+            .collect()
+        )
+        by_hash = {r["fp"]: set(r["files"]) for r in hits}
+        fp_files = {s: by_hash.get(h, set()) for s, h in hashes.items()}
+    else:
+        fp_files = {}
+    keep = _eval(tq, fp_files, all_files)
+    base = os.path.abspath(path).rstrip("/")
+    return [os.path.join(base, f) for f in sorted(keep)], len(all_files)
+
+
+def _eval(
+    q: TrigramQuery, fp_files: dict[str, set[str]], all_files: set[str]
+) -> set[str]:
+    if q.op == ALL:
+        return all_files
+    child_sets = [_eval(s, fp_files, all_files) for s in q.sub]
+    leaf_sets = [fp_files.get(fp, set()) for fp in q.fps]
+    if q.op == AND:
+        sets = child_sets + leaf_sets
+        if not sets:
+            return all_files
+        out = sets[0].copy()
+        for s in sets[1:]:
+            out &= s
+        return out
+    # OR
+    out: set[str] = set()
+    for s in child_sets + leaf_sets:
+        out |= s
+    return out
+
+
+def read_segments_indexed(
+    spark: SparkSession,
+    path: str,
+    clause: QueryClause,
+    indexed_dims: tuple[str, ...],
+    full_value_dims: tuple[str, ...] = (),
+) -> DataFrame:
+    """Index-pruned read: only segments that can possibly match are handed
+    to the scan; the exact row filter still applies on top (the index is a
+    may-contain structure, like the reference's — QueryEngineV2 re-filters
+    rows inside each fetched segment)."""
+    from lakeside_spark.ast.filters import filter_to_column
+
+    files, _total = prune_segments(
+        spark, path, clause, indexed_dims, full_value_dims
+    )
+    if not files:
+        empty = spark.read.option("mergeSchema", "true").parquet(path)
+        return empty.filter(F.lit(False))
+    df = (
+        spark.read.option("mergeSchema", "true")
+        .option("basePath", path)
+        .parquet(*files)
+    )
+    return df.filter(filter_to_column(clause, set(df.columns)))
