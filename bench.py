@@ -61,6 +61,8 @@ HEADLINE = [
     "dedup_embedding",
     "ann_cosine_topk",
     "text_tokens",
+    "text_repetition",
+    "corpus_gopher_filter",
     "doc_fingerprint",
     "corpus_quality_filter",
     "corpus_sample",

@@ -28,6 +28,7 @@ from lakeside_spark.operators.ddsketch import (
 )
 from lakeside_spark.operators.fill import fill_steps
 from lakeside_spark.operators.rangejoin import range_join
+from lakeside_spark.operators.repetition import gopher_filter, repetition_signals
 from lakeside_spark.operators.sessions import session_stats, sessionize
 from lakeside_spark.operators.tagcompress import compress_tag_stream
 from lakeside_spark.session import get_spark
@@ -51,7 +52,9 @@ __all__ = [
     "ddsketch_quantiles",
     "fill_steps",
     "get_spark",
+    "gopher_filter",
     "range_join",
+    "repetition_signals",
     "session_stats",
     "sessionize",
 ]

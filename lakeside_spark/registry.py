@@ -2083,6 +2083,83 @@ WHERE q.quality >= 0.5 AND d.n_chars BETWEEN 80 AND 5000
 )
 
 
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1): per-doc
+    top-2-gram and duplicated-5-gram character-mass fractions, computed as
+    a zero-shuffle in-row sorted-run scan (operators/repetition.py)."""
+    from lakeside_spark.operators.repetition import repetition_signals
+
+    return repetition_signals(load_table(spark, sf_dir, "documents"))
+
+
+_REP_GRAMS = f"""
+  SELECT doc_id, 2 AS n, unnest(CASE WHEN len(w) >= 2
+      THEN [array_to_string(w[i:i+1], ' ') for i in range(1, len(w))]
+      ELSE [] END) AS gram FROM rep_b
+  UNION ALL
+  SELECT doc_id, 5 AS n, unnest(CASE WHEN len(w) >= 5
+      THEN [array_to_string(w[i:i+4], ' ') for i in range(1, len(w)-3)]
+      ELSE [] END) AS gram FROM rep_b
+"""
+
+_REP_SIGNALS = f"""
+rep_b AS (
+  SELECT doc_id, list_filter(string_split({_NORM}, ' '), x -> x <> '') AS w,
+         length({_NORM}) AS nc
+  FROM documents
+), rep_g AS ({_REP_GRAMS}
+), rep_c AS (
+  SELECT doc_id, n, gram, COUNT(*) AS cnt, length(gram) AS lg
+  FROM rep_g GROUP BY ALL
+), rep_s AS (
+  SELECT doc_id, n,
+         MAX(cnt * lg) AS top_chars,
+         CAST(SUM(CASE WHEN cnt > 1 THEN cnt * lg ELSE 0 END) AS BIGINT) AS dup_chars,
+         CAST(SUM(cnt * lg) AS BIGINT) AS tot_chars
+  FROM rep_c GROUP BY doc_id, n
+), rep AS (
+  SELECT b.doc_id,
+         CAST(len(b.w) AS BIGINT) AS n_words,
+         COALESCE(MAX(CASE WHEN s.n = 2 THEN s.top_chars END), 0) AS top2_chars,
+         COALESCE(MAX(CASE WHEN s.n = 5 THEN s.dup_chars END), 0) AS dup5_chars,
+         ROUND(CAST(COALESCE(MAX(CASE WHEN s.n = 2 THEN s.top_chars END), 0) AS DOUBLE)
+               / GREATEST(COALESCE(MAX(CASE WHEN s.n = 2 THEN s.tot_chars END), 0), 1), 6) AS top2_frac,
+         ROUND(CAST(COALESCE(MAX(CASE WHEN s.n = 5 THEN s.dup_chars END), 0) AS DOUBLE)
+               / GREATEST(COALESCE(MAX(CASE WHEN s.n = 5 THEN s.tot_chars END), 0), 1), 6) AS dup5_frac,
+         ROUND(CAST(b.nc - (len(b.w) - 1) AS DOUBLE)
+               / GREATEST(len(b.w), 1), 6) AS mean_word_len
+  FROM rep_b b
+  LEFT JOIN rep_s s ON b.doc_id = s.doc_id
+  GROUP BY b.doc_id, len(b.w), b.nc
+)
+"""
+
+TEXT_REPETITION_SQL = f"""
+WITH {_REP_SIGNALS}
+SELECT doc_id, n_words, top2_chars, dup5_chars, top2_frac, dup5_frac FROM rep
+"""
+
+
+def corpus_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule filter: word-count band [20, 90], mean word length
+    [3, 12], top2_frac ≤ 0.20, dup5_frac ≤ 0.15 — one map-only
+    projection+filter, zero shuffles."""
+    from lakeside_spark.operators.repetition import gopher_filter
+
+    return gopher_filter(load_table(spark, sf_dir, "documents"))
+
+
+CORPUS_GOPHER_FILTER_SQL = f"""
+WITH {_REP_SIGNALS}
+SELECT r.doc_id, d.lang, d.source, r.n_words, r.mean_word_len, r.top2_frac, r.dup5_frac
+FROM rep r JOIN documents d ON r.doc_id = d.doc_id
+WHERE r.n_words BETWEEN 20 AND 90
+  AND r.mean_word_len BETWEEN 3.0 AND 12.0
+  AND r.top2_frac <= 0.20
+  AND r.dup5_frac <= 0.15
+"""
+
+
 def corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sample (hash gate, no RNG): 50% of en,
     20% of de, 10% of everything else — a mixture-weighting pass that is
@@ -2500,6 +2577,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessionize": sessionize_events,
     # --- trigram segment index (new surface)
     "trigram_prune": trigram_prune,
+    # --- Gopher repetition curation (new in r2 tail)
+    "text_repetition": text_repetition,
+    "corpus_gopher_filter": corpus_gopher_filter,
     # --- TPC-H: new-in-r2 derived-partsupp five first, then never-judged
     "tpch_q2": tpch_q2,
     "tpch_q9": tpch_q9,
@@ -2569,6 +2649,8 @@ ORACLES: dict[str, str] = {
     "text_tokens": TEXT_TOKENS_SQL,
     "doc_fingerprint": DOC_FINGERPRINT_SQL,
     "multimodal_meta": MULTIMODAL_META_SQL,
+    "text_repetition": TEXT_REPETITION_SQL,
+    "corpus_gopher_filter": CORPUS_GOPHER_FILTER_SQL,
     # dedup_simhash, ann_lsh, ema_smooth: genuinely non-SQL-expressible /
     # approximate — rows-only check by design
     "ts_count": TS_COUNT_SQL,

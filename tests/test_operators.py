@@ -279,3 +279,68 @@ def test_embedding_lsh_no_cartesian(spark, sf_dir):
         .toString()
     )
     assert "CartesianProduct" not in plan
+
+
+def test_repetition_signals_hand_computed(spark):
+    from lakeside_spark.operators.repetition import repetition_signals
+
+    rows = [
+        # "ab cd ab cd ab": 2-grams = [ab cd, cd ab, ab cd, cd ab] ->
+        # top2 = "ab cd"×2 = 10 chars of 20; 5-gram single -> no dups
+        (1, "ab cd ab cd ab"),
+        # every 5-gram identical: "x x x x x" ×2 -> dup5 = full mass
+        (2, "x x x x x x"),
+        # no repeats at all
+        (3, "one two three four five six"),
+        # shorter than 5 words -> empty 5-gram set, top2 still defined
+        (4, "aa bb"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in repetition_signals(docs).collect()}
+
+    assert got[1]["top2_chars"] == 10  # "ab cd" (5 chars) seen twice
+    assert got[1]["top2_frac"] == pytest.approx(10 / 20)
+    assert got[1]["dup5_chars"] == 0
+
+    # doc 2: 2-grams are five "x x" (3 chars) -> top2 = 15/15; 5-grams are
+    # two "x x x x x" (9 chars) -> dup5 = 18/18
+    assert got[2]["top2_frac"] == 1.0
+    assert got[2]["dup5_frac"] == 1.0
+    assert got[2]["dup5_chars"] == 18
+
+    assert got[3]["top2_chars"] == max(
+        len(a) + 1 + len(b)
+        for a, b in zip("one two three four five".split(), "two three four five six".split())
+    )
+    assert got[3]["dup5_frac"] == 0.0
+
+    assert got[4]["top2_chars"] == 5  # the single 2-gram "aa bb"
+    assert got[4]["dup5_chars"] == 0
+    assert got[4]["n_words"] == 2
+
+
+def test_repetition_zero_shuffle_plan(spark, sf_dir):
+    from lakeside_spark.registry import QUERIES
+
+    for key in ("text_repetition", "corpus_gopher_filter"):
+        plan = (
+            QUERIES[key](spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan, (key, plan[:1500])
+
+
+def test_gopher_filter_bands(spark):
+    from lakeside_spark.operators.repetition import gopher_filter
+
+    rows = [
+        (1, "en", "s", " ".join(f"word{i}" for i in range(30))),  # keep
+        (2, "en", "s", " ".join(f"w{i}" for i in range(5))),    # too short
+        (3, "en", "s", " ".join("spam and eggs" for _ in range(10))),  # repetitive
+        (4, "en", "s", " ".join("x" * 20 for _ in range(25))),  # words too long
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, source string, text string")
+    kept = {r["doc_id"] for r in gopher_filter(docs).collect()}
+    assert kept == {1}
