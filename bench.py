@@ -63,6 +63,8 @@ HEADLINE = [
     "text_tokens",
     "text_repetition",
     "corpus_gopher_filter",
+    "decontam_overlap",
+    "vocab_topk",
     "doc_fingerprint",
     "corpus_quality_filter",
     "corpus_sample",

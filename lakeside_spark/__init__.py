@@ -26,6 +26,7 @@ from lakeside_spark.operators.ddsketch import (
     ddsketch_quantile,
     ddsketch_quantiles,
 )
+from lakeside_spark.operators.decontam import decontaminate, ngram_overlap, vocab_topk
 from lakeside_spark.operators.fill import fill_steps
 from lakeside_spark.operators.rangejoin import range_join
 from lakeside_spark.operators.repetition import gopher_filter, repetition_signals
@@ -50,11 +51,14 @@ __all__ = [
     "ddsketch_merge",
     "ddsketch_quantile",
     "ddsketch_quantiles",
+    "decontaminate",
     "fill_steps",
     "get_spark",
     "gopher_filter",
+    "ngram_overlap",
     "range_join",
     "repetition_signals",
+    "vocab_topk",
     "session_stats",
     "sessionize",
 ]

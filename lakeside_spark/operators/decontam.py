@@ -1,0 +1,95 @@
+"""Benchmark decontamination + vocabulary extraction for training corpora.
+
+Decontamination: GPT-3-style n-gram collision screening (Brown et al. 2020
+§C) — a training document is contaminated if it shares any word n-gram
+with an evaluation/benchmark document. Scale design: the eval side is
+tiny by construction (benchmarks are MBs, corpora are TBs), so its
+distinct grams live on the broadcast side; the corpus side dedupes grams
+in-row (array_distinct before explode) and joins map-side, so the only
+shuffle carries the matched grams — a set sized by the contamination
+rate, not the corpus.
+
+Vocabulary: global word counts with a deterministic top-k — the seed step
+of any BPE/WordPiece vocab build. One map-side-combinable shuffle on the
+word key; top-k resolves on the already-tiny aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from lakeside_spark.functions.text import normalized
+from lakeside_spark.operators.repetition import _word_ngrams
+
+
+def _doc_grams(docs: DataFrame, n: int, text_col: str, id_col: str) -> DataFrame:
+    w = F.filter(F.split(normalized(text_col), " "), lambda x: x != F.lit(""))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(_word_ngrams(w, n))).alias("gram"),
+    )
+
+
+def ngram_overlap(
+    corpus: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus docs sharing ≥1 word n-gram with the eval set.
+
+    Returns (doc_id, n_overlap_grams, first_gram) — first_gram (the
+    lexicographic minimum) pins a human-checkable witness per hit.
+    """
+    eval_grams = _doc_grams(eval_docs, n, text_col, id_col).select("gram").distinct()
+    corpus_grams = _doc_grams(corpus, n, text_col, id_col)
+    hits = corpus_grams.join(F.broadcast(eval_grams), "gram")
+    return hits.groupBy("doc_id").agg(
+        F.count("*").alias("n_overlap_grams"),
+        F.min("gram").alias("first_gram"),
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The filter pass: corpus minus eval docs minus any doc overlapping
+    the eval set — a broadcast anti-join, no wide shuffle of doc bodies."""
+    dirty = ngram_overlap(corpus, eval_docs, n, text_col, id_col).select(
+        F.col("doc_id").alias("_dirty_id")
+    )
+    eval_ids = eval_docs.select(F.col(id_col).alias("_dirty_id"))
+    return corpus.join(
+        F.broadcast(dirty.union(eval_ids).distinct()),
+        corpus[id_col] == F.col("_dirty_id"),
+        "left_anti",
+    )
+
+
+def vocab_topk(
+    docs: DataFrame,
+    k: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic top-k vocabulary: global word counts ranked by
+    (count desc, word asc). Partial aggregation combines map-side, so the
+    shuffle carries one row per distinct word per partition, not one per
+    token occurrence."""
+    w = F.filter(F.split(normalized(text_col), " "), lambda x: x != F.lit(""))
+    counts = (
+        docs.select(F.explode(w).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    ranked = counts.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.col("cnt").desc(), F.col("word").asc())),
+    )
+    return ranked.filter(F.col("rank") <= k).select("rank", "word", "cnt")

@@ -2160,6 +2160,86 @@ WHERE r.n_words BETWEEN 20 AND 90
 """
 
 
+def decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3-style benchmark decontamination screen (Brown et al. 2020
+    §C): corpus docs sharing any word 5-gram with the eval split (here:
+    doc_id % 20 == 0). Eval grams broadcast; overlap count is the only
+    shuffle (operators/decontam.py)."""
+    from lakeside_spark.operators.decontam import ngram_overlap
+
+    docs = load_table(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 20 == 0)
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    return ngram_overlap(corpus, ev, n=5)
+
+
+_DECONTAM_GRAMS = f"""
+dc_b AS (
+  SELECT doc_id, list_filter(string_split({_NORM}, ' '), x -> x <> '') AS w
+  FROM documents
+), dc_g AS (
+  SELECT DISTINCT doc_id, gram FROM (
+    SELECT doc_id, unnest(CASE WHEN len(w) >= 5
+        THEN [array_to_string(w[i:i+4], ' ') for i in range(1, len(w)-3)]
+        ELSE [] END) AS gram FROM dc_b
+  )
+), dc_e AS (SELECT DISTINCT gram FROM dc_g WHERE doc_id % 20 = 0),
+dc_c AS (SELECT doc_id, gram FROM dc_g WHERE doc_id % 20 <> 0)
+"""
+
+DECONTAM_OVERLAP_SQL = f"""
+WITH {_DECONTAM_GRAMS}
+SELECT c.doc_id, COUNT(*) AS n_overlap_grams, MIN(c.gram) AS first_gram
+FROM dc_c c JOIN dc_e e USING (gram)
+GROUP BY c.doc_id
+"""
+
+
+def corpus_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decontamination filter pass: corpus minus eval docs minus any
+    5-gram-overlapping doc, via one broadcast anti-join."""
+    from lakeside_spark.operators.decontam import decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 20 == 0)
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    return decontaminate(corpus, ev, n=5).select("doc_id", "lang", "source", "n_chars")
+
+
+CORPUS_DECONTAM_SQL = f"""
+WITH {_DECONTAM_GRAMS}
+SELECT d.doc_id, d.lang, d.source, d.n_chars
+FROM documents d
+WHERE d.doc_id % 20 <> 0
+  AND d.doc_id NOT IN (
+    SELECT DISTINCT c.doc_id FROM dc_c c JOIN dc_e e USING (gram)
+  )
+"""
+
+
+def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic top-100 vocabulary: global word counts ranked by
+    (count desc, word asc) — the seed step of a BPE/WordPiece vocab build.
+    One map-side-combinable shuffle on the word key."""
+    from lakeside_spark.operators.decontam import vocab_topk as _vocab
+
+    docs = load_table(spark, sf_dir, "documents")
+    return _vocab(docs, k=100).select(
+        F.col("rank").cast("long").alias("rank"), "word", "cnt"
+    )
+
+
+VOCAB_TOPK_SQL = f"""
+WITH t AS (
+  SELECT unnest(list_filter(string_split({_NORM}, ' '), x -> x <> '')) AS word
+  FROM documents
+), c AS (SELECT word, COUNT(*) AS cnt FROM t GROUP BY word)
+SELECT CAST(row_number() OVER (ORDER BY cnt DESC, word ASC) AS BIGINT) AS rank, word, cnt
+FROM c
+QUALIFY rank <= 100
+"""
+
+
 def corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sample (hash gate, no RNG): 50% of en,
     20% of de, 10% of everything else — a mixture-weighting pass that is
@@ -2580,6 +2660,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- Gopher repetition curation (new in r2 tail)
     "text_repetition": text_repetition,
     "corpus_gopher_filter": corpus_gopher_filter,
+    # --- decontamination + vocab (new in r2 tail)
+    "decontam_overlap": decontam_overlap,
+    "corpus_decontam": corpus_decontam,
+    "vocab_topk": vocab_topk,
     # --- TPC-H: new-in-r2 derived-partsupp five first, then never-judged
     "tpch_q2": tpch_q2,
     "tpch_q9": tpch_q9,
@@ -2651,6 +2735,9 @@ ORACLES: dict[str, str] = {
     "multimodal_meta": MULTIMODAL_META_SQL,
     "text_repetition": TEXT_REPETITION_SQL,
     "corpus_gopher_filter": CORPUS_GOPHER_FILTER_SQL,
+    "decontam_overlap": DECONTAM_OVERLAP_SQL,
+    "corpus_decontam": CORPUS_DECONTAM_SQL,
+    "vocab_topk": VOCAB_TOPK_SQL,
     # dedup_simhash, ann_lsh, ema_smooth: genuinely non-SQL-expressible /
     # approximate — rows-only check by design
     "ts_count": TS_COUNT_SQL,

@@ -344,3 +344,48 @@ def test_gopher_filter_bands(spark):
     docs = spark.createDataFrame(rows, "doc_id long, lang string, source string, text string")
     kept = {r["doc_id"] for r in gopher_filter(docs).collect()}
     assert kept == {1}
+
+
+def test_decontam_broadcast_and_exactness(spark, sf_dir):
+    from lakeside_spark.operators.decontam import decontaminate, ngram_overlap
+    from lakeside_spark.registry import QUERIES
+
+    plan = (
+        QUERIES["decontam_overlap"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+    assert "CartesianProduct" not in plan
+
+    # a doc sharing a 5-gram with the eval set must be flagged; a clean
+    # doc must survive
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon omega"),  # shares first 5-gram
+            (3, "one two three four five six"),
+        ],
+        "doc_id long, text string",
+    )
+    ev = docs.filter("doc_id = 1")
+    corpus = docs.filter("doc_id > 1")
+    hits = {r["doc_id"] for r in ngram_overlap(corpus, ev, n=5).collect()}
+    assert hits == {2}
+    clean = {r["doc_id"] for r in decontaminate(corpus, ev, n=5).collect()}
+    assert clean == {3}
+
+
+def test_vocab_topk_deterministic_ties(spark):
+    from lakeside_spark.operators.decontam import vocab_topk
+
+    docs = spark.createDataFrame(
+        [(1, "b a"), (2, "a b c")], "doc_id long, text string"
+    )
+    rows = vocab_topk(docs, k=10).collect()
+    assert [(r["rank"], r["word"], r["cnt"]) for r in rows] == [
+        (1, "a", 2),
+        (2, "b", 2),
+        (3, "c", 1),
+    ]
