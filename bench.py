@@ -89,16 +89,19 @@ def main() -> None:
     ).count()
 
     # min of 2 runs per query: the container shares a host, and single runs
-    # swing 2-3x with co-tenant load; the min is the engine's actual cost
+    # swing 2-3x with co-tenant load; the min is the engine's actual cost.
+    # Materialize through the noop sink, NOT count(): count() lets Catalyst
+    # prune every column of a map-only projection, timing an empty scan.
     per_query: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
-        best, n = float("inf"), 0
+        best = float("inf")
         for _ in range(2):
             start = time.perf_counter()
             df = QUERIES[name](spark, sf_dir)
-            n = df.count()
+            df.write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - start)
+        n = QUERIES[name](spark, sf_dir).count()
         per_query[name] = round(best, 4)
         total += best
         print(f"# {name}: {best:.3f}s ({n} rows)", file=sys.stderr)

@@ -10,26 +10,49 @@ This module computes, per document:
   once (m = ``dup_n``, default 5);
 - the corresponding fractions of the document's total n-gram char mass.
 
-Scale design: everything is computed *inside the row* — the gram array is
-sorted (``array_sort``) and run-length scanned with one ``F.aggregate``
-fold, so the operator is embarrassingly parallel with ZERO shuffles and
-full column pruning; cost is O(L log L) per doc in the JVM, never a
-groupBy over exploded grams (which would shuffle ~L rows per document —
-at 100 TB that is the difference between a map-only pass and a corpus-
-sized exchange). Cross-engine determinism: integer char-mass numerators,
-one final double division, round 6.
+Scale design: everything is computed *inside the row's task* — an
+Arrow-batched ``mapInPandas`` kernel counts gram runs per document, so the
+operator is embarrassingly parallel with ZERO shuffles; never a groupBy
+over exploded grams (which would shuffle ~L rows per document — at 100 TB
+that is the difference between a map-only pass and a corpus-sized
+exchange).
+
+Why a Pandas kernel and not Column expressions: the natural pure-Spark
+formulation (array_sort + an ``F.aggregate`` run-length fold) is
+interpreted per array element — higher-order lambdas get no codegen and
+no subexpression elimination (fresh lambda ExprIds defeat both), measured
+~1 ms/doc and re-evaluated once per referencing predicate after filter
+pushdown (~6× more). The Arrow kernel is ~100× faster per doc and is a
+natural pushdown barrier, so downstream filters consume the computed
+columns instead of re-deriving them at the scan. Same pattern as the ANN
+scoring kernel in operators/similarity.py. Cross-engine determinism:
+pure-integer char-mass numerators in Python, final double division +
+round(6) left in JVM expressions to match the DuckDB oracle bit-for-bit.
 """
 
 from __future__ import annotations
 
+import re
+from collections import Counter
+from collections.abc import Iterator
+
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from lakeside_spark.functions.text import normalized
+# Java's \s and trim() are ASCII-only; mirror them exactly so the kernel
+# agrees with functions.text.normalized (and the DuckDB oracle regex)
+_WS = re.compile(r"[ \t\n\x0b\f\r]+")
+
+
+def _normalize_py(text: str) -> str:
+    return _WS.sub(" ", (text or "").strip(" \t\n\x0b\f\r\x00")).lower()
 
 
 def _word_ngrams(w: Column, n: int) -> Column:
-    """Word n-grams as array<string>; empty array for docs shorter than n."""
+    """Word n-grams as array<string>; empty array for docs shorter than n.
+    (Column-expression form, used by the decontamination operators where
+    the gram strings themselves flow into a join.)"""
     if n == 1:
         return w
     return F.when(
@@ -41,73 +64,63 @@ def _word_ngrams(w: Column, n: int) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
-def _run_stats(grams: Column) -> Column:
-    """One in-row pass over sorted grams -> struct(top_chars, dup_chars, tot_chars).
+def _gram_masses(words: list[str], n: int) -> tuple[int, int, int]:
+    """(top_chars, dup_chars, tot_chars) over word n-grams: char mass of
+    the most character-covering gram, of grams occurring >1 time, and of
+    all grams. Pure-integer arithmetic."""
+    if len(words) < n:
+        return 0, 0, 0
+    counts = Counter(
+        " ".join(words[i : i + n]) for i in range(len(words) - n + 1)
+    )
+    top = dup = tot = 0
+    for gram, cnt in counts.items():
+        mass = cnt * len(gram)
+        tot += mass
+        if mass > top:
+            top = mass
+        if cnt > 1:
+            dup += mass
+    return top, dup, tot
 
-    top_chars = max over distinct grams of count*length; dup_chars = char
-    mass of grams with count > 1; tot_chars = total gram char mass. A
-    run-length scan of the sorted array in a single ``aggregate`` fold.
-    """
-    s = F.array_sort(grams)
-    zero = F.lit(0).cast("long")
 
-    init = F.struct(
-        F.lit("").alias("prev"),
-        zero.alias("run"),
-        zero.alias("top"),
-        zero.alias("dup"),
-        zero.alias("tot"),
+def _signal_base(
+    docs: DataFrame, top_n: int, dup_n: int, text_col: str, id_col: str,
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
+    """Map-only Arrow kernel emitting one row of integer signal columns per
+    document; consumers derive the fractions in JVM expressions."""
+    keep_schema = "".join(f", {c} string" for c in keep)
+    schema = (
+        f"doc_id long{keep_schema}, n_words long, norm_chars long, "
+        "top_chars long, top_tot long, dup_chars long, dup_tot long"
     )
 
-    def flush_top(acc: Column) -> Column:
-        return F.greatest(acc.top, acc.run * F.length(acc.prev).cast("long"))
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": pdf[id_col].astype("int64"),
+                **{c: pdf[c] for c in keep},
+            }
+            cols = {k: [] for k in
+                    ("n_words", "norm_chars", "top_chars", "top_tot",
+                     "dup_chars", "dup_tot")}
+            for text in pdf[text_col]:
+                norm = _normalize_py(text)
+                words = [w for w in norm.split(" ") if w]
+                t_top, _t_dup, t_tot = _gram_masses(words, top_n)
+                _d_top, d_dup, d_tot = _gram_masses(words, dup_n)
+                cols["n_words"].append(len(words))
+                cols["norm_chars"].append(len(norm))
+                cols["top_chars"].append(t_top)
+                cols["top_tot"].append(t_tot)
+                cols["dup_chars"].append(d_dup)
+                cols["dup_tot"].append(d_tot)
+            for k, v in cols.items():
+                out[k] = pd.Series(v, dtype="int64")
+            yield pd.DataFrame(out)
 
-    def flush_dup(acc: Column) -> Column:
-        mass = acc.run * F.length(acc.prev).cast("long")
-        return acc.dup + F.when(acc.run > 1, mass).otherwise(zero)
-
-    def step(acc: Column, g: Column) -> Column:
-        cont = F.struct(
-            acc.prev.alias("prev"),
-            (acc.run + 1).alias("run"),
-            acc.top.alias("top"),
-            acc.dup.alias("dup"),
-            (acc.tot + F.length(g).cast("long")).alias("tot"),
-        )
-        start = F.struct(
-            g.alias("prev"),
-            F.lit(1).cast("long").alias("run"),
-            flush_top(acc).alias("top"),
-            flush_dup(acc).alias("dup"),
-            (acc.tot + F.length(g).cast("long")).alias("tot"),
-        )
-        return F.when(acc.prev == g, cont).otherwise(start)
-
-    def finish(acc: Column) -> Column:
-        return F.struct(
-            flush_top(acc).alias("top_chars"),
-            flush_dup(acc).alias("dup_chars"),
-            acc.tot.alias("tot_chars"),
-        )
-
-    return F.aggregate(s, init, step, finish)
-
-
-def _signal_cols(text_col: str, top_n: int, dup_n: int) -> dict[str, Column]:
-    """The shared per-row expressions; every consumer inlines these so the
-    operator family stays a single map-only projection (no self-join)."""
-    w = F.filter(F.split(normalized(text_col), " "), lambda x: x != F.lit(""))
-    t = _run_stats(_word_ngrams(w, top_n))
-    d = _run_stats(_word_ngrams(w, dup_n))
-    one = F.lit(1).cast("long")
-    return {
-        "n_words": F.size(w).cast("long"),
-        "norm_chars": F.length(normalized(text_col)).cast("long"),
-        "top_chars": t.top_chars,
-        "dup_chars": d.dup_chars,
-        "top_frac": F.round(t.top_chars / F.greatest(t.tot_chars, one), 6),
-        "dup_frac": F.round(d.dup_chars / F.greatest(d.tot_chars, one), 6),
-    }
+    return docs.select(id_col, *keep, text_col).mapInPandas(kernel, schema)
 
 
 def repetition_signals(
@@ -117,14 +130,19 @@ def repetition_signals(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    c = _signal_cols(text_col, top_n, dup_n)
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
-        c["n_words"].alias("n_words"),
-        c["top_chars"].alias(f"top{top_n}_chars"),
-        c["dup_chars"].alias(f"dup{dup_n}_chars"),
-        c["top_frac"].alias(f"top{top_n}_frac"),
-        c["dup_frac"].alias(f"dup{dup_n}_frac"),
+    one = F.lit(1).cast("long")
+    base = _signal_base(docs, top_n, dup_n, text_col, id_col)
+    return base.select(
+        "doc_id",
+        "n_words",
+        F.col("top_chars").alias(f"top{top_n}_chars"),
+        F.col("dup_chars").alias(f"dup{dup_n}_chars"),
+        F.round(F.col("top_chars") / F.greatest(F.col("top_tot"), one), 6).alias(
+            f"top{top_n}_frac"
+        ),
+        F.round(F.col("dup_chars") / F.greatest(F.col("dup_tot"), one), 6).alias(
+            f"dup{dup_n}_frac"
+        ),
     )
 
 
@@ -140,21 +158,25 @@ def gopher_filter(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Gopher rule filter: word-count band, mean-word-length band, and the
-    repetition caps, evaluated in one map-only projection+filter (zero
-    shuffles, full pushdown of the untouched columns)."""
-    c = _signal_cols(text_col, 2, 5)
-    # mean word length over the normalized text: (chars - separators) / words
-    mean_wl = (c["norm_chars"] - (c["n_words"] - 1)) / F.greatest(
-        c["n_words"], F.lit(1).cast("long")
+    repetition caps, evaluated in one map-only pass (zero shuffles; the
+    signal columns are computed once per row inside the Arrow kernel)."""
+    one = F.lit(1).cast("long")
+    base = _signal_base(docs, 2, 5, text_col, id_col, keep=("lang", "source"))
+    mean_wl = (F.col("norm_chars") - (F.col("n_words") - 1)) / F.greatest(
+        F.col("n_words"), one
     )
-    out = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.col("lang"),
-        F.col("source"),
-        c["n_words"].alias("n_words"),
+    out = base.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_words",
         F.round(mean_wl, 6).alias("mean_word_len"),
-        c["top_frac"].alias("top2_frac"),
-        c["dup_frac"].alias("dup5_frac"),
+        F.round(F.col("top_chars") / F.greatest(F.col("top_tot"), one), 6).alias(
+            "top2_frac"
+        ),
+        F.round(F.col("dup_chars") / F.greatest(F.col("dup_tot"), one), 6).alias(
+            "dup5_frac"
+        ),
     )
     return out.filter(
         (F.col("n_words") >= min_words)
