@@ -16,19 +16,48 @@ word key; top-k resolves on the already-tiny aggregate.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from lakeside_spark.functions.text import normalized
-from lakeside_spark.operators.repetition import _word_ngrams
+from lakeside_spark.operators.repetition import _normalize_py
 
 
 def _doc_grams(docs: DataFrame, n: int, text_col: str, id_col: str) -> DataFrame:
-    w = F.filter(F.split(normalized(text_col), " "), lambda x: x != F.lit(""))
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(F.array_distinct(_word_ngrams(w, n))).alias("gram"),
+    """Exploded distinct word n-grams (doc_id, gram) via an Arrow kernel.
+
+    Semantically explode(array_distinct(ngrams)) with docs shorter than n
+    words contributing nothing — but the Column form evaluates interpreted
+    slice/concat lambdas per gram (~1 ms/doc measured at sf0.1); the
+    kernel is one linear Python pass per Arrow batch, same pattern as
+    dedup._shingled_rows."""
+    from lakeside_spark.operators.dedup import _parallelize
+
+    src = _parallelize(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
     )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            grams: list[str] = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                words = [w for w in _normalize_py(text).split(" ") if w]
+                if len(words) >= n:
+                    gset = {
+                        " ".join(words[i : i + n])
+                        for i in range(len(words) - n + 1)
+                    }
+                    ids.extend([did] * len(gset))
+                    grams.extend(gset)
+            yield pd.DataFrame(
+                {"doc_id": pd.Series(ids, dtype="int64"), "gram": grams}
+            )
+
+    return src.mapInPandas(kernel, schema="doc_id long, gram string")
 
 
 def ngram_overlap(
