@@ -60,6 +60,8 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_embedding",
     "ann_cosine_topk",
+    "ann_pq",
+    "semdedup",
     "text_tokens",
     "text_repetition",
     "corpus_gopher_filter",

@@ -31,6 +31,7 @@ from lakeside_spark.operators.fill import fill_steps
 from lakeside_spark.operators.rangejoin import range_join
 from lakeside_spark.operators.repetition import gopher_filter, repetition_signals
 from lakeside_spark.operators.sessions import session_stats, sessionize
+from lakeside_spark.operators.similarity import ann_pq, semdedup
 from lakeside_spark.operators.tagcompress import compress_tag_stream
 from lakeside_spark.session import get_spark
 
@@ -43,6 +44,7 @@ __all__ = [
     "Filter",
     "NotClause",
     "QueryEngine",
+    "ann_pq",
     "asof_join",
     "ast_input_from_json",
     "base_expr_from_json",
@@ -58,9 +60,10 @@ __all__ = [
     "ngram_overlap",
     "range_join",
     "repetition_signals",
-    "vocab_topk",
+    "semdedup",
     "session_stats",
     "sessionize",
+    "vocab_topk",
 ]
 
 __version__ = "0.1.0"

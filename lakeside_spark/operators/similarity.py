@@ -468,3 +468,214 @@ def ann_lsh(
         .filter(F.col("rank") <= k)
         .select("q_id", "n_id", F.round("cos", 6).alias("cos"), "rank")
     )
+
+
+def _lloyd_kmeans(
+    sample: np.ndarray, k: int, max_iter: int = 20, seed: int = 42
+) -> np.ndarray:
+    """Deterministic plain (L2) k-means for PQ sub-quantizer training —
+    runs on a driver-side sample, like _spherical_kmeans."""
+    rng = np.random.default_rng(seed)
+    cents = sample[rng.choice(len(sample), size=min(k, len(sample)), replace=False)]
+    for _ in range(max_iter):
+        d2 = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        new = np.vstack(
+            [
+                sample[assign == j].mean(axis=0) if (assign == j).any() else cents[j]
+                for j in range(len(cents))
+            ]
+        )
+        if np.allclose(new, cents):
+            break
+        cents = new
+    return cents
+
+
+def ann_pq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m_subs: int = 8,
+    n_codes: int = 16,
+    train_sample: int = 10_000,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011, the FAISS `PQ` index):
+    unit vectors are chopped into m_subs subspaces, each encoded as the id
+    of its nearest sub-centroid, and queries score codes through per-query
+    asymmetric-distance lookup tables.
+
+    100 TB shape: the corpus is reduced to m_subs small ints per vector
+    (64-dim float32 → 8 bytes here, a 32× compression), encoding and
+    scoring are both map-only Arrow kernels with broadcast codebooks/LUTs,
+    and each task emits only its local top-k per query — the global top-k
+    window sees tasks×queries×k rows, never the corpus. Approximate by
+    design: brute-force cosine_topk is the exact baseline."""
+    spark = corpus.sparkSession
+    empty = "q_id bigint, n_id bigint, cos_pq double, rank int"
+    sample = corpus.select(vec_col).limit(train_sample).collect()
+    if not sample:
+        return spark.createDataFrame([], schema=empty)
+    mat = np.array([r[0] for r in sample], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    unit = mat / norms
+    dim = unit.shape[1]
+    if dim % m_subs:
+        raise ValueError(f"dim {dim} not divisible by m_subs {m_subs}")
+    sub = dim // m_subs
+    books = np.stack(
+        [
+            _lloyd_kmeans(unit[:, j * sub : (j + 1) * sub], n_codes)
+            for j in range(m_subs)
+        ]
+    )  # [m_subs, n_codes, sub]
+    bc_books = spark.sparkContext.broadcast(books)
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        B = bc_books.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.array(list(pdf[vec_col]), dtype=np.float64)
+            n = np.linalg.norm(m, axis=1, keepdims=True)
+            n[n == 0] = 1.0
+            u = m / n
+            codes = np.empty((len(u), m_subs), dtype=np.int32)
+            for j in range(m_subs):
+                block = u[:, j * sub : (j + 1) * sub]
+                d2 = ((block[:, None, :] - B[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "n_id": pdf[id_col].to_numpy(np.int64),
+                    "codes": list(codes),
+                }
+            )
+
+    encoded = _parallelize(corpus.select(id_col, vec_col)).mapInPandas(
+        encode, schema="n_id bigint, codes array<int>"
+    )
+
+    q_ids, q_unit = _collect_unit_matrix(queries, vec_col, id_col)
+    if not len(q_ids):
+        return spark.createDataFrame([], schema=empty)
+    # ADC tables: LUT[q, j, c] = <q_subvector_j, codebook_j[c]> — summing
+    # over j approximates cos(q, v) for unit v
+    luts = np.einsum("qjs,jcs->qjc", q_unit.reshape(len(q_ids), m_subs, sub), books)
+    bc_q = spark.sparkContext.broadcast((q_ids, luts))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_q, lut = bc_q.value
+        nq = len(ids_q)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            n_ids = pdf["n_id"].to_numpy(np.int64)
+            codes = np.array(list(pdf["codes"]), dtype=np.int64)  # [n, m]
+            scores = np.zeros((nq, len(n_ids)))
+            for j in range(m_subs):
+                scores += lut[:, j, codes[:, j]]  # [nq, n]
+            take = min(k + 1, len(n_ids))
+            part = np.argpartition(-scores, take - 1, axis=1)[:, :take]
+            rows_q, rows_n, rows_s = [], [], []
+            for qi in range(nq):
+                for ni in part[qi]:
+                    if ids_q[qi] == n_ids[ni]:
+                        continue
+                    rows_q.append(ids_q[qi])
+                    rows_n.append(n_ids[ni])
+                    rows_s.append(scores[qi, ni])
+            yield pd.DataFrame(
+                {
+                    "q_id": np.array(rows_q, dtype=np.int64),
+                    "n_id": np.array(rows_n, dtype=np.int64),
+                    "cos_pq": np.array(rows_s, dtype=np.float64),
+                }
+            )
+
+    scored = encoded.mapInPandas(score, schema="q_id bigint, n_id bigint, cos_pq double")
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_pq").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", F.round("cos_pq", 6).alias("cos_pq"), "rank")
+    )
+
+
+def semdedup(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    n_cells: int = 16,
+    train_sample: int = 10_000,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster embeddings with a sampled
+    spherical-kmeans quantizer, then greedily drop any vector whose cosine
+    to an already-kept lower-id vector in the SAME cell exceeds the
+    threshold. Returns the surviving rows (vec_id, cell, max_kept_cos).
+
+    100 TB shape: cell assignment is a map-only broadcast-centroid kernel
+    (the IVF assign pass); the quadratic comparison is confined to one
+    cell per task via applyInPandas, so cost is Σ |cell|² instead of N² —
+    n_cells scales with the corpus to bound cell sizes. Deterministic:
+    seeded quantizer, ascending-id greedy order. Approximate by design
+    (cross-cell near-dups survive): embedding_dup_pairs is the exact
+    baseline."""
+    spark = emb.sparkSession
+    sample = emb.select(vec_col).limit(train_sample).collect()
+    if not sample:
+        return spark.createDataFrame([], schema="vec_id bigint, cell int, max_kept_cos double")
+    mat = np.array([r[0] for r in sample], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    cents = _spherical_kmeans(mat / norms, n_cells)
+    bc = spark.sparkContext.broadcast(cents)
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.array(list(pdf[vec_col]), dtype=np.float64)
+            n = np.linalg.norm(m, axis=1, keepdims=True)
+            n[n == 0] = 1.0
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf[id_col].to_numpy(np.int64),
+                    "cell": ((m / n) @ c.T).argmax(axis=1).astype(np.int32),
+                    "v": list(m / n),
+                }
+            )
+
+    assigned = _parallelize(emb.select(id_col, vec_col)).mapInPandas(
+        assign, schema="vec_id bigint, cell int, v array<double>"
+    )
+
+    def dedup_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        u = np.array(list(pdf["v"]), dtype=np.float64)
+        n = len(pdf)
+        kept_idx: list[int] = []
+        max_cos = np.zeros(n)
+        keep_mask = np.zeros(n, dtype=bool)
+        for i in range(n):
+            if kept_idx:
+                cos = u[kept_idx] @ u[i]
+                mc = float(cos.max())
+            else:
+                mc = 0.0
+            max_cos[i] = mc
+            if mc < threshold:
+                keep_mask[i] = True
+                kept_idx.append(i)
+        out = pdf.loc[keep_mask, ["vec_id", "cell"]].copy()
+        out["max_kept_cos"] = np.round(max_cos[keep_mask], 6)
+        return out
+
+    return assigned.groupBy("cell").applyInPandas(
+        dedup_cell, schema="vec_id bigint, cell int, max_kept_cos double"
+    )

@@ -1999,6 +1999,25 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_ivf(emb, emb.filter(F.col("vec_id") < 5), k=5, n_cells=16, n_probe=6)
 
 
+def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rows-only: product-quantization ANN (16 sub-quantizers × 64 codes —
+    the FAISS PQ compressed-domain 100 TB path; ~32× vector compression)."""
+    from lakeside_spark.operators.similarity import ann_pq as _ann_pq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _ann_pq(emb, emb.filter(F.col("vec_id") < 5), k=5, m_subs=16, n_codes=64)
+
+
+def semdedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rows-only: SemDeDup (cluster embeddings, drop intra-cell semantic
+    near-dups greedily by ascending id; τ=0.4 matches this corpus's cosine
+    range — real text embeddings would sit near the paper's 0.95)."""
+    from lakeside_spark.operators.similarity import semdedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semdedup(emb, threshold=0.4, n_cells=16)
+
+
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakeside_spark.operators.textstats import lang_id
 
@@ -2710,6 +2729,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": dedup_simhash,
     "ann_lsh": ann_lsh,
     "ann_ivf": ann_ivf,
+    "ann_pq": ann_pq,
+    "semdedup": semdedup_survivors,
     "corpus_pack": corpus_pack,
     "kmeans_names": kmeans_names,
     "ema_smooth": ema_smooth_series,

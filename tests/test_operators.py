@@ -389,3 +389,38 @@ def test_vocab_topk_deterministic_ties(spark):
         (2, "b", 2),
         (3, "c", 1),
     ]
+
+
+def test_ann_pq_recall_and_determinism(spark, sf_dir):
+    from lakeside_spark.operators.similarity import ann_pq, cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    r1 = sorted(tuple(r) for r in ann_pq(emb, q, k=5, m_subs=16, n_codes=64).collect())
+    r2 = sorted(tuple(r) for r in ann_pq(emb, q, k=5, m_subs=16, n_codes=64).collect())
+    assert r1 == r2, "PQ must be deterministic (seeded codebooks)"
+    exact = {(r["q_id"], r["n_id"]) for r in cosine_topk(emb, q, k=5).collect()}
+    got = {(a, b) for a, b, _, _ in r1}
+    assert len(got & exact) / len(exact) >= 0.4, "PQ recall collapsed"
+    # every query returns exactly k ranked rows
+    from collections import Counter
+
+    per_q = Counter(a for a, _, _, _ in r1)
+    assert all(v == 5 for v in per_q.values())
+
+
+def test_semdedup_invariants(spark, sf_dir):
+    from lakeside_spark.operators.similarity import semdedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    total = emb.count()
+    # tau above the max attainable cosine keeps everything
+    assert semdedup(emb, threshold=1.01).count() == total
+    survivors = semdedup(emb, threshold=0.4)
+    rows = survivors.collect()
+    assert 0 < len(rows) < total
+    # every survivor's recorded max-cos-to-kept is below the threshold
+    assert all(r["max_kept_cos"] < 0.4 for r in rows)
+    # deterministic across runs
+    again = sorted((r["vec_id"], r["cell"]) for r in semdedup(emb, threshold=0.4).collect())
+    assert again == sorted((r["vec_id"], r["cell"]) for r in rows)
