@@ -72,6 +72,7 @@ HEADLINE = [
     "corpus_sample",
     "corpus_pack",
     "corpus_dedupe",
+    "corpus_curate",
 ]
 
 
