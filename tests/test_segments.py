@@ -120,3 +120,48 @@ def test_compaction_failure_leaves_source_intact(spark, sf_dir, tmp_path, monkey
         seg.compact_segments(spark, lake)
     monkeypatch.undo()
     assert read_segments(spark, lake, dataset="logs").count() == before
+
+
+def test_jsonl_ingest_roundtrip(spark, tmp_path):
+    import json
+
+    from lakeside_spark.sources.ingest import ingest_files, read_jsonl_telemetry
+
+    src = tmp_path / "in.jsonl"
+    rows = [
+        {"timestamp_ms": 1_700_000_000_000 + i * 3_600_000, "name": "error",
+         "value": float(i), "message": f"m{i}", "host": f"h{i % 2}"}
+        for i in range(6)
+    ]
+    lines = [json.dumps(r) for r in rows]
+    lines.insert(3, "{not json at all")          # malformed line drops
+    lines.append(json.dumps({"value": 1.0}))      # missing ts+name drops
+    src.write_text("\n".join(lines))
+
+    tele = read_jsonl_telemetry(spark, str(src), tag_columns=("host",))
+    assert tele.count() == 6
+    assert tele.columns == ["timestamp_ms", "name", "value", "message", "host"]
+
+    lake = tmp_path / "lake"
+    n = ingest_files(spark, str(src), str(lake), fmt="jsonl", tag_columns=("host",))
+    assert n == 6
+    from lakeside_spark.sources.segments import read_segments
+
+    back = read_segments(spark, str(lake), dataset="logs")
+    assert back.count() == 6
+    assert {r["host"] for r in back.select("host").collect()} == {"h0", "h1"}
+
+
+def test_csv_ingest(spark, tmp_path):
+    from lakeside_spark.sources.ingest import read_csv_telemetry
+
+    src = tmp_path / "in.csv"
+    src.write_text(
+        "timestamp_ms,name,value,message,region\n"
+        "1700000000000,error,1.5,boom,us\n"
+        "1700000100000,info,2.5,ok,eu\n"
+        ",missing,1.0,dropped,us\n"
+    )
+    tele = read_csv_telemetry(spark, str(src), tag_columns=("region",))
+    got = {(r["name"], r["region"]) for r in tele.collect()}
+    assert got == {("error", "us"), ("info", "eu")}
