@@ -28,6 +28,8 @@ HEADLINE = [
     "ts_fill",
     "user_retention",
     "ts_moving_avg",
+    "ts_anomaly",
+    "ts_forecast",
     "exemplars",
     "filter_contains_regex",
     "extract_regex",

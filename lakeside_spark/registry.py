@@ -335,6 +335,88 @@ FROM series
 """
 
 
+def ts_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series z-score anomaly flags over the hourly count series:
+    |value − μ_series| ≥ 2.5σ. One shuffle for the step agg; the per-series
+    stats window reuses the same name partitioning. Count series keep every
+    aggregate sum exactly representable, so the z-scores are bit-identical
+    across engines."""
+    from pyspark.sql import Window
+
+    expr = BaseExpr(
+        filter=Filter(k=S.NAME, op=S.EXISTS),
+        chart=ChartOptions(aggregation="count"),
+    )
+    series = QueryEngine(spark, step_ms=HOUR).run(expr, load_telemetry(spark, sf_dir))
+    w = Window.partitionBy(S.NAME)
+    mu = F.avg(S.VALUE).over(w)
+    sd = F.stddev_samp(S.VALUE).over(w)
+    z = F.round((F.col(S.VALUE) - mu) / sd, 6)
+    return (
+        series.select(S.STEP_TS, S.NAME, S.VALUE, z.alias("zscore"))
+        .filter(F.abs(F.col("zscore")) >= 2.5)
+    )
+
+
+TS_ANOMALY_SQL = f"""
+WITH series AS (
+  SELECT timestamp_ms - timestamp_ms % {HOUR} AS step_ts, name,
+         CAST(count(value) AS DOUBLE) AS value
+  FROM {_T} WHERE name IS NOT NULL GROUP BY 1, 2
+), scored AS (
+  SELECT step_ts, name, value,
+         ROUND((value - AVG(value) OVER (PARTITION BY name))
+               / STDDEV_SAMP(value) OVER (PARTITION BY name), 6) AS zscore
+  FROM series
+)
+SELECT step_ts, name, value, zscore FROM scored WHERE ABS(zscore) >= 2.5
+"""
+
+
+def ts_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series linear trend + one-step-ahead forecast: ordinary least
+    squares of the hourly count series against the step index (regr_slope /
+    regr_intercept — both engines compute the same closed form over
+    exactly-representable count sums). Step index is normalized to small
+    integers so no regression sum loses precision."""
+    from pyspark.sql import Window
+
+    expr = BaseExpr(
+        filter=Filter(k=S.NAME, op=S.EXISTS),
+        chart=ChartOptions(aggregation="count"),
+    )
+    series = QueryEngine(spark, step_ms=HOUR).run(expr, load_telemetry(spark, sf_dir))
+    w = Window.partitionBy(S.NAME)
+    x = ((F.col(S.STEP_TS) - F.min(S.STEP_TS).over(w)) / HOUR).cast("double")
+    idx = series.select(S.NAME, F.col(S.VALUE), x.alias("x"))
+    slope = F.regr_slope(F.col(S.VALUE), F.col("x"))
+    icept = F.regr_intercept(F.col(S.VALUE), F.col("x"))
+    return idx.groupBy(S.NAME).agg(
+        F.count("*").alias("n_steps"),
+        F.round(slope, 6).alias("slope"),
+        F.round(icept, 6).alias("intercept"),
+        F.round(slope * (F.max("x") + 1) + icept, 6).alias("next_forecast"),
+    )
+
+
+TS_FORECAST_SQL = f"""
+WITH series AS (
+  SELECT timestamp_ms - timestamp_ms % {HOUR} AS step_ts, name,
+         CAST(count(value) AS DOUBLE) AS value
+  FROM {_T} WHERE name IS NOT NULL GROUP BY 1, 2
+), idx AS (
+  SELECT name, value,
+         CAST((step_ts - MIN(step_ts) OVER (PARTITION BY name)) / {HOUR} AS DOUBLE) AS x
+  FROM series
+)
+SELECT name, COUNT(*) AS n_steps,
+       ROUND(regr_slope(value, x), 6) AS slope,
+       ROUND(regr_intercept(value, x), 6) AS intercept,
+       ROUND(regr_slope(value, x) * (MAX(x) + 1) + regr_intercept(value, x), 6) AS next_forecast
+FROM idx GROUP BY name
+"""
+
+
 def ts_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     expr = BaseExpr(
         filter=Filter(k=S.NAME, v=("error",), op=S.EQ),
@@ -2752,6 +2834,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ts_cardinality": ts_cardinality,
     "query_cardinality": query_cardinality,
     "ts_moving_avg": ts_moving_avg,
+    "ts_anomaly": ts_anomaly,
+    "ts_forecast": ts_forecast,
     "ts_rate": ts_rate,
     "metrics_rollup": metrics_rollup,
     "ts_histogram": ts_histogram,
@@ -2859,6 +2943,8 @@ ORACLES: dict[str, str] = {
     "query_cardinality": QUERY_CARDINALITY_SQL,
     "user_retention": USER_RETENTION_SQL,
     "ts_moving_avg": TS_MOVING_AVG_SQL,
+    "ts_anomaly": TS_ANOMALY_SQL,
+    "ts_forecast": TS_FORECAST_SQL,
     "ts_rate": TS_RATE_SQL,
     "metrics_rollup": METRICS_ROLLUP_SQL,
     "top_k_series": TOP_K_SERIES_SQL,
