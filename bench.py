@@ -86,27 +86,37 @@ def main() -> None:
 
     # warm the JVM + file listing + Python/Arrow workers once so per-query
     # numbers measure execution, not one-time process startup
-    QUERIES["ts_count"](spark, sf_dir).count()
-    import pandas as _pd
-
-    spark.range(64).repartition(32).mapInPandas(
-        lambda it: (pdf for pdf in it), schema="id long"
-    ).count()
+    try:
+        QUERIES["ts_count"](spark, sf_dir).count()
+        spark.range(64).repartition(32).mapInPandas(
+            lambda it: (pdf for pdf in it), schema="id long"
+        ).count()
+    except Exception as exc:  # warm-up failure must not kill the bench
+        print(f"# warm-up failed: {exc}", file=sys.stderr)
 
     # min of 2 runs per query: the container shares a host, and single runs
     # swing 2-3x with co-tenant load; the min is the engine's actual cost.
     # Materialize through the noop sink, NOT count(): count() lets Catalyst
     # prune every column of a map-only projection, timing an empty scan.
+    # Each query is individually try/except-ed: one broken key must never
+    # zero the whole perf signal (lost two rounds of bench data to that).
     per_query: dict[str, float] = {}
+    errors: dict[str, str] = {}
     total = 0.0
     for name in HEADLINE:
-        best = float("inf")
-        for _ in range(2):
-            start = time.perf_counter()
-            df = QUERIES[name](spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - start)
-        n = QUERIES[name](spark, sf_dir).count()
+        try:
+            best = float("inf")
+            for _ in range(2):
+                start = time.perf_counter()
+                df = QUERIES[name](spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - start)
+            n = QUERIES[name](spark, sf_dir).count()
+        except Exception as exc:
+            msg = str(exc).split("\n", 1)[0][:200]
+            errors[name] = msg
+            print(f"# {name}: ERROR {msg}", file=sys.stderr)
+            continue
         per_query[name] = round(best, 4)
         total += best
         print(f"# {name}: {best:.3f}s ({n} rows)", file=sys.stderr)
@@ -123,16 +133,19 @@ def main() -> None:
     con = duckdb.connect()
     for t in ALL_TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
-    oracle_subset = [q for q in HEADLINE if q in ORACLES]
+    oracle_subset = [q for q in HEADLINE if q in ORACLES and q in per_query]
     spark_subset_wall = sum(per_query[q] for q in oracle_subset)
     duck_total = 0.0
     for name in oracle_subset:
-        best = float("inf")
-        for _ in range(2):
-            start = time.perf_counter()
-            con.sql(ORACLES[name]).fetchall()
-            best = min(best, time.perf_counter() - start)
-        duck_total += best
+        try:
+            best = float("inf")
+            for _ in range(2):
+                start = time.perf_counter()
+                con.sql(ORACLES[name]).fetchall()
+                best = min(best, time.perf_counter() - start)
+            duck_total += best
+        except Exception as exc:
+            print(f"# duckdb {name}: ERROR {exc}", file=sys.stderr)
     ratio = round(spark_subset_wall / duck_total, 3) if duck_total else None
     print(
         f"# oracle subset ({len(oracle_subset)}q): spark {spark_subset_wall:.2f}s"
@@ -152,6 +165,8 @@ def main() -> None:
                 "spark_oracle_subset_sec": round(spark_subset_wall, 4),
                 "duckdb_oracle_subset_sec": round(duck_total, 4),
                 "spark_over_duckdb_ratio": ratio,
+                "errors": errors,
+                "error_count": len(errors),
             }
         )
     )

@@ -41,15 +41,22 @@ _PLAN_CACHE: dict[tuple[str, str, str, bool], DataFrame] = {}
 
 
 def _ensure_nanos_readable(spark: SparkSession) -> None:
-    """The testdata parquet encodes TIMESTAMP(NANOS), which Spark only reads
-    with ``spark.sql.legacy.parquet.nanosAsLong`` on. Callers (the driver)
-    may hand us a vanilla SparkSession, so set it at runtime — the conf is
-    runtime-settable and idempotent; the LongType→timestamp restore below
-    handles the resulting bigint columns."""
+    """The testdata parquet historically encoded TIMESTAMP(NANOS), which Spark
+    only reads with ``spark.sql.legacy.parquet.nanosAsLong`` on; newer testdata
+    is plain ``timestamp[us]`` (no tz), which Spark reads as TIMESTAMP_NTZ.
+    Callers (the driver) may hand us a vanilla SparkSession, so set both confs
+    at runtime — they are runtime-settable and idempotent. The session timezone
+    is pinned to UTC so the NTZ→timestamp cast below is tz-independent (the
+    canonical telemetry timestamp is epoch millis; reference stores epoch
+    millis directly, core Commons.scala:45-72)."""
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass  # already set read-only/identical — reads will still work
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass
 
 
 def load_table(
@@ -65,8 +72,17 @@ def load_table(
         reader = reader.option("mergeSchema", "true")
     df = reader.parquet(f"{sf_dir}/{name}.parquet")
     for col in _TS_COLUMNS.get(name, ()):
-        if col in df.columns and isinstance(df.schema[col].dataType, T.LongType):
+        if col not in df.columns:
+            continue
+        dtype = df.schema[col].dataType
+        if isinstance(dtype, T.LongType):
+            # legacy nanos-as-long read: epoch-nano bigint → timestamp
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+        elif isinstance(dtype, T.TimestampNTZType):
+            # timestamp[us] without tz reads as TIMESTAMP_NTZ; cast to
+            # session-tz timestamp (session tz pinned UTC above, so the wall
+            # clock is interpreted as UTC — matches DuckDB epoch_ms exactly)
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     _PLAN_CACHE[key] = df
     return df
 
