@@ -6,26 +6,35 @@ Media are opaque ``binary`` columns with a typed metadata struct alongside
 Arrow-batched, columnar, and scale-out by partition — the pattern a 100 TB
 media pipeline needs (reshuffle by size class first if items are skewed).
 
-The actual codec step is STUBBED (no image/audio libs in this container):
-``decode_features`` raises NotImplementedError unless ``fake=True``, which
-substitutes a deterministic md5-derived feature vector so the Spark-side
-plumbing (schemas, batching, UDF signature) is fully testable.
+The codec step is REAL for the formats pure stdlib can express — PNG and
+BMP pixel decode + PNG re-encode, WAV PCM decode, JPEG/GIF header dims
+(operators/codecs.py) — so ``decode_features`` / ``resize_media`` do
+genuine pixel/sample math on those formats with no external libs. Formats
+needing entropy decoders we don't have (JPEG pixels, video) raise a clear
+ValueError per item or fall back to byte statistics; ``fake=True`` keeps
+the original md5-derived deterministic path for plumbing tests.
 """
 
 from __future__ import annotations
 
 import hashlib
 from collections.abc import Iterator
+from wave import Error as wave_error
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from lakeside_spark.operators import codecs
 
 _MAGIC = {
     b"\x89PNG": "png",
     b"\xff\xd8\xff": "jpeg",
     b"RIFF": "wav",
     b"OggS": "ogg",
+    b"BM": "bmp",
+    b"GIF8": "gif",
 }
 
 
@@ -54,6 +63,41 @@ def synthesize_media(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("media", F.encode(F.col(text_col), "UTF-8"))
 
 
+def synthesize_images(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    width: int = 16,
+    height: int = 16,
+) -> DataFrame:
+    """Deterministic REAL PNG bytes derived from a text column: the md5
+    stream of the text seeds a gray image, encoded with the stdlib PNG
+    encoder. Gives the decode/resize kernels genuine compressed images to
+    chew on without any external media files."""
+    schema = f"{id_col} bigint, {text_col} string, media binary"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = width * height
+        for pdf in it:
+            blobs = []
+            for text in pdf[text_col]:
+                seed = (text or "").encode()
+                stream = bytearray()
+                counter = 0
+                while len(stream) < n:
+                    stream += hashlib.md5(seed + counter.to_bytes(4, "big")).digest()
+                    counter += 1
+                px = np.frombuffer(bytes(stream[:n]), dtype=np.uint8).reshape(
+                    height, width
+                )
+                blobs.append(codecs.png_encode(px))
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], text_col: pdf[text_col], "media": blobs}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(batches, schema=schema)
+
+
 def decode_features(
     df: DataFrame,
     binary_col: str = "media",
@@ -63,18 +107,17 @@ def decode_features(
 ) -> DataFrame:
     """binary → feature vector via Arrow-batched mapInPandas.
 
-    Real decode is not implemented in this environment; ``fake=True`` yields
-    a deterministic md5-derived vector per item (plumbing test path).
+    Real path: PNG/BMP are pixel-decoded and WAV sample-decoded with the
+    stdlib codecs; the feature vector is [width, height, channels,
+    mean, std, p25, p50, p75] (images) or [rate-scaled, channels, duration,
+    rms, zero-cross, p25, p50, p75] (audio), padded/trimmed to ``dim``.
+    Formats without a stdlib decoder (jpeg pixels, ogg, unknown) get
+    header dims where parseable plus byte-level statistics — decode never
+    throws mid-batch. ``fake=True`` keeps the md5 plumbing-test path.
     """
-    if not fake:
-        raise NotImplementedError(
-            "media decode requires codec libraries not present in this "
-            "container; call with fake=True for the deterministic test path"
-        )
-
     schema = f"{id_col} bigint, features array<double>"
 
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def fake_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             feats = [
                 [b / 255.0 for b in hashlib.md5(buf).digest()[:dim]]
@@ -82,7 +125,54 @@ def decode_features(
             ]
             yield pd.DataFrame({id_col: pdf[id_col], "features": feats})
 
-    return df.select(id_col, binary_col).mapInPandas(batches, schema=schema)
+    def _fit(vals: list[float]) -> list[float]:
+        return (vals + [0.0] * dim)[:dim]
+
+    def real_features(buf: bytes) -> list[float]:
+        buf = bytes(buf)
+        px = None
+        try:
+            px = codecs.decode_pixels(buf)
+        except ValueError:
+            px = None
+        if px is not None:
+            h, w, c = px.shape
+            flat = px.astype(np.float64) / 255.0
+            q = np.quantile(flat, [0.25, 0.5, 0.75])
+            return _fit(
+                [float(w), float(h), float(c), float(flat.mean()),
+                 float(flat.std()), *map(float, q)]
+            )
+        if buf[:4] == b"RIFF" and buf[8:12] == b"WAVE":
+            try:
+                rate, nch, samples = codecs.wav_decode(buf)
+                mono = samples.mean(axis=1)
+                zc = float(np.mean(np.abs(np.diff(np.signbit(mono))))) if len(mono) > 1 else 0.0
+                q = np.quantile(mono, [0.25, 0.5, 0.75]) if len(mono) else [0, 0, 0]
+                return _fit(
+                    [rate / 1e3, float(nch), len(mono) / max(rate, 1),
+                     float(np.sqrt((mono ** 2).mean())) if len(mono) else 0.0,
+                     zc, *map(float, q)]
+                )
+            except (ValueError, EOFError, wave_error):
+                pass
+        # no stdlib pixel/sample decoder: header dims + byte statistics
+        dims = codecs.image_dims(buf)
+        arr = np.frombuffer(buf, dtype=np.uint8).astype(np.float64) / 255.0
+        q = np.quantile(arr, [0.25, 0.5, 0.75]) if len(arr) else [0.0, 0.0, 0.0]
+        return _fit(
+            [float(dims[0]) if dims else 0.0, float(dims[1]) if dims else 0.0,
+             0.0, float(arr.mean()) if len(arr) else 0.0,
+             float(arr.std()) if len(arr) else 0.0, *map(float, q)]
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = [real_features(buf) for buf in pdf[binary_col]]
+            yield pd.DataFrame({id_col: pdf[id_col], "features": feats})
+
+    kernel = fake_batches if fake else batches
+    return df.select(id_col, binary_col).mapInPandas(kernel, schema=schema)
 
 
 def resize_media(
@@ -95,20 +185,16 @@ def resize_media(
 ) -> DataFrame:
     """binary → resized binary + output dims, Arrow-batched.
 
-    Real image decode/resample is STUBBED (no codec libs here); the fake
-    path emits a deterministic byte buffer of exactly width*height bytes so
-    batch shape, output schema, and size accounting are all real and
-    testable. A production kernel swaps only the inner function (e.g.
-    PIL/libvips), keeping the partition-parallel plumbing unchanged.
+    Real path: PNG/BMP pixels are decoded with the stdlib codecs, resampled
+    with nearest-neighbor index math in numpy, and re-encoded as PNG; items
+    in formats without a stdlib pixel decoder come back with empty media
+    (callers filter on octet_length). The fake path emits a deterministic
+    byte buffer of exactly width*height bytes so batch shape, schema, and
+    size accounting stay testable without codecs.
     """
-    if not fake:
-        raise NotImplementedError(
-            "image resize requires codec libraries not present in this "
-            "container; call with fake=True for the deterministic test path"
-        )
     schema = f"{id_col} bigint, media binary, width int, height int"
 
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def fake_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         n = width * height
         for pdf in it:
             out = [
@@ -129,7 +215,32 @@ def resize_media(
                 }
             )
 
-    return df.select(id_col, binary_col).mapInPandas(batches, schema=schema)
+    def real_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for buf in pdf[binary_col]:
+                try:
+                    px = codecs.decode_pixels(bytes(buf))
+                except ValueError:
+                    px = None
+                if px is None:
+                    out.append(b"")
+                    continue
+                h, w, _c = px.shape
+                ys = (np.arange(height) * h // height).clip(0, h - 1)
+                xs = (np.arange(width) * w // width).clip(0, w - 1)
+                out.append(codecs.png_encode(px[ys][:, xs]))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "media": out,
+                    "width": [width] * len(pdf),
+                    "height": [height] * len(pdf),
+                }
+            )
+
+    kernel = fake_batches if fake else real_batches
+    return df.select(id_col, binary_col).mapInPandas(kernel, schema=schema)
 
 
 def sample_frames(

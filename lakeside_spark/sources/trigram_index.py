@@ -45,7 +45,7 @@ from __future__ import annotations
 import os
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from lakeside_spark import schema as S
@@ -322,51 +322,69 @@ def prune_segments(
     """(surviving absolute file paths, total indexed files). Mirrors
     computeSegmentIds (NLPUtils.scala:156-188): leaf = intersection over
     the leaf's fingerprint segment-sets, AND = intersect children,
-    OR = union children, match-all = every file."""
+    OR = union children, match-all = every file.
+
+    The boolean tree is evaluated DISTRIBUTED: one hash aggregation over
+    the index computes a has-fingerprint flag per (file, probe) and the
+    AND/OR tree becomes a boolean Column over those flags, so only the
+    surviving file names ever reach the driver (sized for millions of
+    segments; the old path collected a file-set per fingerprint)."""
     index = spark.read.parquet(os.path.join(path, INDEX_DIR))
     tq = clause_to_trigram_query(clause, indexed_dims, full_value_dims)
     probe_strs = sorted(_leaf_fps(tq))
-    all_files = {r[0] for r in index.select("file").distinct().collect()}
     if probe_strs:
-        # hash the probe strings with the SAME jvm xxhash64 used at build
-        probe_df = spark.createDataFrame(
-            [(s,) for s in probe_strs], "fp_str string"
-        ).select("fp_str", F.xxhash64("fp_str").alias("fp"))
-        hashes = {r["fp_str"]: r["fp"] for r in probe_df.collect()}
-        hits = (
-            index.filter(F.col("fp").isin(list(hashes.values())))
-            .groupBy("fp")
-            .agg(F.collect_set("file").alias("files"))
-            .collect()
-        )
-        by_hash = {r["fp"]: set(r["files"]) for r in hits}
-        fp_files = {s: by_hash.get(h, set()) for s, h in hashes.items()}
+        # hash probe literals with the SAME jvm xxhash64 used at build time
+        # (constant-folded by Catalyst), flag presence per file in ONE
+        # map-side-combined aggregation — the fp filter prunes the scan
+        probe_hash = {
+            s: F.xxhash64(F.lit(s)) for s in probe_strs
+        }
+        flags = [
+            F.max(F.when(F.col("fp") == probe_hash[s], True)).alias(f"_fp{i}")
+            for i, s in enumerate(probe_strs)
+        ]
+        per_file = index.groupBy("file").agg(*flags)
+        fp_col = {
+            s: F.coalesce(F.col(f"_fp{i}"), F.lit(False))
+            for i, s in enumerate(probe_strs)
+        }
     else:
-        fp_files = {}
-    keep = _eval(tq, fp_files, all_files)
+        per_file = index.select("file").distinct()
+        fp_col = {}
+    per_file = per_file.persist()
+    try:
+        total = per_file.count()
+        keep = [
+            r[0]
+            for r in per_file.filter(_eval_expr(tq, fp_col))
+            .select("file")
+            .collect()
+        ]
+    finally:
+        per_file.unpersist()
     base = os.path.abspath(path).rstrip("/")
-    return [os.path.join(base, f) for f in sorted(keep)], len(all_files)
+    return [os.path.join(base, f) for f in sorted(keep)], total
 
 
-def _eval(
-    q: TrigramQuery, fp_files: dict[str, set[str]], all_files: set[str]
-) -> set[str]:
+def _eval_expr(q: TrigramQuery, fp_col: dict[str, Column]) -> Column:
+    """Fold the trigram query tree into one boolean Column over per-file
+    fingerprint flags. Empty AND = match-all, empty OR = match-none —
+    same semantics as the reference's set algebra."""
     if q.op == ALL:
-        return all_files
-    child_sets = [_eval(s, fp_files, all_files) for s in q.sub]
-    leaf_sets = [fp_files.get(fp, set()) for fp in q.fps]
+        return F.lit(True)
+    terms = [_eval_expr(s, fp_col) for s in q.sub] + [fp_col[fp] for fp in q.fps]
     if q.op == AND:
-        sets = child_sets + leaf_sets
-        if not sets:
-            return all_files
-        out = sets[0].copy()
-        for s in sets[1:]:
-            out &= s
+        if not terms:
+            return F.lit(True)
+        out = terms[0]
+        for t in terms[1:]:
+            out = out & t
         return out
-    # OR
-    out: set[str] = set()
-    for s in child_sets + leaf_sets:
-        out |= s
+    if not terms:
+        return F.lit(False)
+    out = terms[0]
+    for t in terms[1:]:
+        out = out | t
     return out
 
 

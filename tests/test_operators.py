@@ -42,12 +42,46 @@ def test_multimodal_fake_decode(spark, sf_dir):
     assert all(0 <= x <= 1 for r in feats for x in r["features"])
 
 
-def test_multimodal_real_decode_is_stubbed(spark, sf_dir):
-    from lakeside_spark.operators.multimodal import decode_features, synthesize_media
+def test_multimodal_real_png_decode(spark, sf_dir):
+    import numpy as np
 
-    docs = synthesize_media(load_table(spark, sf_dir, "documents").limit(1))
-    with pytest.raises(NotImplementedError):
-        decode_features(docs)
+    from lakeside_spark.operators import codecs
+    from lakeside_spark.operators.multimodal import (
+        decode_features,
+        resize_media,
+        synthesize_images,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(10)
+    imgs = synthesize_images(docs, width=16, height=12)
+    # synthesized media are REAL PNGs: stdlib decode gives the exact pixels
+    one = imgs.limit(1).collect()[0]
+    px = codecs.png_decode(bytes(one["media"]))
+    assert px.shape == (12, 16, 1)
+
+    feats = decode_features(imgs, dim=8).collect()
+    assert len(feats) == 10
+    for r in feats:
+        w, h, c, mean, std = r["features"][:5]
+        assert (w, h, c) == (16.0, 12.0, 1.0)
+        assert 0 < mean < 1 and 0 < std < 1
+
+    resized = resize_media(imgs, width=5, height=4).collect()
+    for r in resized:
+        out = codecs.png_decode(bytes(r["media"]))
+        assert out.shape == (4, 5, 1)
+
+    # wav branch: real PCM decode drives the feature vector
+    sine = np.sin(np.linspace(0, 60, 4000))
+    wav = codecs.wav_encode(sine, rate=8000)
+    df = spark.createDataFrame([(1, bytearray(wav))], "doc_id long, media binary")
+    (r,) = decode_features(df, dim=8).collect()
+    rate_khz, nch, dur, rms = r["features"][:4]
+    assert rate_khz == pytest.approx(8.0)
+    assert nch == 1.0
+    assert dur == pytest.approx(0.5)
+    # 16-bit PCM quantization bounds the round-trip error at ~1/32768
+    assert rms == pytest.approx(float(np.sqrt((sine**2).mean())), rel=1e-3)
 
 
 def test_magic_byte_sniffing(spark):
@@ -206,9 +240,10 @@ def test_multimodal_resize_and_frames_plumbing(spark, sf_dir):
     for r in frames:
         per_doc.setdefault(r["doc_id"], []).append(r["frame_idx"])
     assert all(sorted(v) == list(range(len(v))) and len(v) <= 3 for v in per_doc.values())
-    # stubbed real path
-    with pytest.raises(NotImplementedError):
-        resize_media(media, 2, 2).collect()
+    # real resize of non-image bytes yields empty media (caller filters)
+    real = resize_media(media, 2, 2).collect()
+    assert all(len(r["media"]) == 0 for r in real)
+    # video frame extraction stays stubbed (no stdlib video codec)
     with pytest.raises(NotImplementedError):
         sample_frames(media).collect()
 
