@@ -89,8 +89,11 @@ def _signal_base(
     keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """Map-only Arrow kernel emitting one row of integer signal columns per
-    document; consumers derive the fractions in JVM expressions."""
-    keep_schema = "".join(f", {c} string" for c in keep)
+    document; consumers derive the fractions in JVM expressions. ``keep``
+    columns pass through with their input dtypes."""
+    keep_schema = "".join(
+        f", {c} {docs.schema[c].dataType.simpleString()}" for c in keep
+    )
     schema = (
         f"doc_id long{keep_schema}, n_words long, norm_chars long, "
         "top_chars long, top_tot long, dup_chars long, dup_tot long"
@@ -120,7 +123,8 @@ def _signal_base(
                 out[k] = pd.Series(v, dtype="int64")
             yield pd.DataFrame(out)
 
-    return docs.select(id_col, *keep, text_col).mapInPandas(kernel, schema)
+    in_cols = [id_col, *keep] + ([text_col] if text_col not in keep else [])
+    return docs.select(*in_cols).mapInPandas(kernel, schema)
 
 
 def repetition_signals(
@@ -156,19 +160,21 @@ def gopher_filter(
     max_dup5_frac: float = 0.15,
     text_col: str = "text",
     id_col: str = "doc_id",
+    keep: tuple[str, ...] = ("lang", "source"),
 ) -> DataFrame:
     """Gopher rule filter: word-count band, mean-word-length band, and the
     repetition caps, evaluated in one map-only pass (zero shuffles; the
-    signal columns are computed once per row inside the Arrow kernel)."""
+    signal columns are computed once per row inside the Arrow kernel).
+    ``keep`` columns ride through typed, so pipelines can keep e.g. the
+    text column for downstream stages without re-joining the source."""
     one = F.lit(1).cast("long")
-    base = _signal_base(docs, 2, 5, text_col, id_col, keep=("lang", "source"))
+    base = _signal_base(docs, 2, 5, text_col, id_col, keep=keep)
     mean_wl = (F.col("norm_chars") - (F.col("n_words") - 1)) / F.greatest(
         F.col("n_words"), one
     )
     out = base.select(
         "doc_id",
-        "lang",
-        "source",
+        *keep,
         "n_words",
         F.round(mean_wl, 6).alias("mean_word_len"),
         F.round(F.col("top_chars") / F.greatest(F.col("top_tot"), one), 6).alias(

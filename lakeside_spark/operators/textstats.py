@@ -8,7 +8,7 @@ hashes md5-based, ratios single-division doubles.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from lakeside_spark.functions.text import normalized, shingles, words
@@ -48,6 +48,25 @@ def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     )
 
 
+def quality_expr(text_col: str = "text") -> Column:
+    """The rounded quality score as a plain Column, so gate pipelines can
+    filter on it inline (pure codegen predicate at the scan) instead of
+    semi-joining against a quality_score() projection."""
+    w = words(text_col)
+    n_chars = F.length(F.col(text_col)).cast("double")
+    n_words = F.size(w).cast("double")
+    punct = F.regexp_count(F.col(text_col), F.lit(r"[^\w\s]")).cast("double")
+    stops = _marker_count(text_col, _EN_STOPWORDS).cast("double")
+    punct_ratio = punct / F.greatest(n_chars, F.lit(1.0))
+    stop_ratio = stops / F.greatest(n_words, F.lit(1.0))
+    return F.round(
+        F.least(n_words / 100.0, F.lit(1.0)) * 0.4
+        + F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.3
+        + (1.0 - punct_ratio) * 0.3,
+        6,
+    )
+
+
 def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Length/punctuation/stopword heuristic quality features + score.
 
@@ -60,18 +79,13 @@ def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     stops = _marker_count(text_col, _EN_STOPWORDS).cast("double")
     punct_ratio = punct / F.greatest(n_chars, F.lit(1.0))
     stop_ratio = stops / F.greatest(n_words, F.lit(1.0))
-    score = (
-        F.least(n_words / 100.0, F.lit(1.0)) * 0.4
-        + F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.3
-        + (1.0 - punct_ratio) * 0.3
-    )
     return docs.select(
         F.col(id_col).alias("doc_id"),
         n_chars.alias("n_chars_m"),
         n_words.alias("n_words"),
         F.round(punct_ratio, 6).alias("punct_ratio"),
         F.round(stop_ratio, 6).alias("stop_ratio"),
-        F.round(score, 6).alias("quality"),
+        quality_expr(text_col).alias("quality"),
     )
 
 

@@ -2424,6 +2424,24 @@ FROM documents
 """
 
 
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rows-only: synthesize REAL PNGs from the documents table, then
+    pixel-decode them with the stdlib codec (operators/codecs.py) and emit
+    per-image feature vectors — PNG inflate + unfilter is not expressible
+    in SQL, so this key has no oracle entry."""
+    from lakeside_spark.operators.multimodal import (
+        decode_features,
+        synthesize_images,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = decode_features(synthesize_images(docs), dim=8)
+    return feats.select(
+        "doc_id",
+        F.transform("features", lambda x: F.round(x, 6)).alias("features"),
+    )
+
+
 def ema_smooth_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rows-only: recursive EMA over daily per-name count series
     (applyInPandas; not expressible in non-recursive SQL)."""
@@ -2590,26 +2608,30 @@ def corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full training-data curation pipeline in one query: quality gate
     (score ≥ 0.5, length band) → Gopher repetition/shape gate → benchmark
     decontamination (eval split = doc_id % 20 == 0) → near-dup removal
-    (3-gram Jaccard ≥ 0.12 clusters, keep min-id canonical). Filter stages
-    run before shingling so the quadratic dedup machinery only sees
-    survivors — the order a 100 TB pipeline must use."""
+    (3-gram Jaccard ≥ 0.12 clusters, keep min-id canonical).
+
+    Single-pass shape: the length/split/quality gates are pure codegen
+    predicates evaluated AT THE SCAN (no semi-joins against derived
+    projections — at 100 TB each of those was a corpus-sized shuffle), the
+    Gopher gate is one map-only Arrow kernel that carries lang/source/
+    n_chars/text through typed, and decontamination anti-joins broadcast
+    eval grams against only the gate survivors. The quadratic dedup
+    machinery runs last, over the smallest possible set."""
     from lakeside_spark.operators.decontam import decontaminate
     from lakeside_spark.operators.dedup import connected_components, ngram_jaccard_pairs
     from lakeside_spark.operators.repetition import gopher_filter
-    from lakeside_spark.operators.textstats import quality_score
+    from lakeside_spark.operators.textstats import quality_expr
 
     docs = load_table(spark, sf_dir, "documents")
-    q = quality_score(docs).filter(F.col("quality") >= 0.5).select("doc_id")
-    g = gopher_filter(docs).select("doc_id")
-    ev = docs.filter(F.col("doc_id") % 20 == 0)
-    corpus = docs.filter(F.col("doc_id") % 20 != 0)
-    clean = decontaminate(corpus, ev, n=5).select("doc_id")
-    kept = (
-        docs.filter((F.col("n_chars") >= 80) & (F.col("n_chars") <= 5000))
-        .join(q, "doc_id", "leftsemi")
-        .join(g, "doc_id", "leftsemi")
-        .join(clean, "doc_id", "leftsemi")
+    pre = docs.filter(
+        (F.col("n_chars") >= 80)
+        & (F.col("n_chars") <= 5000)
+        & (F.col("doc_id") % 20 != 0)
+        & (quality_expr("text") >= 0.5)
     )
+    gated = gopher_filter(pre, keep=("lang", "source", "n_chars", "text"))
+    ev = docs.filter(F.col("doc_id") % 20 == 0)
+    kept = decontaminate(gated, ev, n=5)
     pairs = ngram_jaccard_pairs(kept, threshold=0.12)
     clusters = connected_components(pairs)
     drop = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
@@ -2898,6 +2920,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprint": doc_fingerprint,
     "multimodal_meta": multimodal_meta,
     # --- rows-only by design (no oracle)
+    "multimodal_decode": multimodal_decode,
     "dedup_simhash": dedup_simhash,
     "ann_lsh": ann_lsh,
     "ann_ivf": ann_ivf,
