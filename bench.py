@@ -75,6 +75,7 @@ HEADLINE = [
     "corpus_pack",
     "corpus_dedupe",
     "corpus_curate",
+    "multimodal_decode",
 ]
 
 
