@@ -76,6 +76,8 @@ HEADLINE = [
     "corpus_dedupe",
     "corpus_curate",
     "multimodal_decode",
+    "text_pii_scrub",
+    "corpus_c4_filter",
 ]
 
 

@@ -2424,6 +2424,93 @@ FROM documents
 """
 
 
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over the documents table. The synthetic corpus has no
+    PII, so each doc is seeded with deterministic doc_id-derived email /
+    IPv4 / SSN / phone strings (identically in the oracle SQL) — parity
+    then proves the regex scrub semantics, not just a no-op."""
+    from lakeside_spark.operators.pii import pii_scrub
+
+    docs = load_table(spark, sf_dir, "documents")
+    seeded = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com ip 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 ssn 123-45-6789 tel +1 (555) 010-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ),
+    )
+    return pii_scrub(seeded)
+
+
+def _pii_seed_sql() -> str:
+    return (
+        "text || ' contact user' || CAST(doc_id AS VARCHAR)"
+        " || '@example.com ip 10.0.' || CAST(doc_id % 256 AS VARCHAR)"
+        " || '.7 ssn 123-45-6789 tel +1 (555) 010-'"
+        " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    )
+
+
+def _pii_scrub_sql() -> str:
+    from lakeside_spark.operators.pii import PII_PATTERNS
+
+    (_, email, r_email), (_, ssn, r_ssn), (_, ip, r_ip), (_, phone, r_phone) = (
+        PII_PATTERNS
+    )
+    return f"""
+WITH s0 AS (SELECT doc_id, {_pii_seed_sql()} AS t0 FROM documents),
+s1 AS (SELECT *, regexp_replace(t0, '{email}', '{r_email}', 'g') AS t1 FROM s0),
+s2 AS (SELECT *, regexp_replace(t1, '{ssn}', '{r_ssn}', 'g') AS t2 FROM s1),
+s3 AS (SELECT *, regexp_replace(t2, '{ip}', '{r_ip}', 'g') AS t3 FROM s2)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t0, '{email}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(t1, '{ssn}')) AS BIGINT) AS n_ssn,
+       CAST(len(regexp_extract_all(t2, '{ip}')) AS BIGINT) AS n_ip,
+       CAST(len(regexp_extract_all(t3, '{phone}')) AS BIGINT) AS n_phone,
+       regexp_replace(t3, '{phone}', '{r_phone}', 'g') AS scrubbed
+FROM s3
+"""
+
+
+TEXT_PII_SCRUB_SQL = _pii_scrub_sql()
+
+
+def corpus_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 heuristic gate (Raffel et al. 2020 §2.2) with thresholds that
+    bite on the synthetic corpus: ≥20 words, ≤25-char words, ≥0.5
+    distinct-word ratio, no braces / lorem ipsum (sentence floor 0 — the
+    corpus has no terminal punctuation; the rule itself is exercised in
+    pytest with punctuated fixtures)."""
+    from lakeside_spark.operators.pii import c4_filter
+
+    docs = load_table(spark, sf_dir, "documents")
+    return c4_filter(docs, min_words=20, min_distinct_ratio=0.5)
+
+
+_C4_WORDS = f"string_split({_NORM}, ' ')"
+
+CORPUS_C4_FILTER_SQL = f"""
+WITH sig AS (
+  SELECT doc_id,
+         CAST(len({_C4_WORDS}) AS BIGINT) AS n_words,
+         CAST(len(regexp_extract_all(text, '[.!?]')) AS BIGINT) AS n_sentences,
+         CAST(coalesce(list_max(list_transform({_C4_WORDS}, w -> length(w))), 0) AS BIGINT) AS max_word_len,
+         ROUND(len(list_distinct({_C4_WORDS})) / greatest(CAST(len({_C4_WORDS}) AS DOUBLE), 1.0), 6) AS distinct_ratio,
+         (position('{{' in text) > 0) AS has_brace,
+         (position('lorem ipsum' in lower(text)) > 0) AS has_lorem
+  FROM documents
+)
+SELECT * FROM sig
+WHERE n_words >= 20 AND max_word_len <= 25 AND n_sentences >= 0
+  AND distinct_ratio >= 0.5 AND NOT has_brace AND NOT has_lorem
+"""
+
+
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rows-only: synthesize REAL PNGs from the documents table, then
     pixel-decode them with the stdlib codec (operators/codecs.py) and emit
@@ -2918,6 +3005,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_quality_filter": corpus_quality_filter,
     "text_tokens": text_tokens,
     "doc_fingerprint": doc_fingerprint,
+    "text_pii_scrub": text_pii_scrub,
+    "corpus_c4_filter": corpus_c4_filter,
     "multimodal_meta": multimodal_meta,
     # --- rows-only by design (no oracle)
     "multimodal_decode": multimodal_decode,
@@ -2993,6 +3082,8 @@ ORACLES: dict[str, str] = {
     "ts_fill": TS_FILL_SQL,
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
     "corpus_dedupe": CORPUS_DEDUPE_SQL,
+    "text_pii_scrub": TEXT_PII_SCRUB_SQL,
+    "corpus_c4_filter": CORPUS_C4_FILTER_SQL,
     "formula_ratio": FORMULA_RATIO_SQL,
     "formula_add_fill": FORMULA_ADD_FILL_SQL,
     "graph_request": GRAPH_REQUEST_SQL,

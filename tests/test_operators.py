@@ -459,3 +459,57 @@ def test_semdedup_invariants(spark, sf_dir):
     # deterministic across runs
     again = sorted((r["vec_id"], r["cell"]) for r in semdedup(emb, threshold=0.4).collect())
     assert again == sorted((r["vec_id"], r["cell"]) for r in rows)
+
+
+def test_pii_scrub_redacts_all_categories(spark):
+    from lakeside_spark.operators.pii import pii_scrub
+
+    rows = [
+        (1, "mail bob.smith+x@corp.example.org now"),
+        (2, "server at 192.168.10.255 port open"),
+        (3, "ssn is 123-45-6789 ok"),
+        (4, "call +1 (555) 010-9999 today"),
+        (5, "plain text with no pii at all"),
+        (6, "two mails a@b.io c@d.net and ip 10.0.0.1"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in pii_scrub(df).collect()}
+    assert got[1]["scrubbed"] == "mail <EMAIL> now"
+    assert got[1]["n_email"] == 1
+    assert got[2]["scrubbed"] == "server at <IP> port open"
+    assert got[2]["n_ip"] == 1 and got[2]["n_phone"] == 0
+    assert got[3]["scrubbed"] == "ssn is <SSN> ok"
+    # the SSN is consumed by the SSN stage, never double-counted as phone
+    assert got[3]["n_ssn"] == 1 and got[3]["n_phone"] == 0
+    assert got[4]["scrubbed"] == "call <PHONE> today"
+    assert got[4]["n_phone"] == 1
+    assert got[5]["scrubbed"] == rows[4][1]
+    assert sum(got[5][k] for k in ("n_email", "n_ssn", "n_ip", "n_phone")) == 0
+    assert got[6]["n_email"] == 2 and got[6]["n_ip"] == 1
+    assert got[6]["scrubbed"] == "two mails <EMAIL> <EMAIL> and ip <IP>"
+
+
+def test_c4_filter_rules(spark):
+    from lakeside_spark.operators.pii import c4_filter, c4_signals
+
+    base = "the quick brown fox jumps over a lazy dog near the old red barn today"
+    rows = [
+        (1, base + ". And again. And once more."),  # 3 sentences, passes
+        (2, base),  # 0 sentences
+        (3, "short text only"),  # too few words
+        (4, base + " {json: true}"),  # brace drop
+        (5, base + " lorem ipsum dolor sit"),  # lorem drop
+        (6, base + " Supercalifragilisticexpialidocious!. x. y."),  # long word
+        (7, ("dup " * 40).strip() + ". A. B. C."),  # low distinct ratio
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = {r["doc_id"]: r.asDict() for r in c4_signals(df).collect()}
+    assert sig[1]["n_sentences"] == 3
+    assert sig[4]["has_brace"] and sig[5]["has_lorem"]
+    assert sig[6]["max_word_len"] >= 34
+    assert sig[7]["distinct_ratio"] < 0.2
+    kept = {r["doc_id"] for r in c4_filter(df, min_sentences=3).collect()}
+    assert kept == {1}
+    # sentence floor off: doc 2 (no punctuation) also passes
+    kept0 = {r["doc_id"] for r in c4_filter(df, min_sentences=0).collect()}
+    assert kept0 == {1, 2}
