@@ -78,6 +78,8 @@ HEADLINE = [
     "multimodal_decode",
     "text_pii_scrub",
     "corpus_c4_filter",
+    "corpus_chunk",
+    "corpus_span_dedup",
 ]
 
 

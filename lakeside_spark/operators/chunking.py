@@ -1,0 +1,127 @@
+"""Span-level dedup and sliding-window chunking for corpus preparation.
+
+Two corpus-preparation stages complementing the document-level dedup
+family (operators/dedup.py):
+
+- ``span_dedup``: C4/CCNet-style removal of spans repeated ACROSS
+  documents (C4 drops any three-sentence span occurring more than once;
+  CCNet dedups paragraphs by hash). Documents are tiled into fixed
+  word-count spans, a global span-hash document-frequency count finds
+  boilerplate, and documents are reassembled without the over-represented
+  spans. Shape: explode → one hash aggregation (map-side combined) →
+  broadcast-or-shuffle semi-join back → ordered reassembly — the span
+  count table is vocabulary-sized, not corpus-sized.
+- ``chunk_documents``: overlapping word-window chunking (window W,
+  stride S) — the standard prep for context-window training and RAG
+  indexing. Pure Column expressions: sequence → slice → posexplode,
+  map-only, zero shuffles.
+
+All string math uses the shared ``words()`` normalization so the DuckDB
+oracle (string_split on the same normalization) agrees byte-for-byte.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lakeside_spark.functions.text import words
+
+
+def chunk_documents(
+    docs: DataFrame,
+    window: int = 64,
+    stride: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, chunk_id, chunk, n_words) — overlapping word windows.
+
+    Start positions 1, 1+S, 1+2S, …; the final window is the last start
+    not past the end, so every word lands in ≥1 chunk and no chunk is
+    empty. A doc shorter than the window yields exactly one chunk."""
+    w = words(text_col)
+    n = F.size(w)
+    n_chunks = F.floor(
+        F.greatest(n - window, F.lit(0)).cast("double") / stride
+    ).cast("int") + 1
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(" ", F.slice(w, i * stride + 1, window)),
+    )
+    out = docs.select(
+        F.col(id_col).alias("doc_id"),
+        n.cast("long").alias("doc_words"),
+        F.posexplode(chunks).alias("chunk_id", "chunk"),
+    )
+    return out.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        "chunk",
+        F.least(
+            F.lit(window).cast("long"),
+            F.col("doc_words") - F.col("chunk_id") * stride,
+        ).alias("n_words"),
+    )
+
+
+def span_dedup(
+    docs: DataFrame,
+    span_words: int = 8,
+    max_df: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Remove spans repeated across more than ``max_df`` documents.
+
+    Documents are tiled into non-overlapping ``span_words``-word spans
+    (last tile may be short); a span is boilerplate when its md5 appears
+    in more than ``max_df`` DISTINCT documents. Returns
+    (doc_id, clean_text, n_spans, n_dropped) with surviving spans
+    rejoined in document order."""
+    w = words(text_col)
+    n_tiles = F.ceil(F.size(w).cast("double") / span_words).cast("int")
+    tiles = F.transform(
+        F.sequence(F.lit(0), n_tiles - 1),
+        lambda i: F.concat_ws(" ", F.slice(w, i * span_words + 1, span_words)),
+    )
+    tiled = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tiles).alias("span_idx", "span"),
+    )
+    # global document-frequency per span hash: one map-side-combined
+    # aggregation; the result is boilerplate-sized (distinct spans), far
+    # smaller than the corpus, and joins back on the hash
+    span_df = (
+        tiled.groupBy(F.md5("span").alias("span_hash"))
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") > max_df)
+    )
+    kept = tiled.join(
+        span_df.hint("broadcast"),
+        F.md5(tiled["span"]) == span_df["span_hash"],
+        "left_anti",
+    )
+    surv = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("span_idx", "span"))),
+                lambda s: s["span"],
+            ),
+        ).alias("clean_text"),
+        F.count("*").alias("n_spans_kept"),
+    )
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), n_tiles.cast("long").alias("n_spans")
+    )
+    # left join: a doc whose every span was boilerplate survives with
+    # empty clean_text rather than silently disappearing from the corpus
+    return base.join(surv, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        "n_spans",
+        (F.col("n_spans") - F.coalesce("n_spans_kept", F.lit(0))).cast(
+            "long"
+        ).alias("n_dropped"),
+    )

@@ -2511,6 +2511,60 @@ WHERE n_words >= 20 AND max_word_len <= 25 AND n_sentences >= 0
 """
 
 
+def corpus_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping word-window chunking (window 32, stride 16) — context-
+    window / RAG prep. Map-only sequence→slice→posexplode."""
+    from lakeside_spark.operators.chunking import chunk_documents
+
+    return chunk_documents(
+        load_table(spark, sf_dir, "documents"), window=32, stride=16
+    )
+
+
+CORPUS_CHUNK_SQL = f"""
+WITH w AS (SELECT doc_id, string_split({_NORM}, ' ') AS ws FROM documents),
+c0 AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS doc_words,
+        [{{'chunk_id': i - 1,
+           'chunk': array_to_string(list_slice(ws, (i-1)*16+1, (i-1)*16+32), ' ')}}
+         for i in range(1, CAST(floor(greatest(len(ws) - 32, 0)*1.0/16) AS BIGINT) + 2)] AS chunks
+       FROM w),
+c AS (SELECT doc_id, doc_words, unnest(chunks, recursive := true) FROM c0)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id, chunk,
+       least(32, doc_words - chunk_id*16) AS n_words
+FROM c
+"""
+
+
+def corpus_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/CCNet-style cross-document span dedup: 3-word tiles occurring in
+    more than 2 distinct documents are boilerplate and removed; documents
+    are reassembled in order (empty if everything was boilerplate)."""
+    from lakeside_spark.operators.chunking import span_dedup
+
+    return span_dedup(
+        load_table(spark, sf_dir, "documents"), span_words=3, max_df=2
+    )
+
+
+CORPUS_SPAN_DEDUP_SQL = f"""
+WITH w AS (SELECT doc_id, string_split({_NORM}, ' ') AS ws FROM documents),
+t0 AS (SELECT doc_id,
+        [{{'span_idx': i - 1,
+           'span': array_to_string(list_slice(ws, (i-1)*3+1, i*3), ' ')}}
+         for i in range(1, CAST(ceil(len(ws)*1.0/3) AS BIGINT) + 1)] AS tiles
+       FROM w),
+t AS (SELECT doc_id, unnest(tiles, recursive := true) FROM t0),
+df AS (SELECT md5(span) AS h FROM t GROUP BY 1 HAVING count(DISTINCT doc_id) > 2),
+k AS (SELECT * FROM t WHERE md5(span) NOT IN (SELECT h FROM df)),
+agg AS (SELECT doc_id, string_agg(span, ' ' ORDER BY span_idx) AS clean_text,
+        CAST(count(*) AS BIGINT) AS n_kept FROM k GROUP BY doc_id)
+SELECT w.doc_id, coalesce(agg.clean_text, '') AS clean_text,
+       CAST(ceil(len(w.ws)*1.0/3) AS BIGINT) AS n_spans,
+       CAST(ceil(len(w.ws)*1.0/3) AS BIGINT) - coalesce(agg.n_kept, 0) AS n_dropped
+FROM w LEFT JOIN agg ON w.doc_id = agg.doc_id
+"""
+
+
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rows-only: synthesize REAL PNGs from the documents table, then
     pixel-decode them with the stdlib codec (operators/codecs.py) and emit
@@ -3007,6 +3061,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprint": doc_fingerprint,
     "text_pii_scrub": text_pii_scrub,
     "corpus_c4_filter": corpus_c4_filter,
+    "corpus_chunk": corpus_chunk,
+    "corpus_span_dedup": corpus_span_dedup,
     "multimodal_meta": multimodal_meta,
     # --- rows-only by design (no oracle)
     "multimodal_decode": multimodal_decode,
@@ -3084,6 +3140,8 @@ ORACLES: dict[str, str] = {
     "corpus_dedupe": CORPUS_DEDUPE_SQL,
     "text_pii_scrub": TEXT_PII_SCRUB_SQL,
     "corpus_c4_filter": CORPUS_C4_FILTER_SQL,
+    "corpus_chunk": CORPUS_CHUNK_SQL,
+    "corpus_span_dedup": CORPUS_SPAN_DEDUP_SQL,
     "formula_ratio": FORMULA_RATIO_SQL,
     "formula_add_fill": FORMULA_ADD_FILL_SQL,
     "graph_request": GRAPH_REQUEST_SQL,

@@ -513,3 +513,41 @@ def test_c4_filter_rules(spark):
     # sentence floor off: doc 2 (no punctuation) also passes
     kept0 = {r["doc_id"] for r in c4_filter(df, min_sentences=0).collect()}
     assert kept0 == {1, 2}
+
+
+def test_chunk_documents_windows(spark):
+    from lakeside_spark.operators.chunking import chunk_documents
+
+    rows = [(1, " ".join(f"w{i}" for i in range(10))), (2, "a b c")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {}
+    for r in chunk_documents(df, window=4, stride=3).collect():
+        got.setdefault(r["doc_id"], []).append((r["chunk_id"], r["chunk"], r["n_words"]))
+    # starts at 0,3,6 -> windows of 4 words; last window short (w9)
+    assert [c for _, c, _ in sorted(got[1])] == [
+        "w0 w1 w2 w3", "w3 w4 w5 w6", "w6 w7 w8 w9",
+    ]
+    assert [n for _, _, n in sorted(got[1])] == [4, 4, 4]
+    # doc shorter than the window: exactly one (short) chunk
+    assert got[2] == [(0, "a b c", 3)]
+
+
+def test_span_dedup_removes_boilerplate(spark):
+    from lakeside_spark.operators.chunking import span_dedup
+
+    boiler = "click here to subscribe now"  # 5 words = one span at width 5
+    rows = [
+        (1, f"{boiler} unique one text body"),
+        (2, f"{boiler} second document words here"),
+        (3, f"{boiler} third doc other content"),
+        (4, "completely original text with no repeats"),
+        (5, boiler),  # nothing but boilerplate -> empty survivor
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in span_dedup(df, span_words=5, max_df=2).collect()}
+    # the boilerplate span appears in 4 docs (> max_df=2) and is dropped
+    assert got[1]["clean_text"] == "unique one text body"
+    assert got[1]["n_dropped"] == 1 and got[1]["n_spans"] == 2
+    assert got[4]["clean_text"] == rows[3][1]
+    assert got[4]["n_dropped"] == 0
+    assert got[5]["clean_text"] == "" and got[5]["n_dropped"] == 1
