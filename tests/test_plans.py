@@ -113,3 +113,33 @@ def test_q21_semi_anti_shape(spark, sf_dir):
     assert "LeftSemi" in plan and "LeftAnti" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+@pytest.mark.parametrize("name", ["text_pii_scrub", "corpus_c4_filter", "corpus_chunk"])
+def test_curation_gates_are_map_only(spark, sf_dir, name):
+    """PII scrub, C4 gate, and chunking must be shuffle-free map pipelines:
+    zero exchanges, no joins — the shape that stays embarrassingly
+    parallel at 100 TB."""
+    plan = _plan(spark, sf_dir, name)
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_span_dedup_broadcasts_boilerplate(spark, sf_dir):
+    """The span-DF table is boilerplate-sized; the anti-join against it
+    must broadcast, and nothing may degenerate into a cartesian product."""
+    plan = _plan(spark, sf_dir, "corpus_span_dedup")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_corpus_curate_single_scan_gates(spark, sf_dir):
+    """The quality/length/split gates must be filters at the documents
+    scan (no semi-joins against derived projections), and decontamination
+    must broadcast its dirty-id side."""
+    plan = _plan(spark, sf_dir, "corpus_curate")
+    assert "LeftSemi" not in plan, plan
+    scan_lines = [l for l in plan.splitlines() if "FileScan" in l and "documents" in l]
+    assert scan_lines, plan
+    # the doc_id % 20 split gate reaches the scan as a data filter
+    assert any("n_chars" in l for l in scan_lines), scan_lines
