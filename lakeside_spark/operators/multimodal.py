@@ -40,10 +40,8 @@ _MAGIC = {
 
 def with_media_metadata(df: DataFrame, binary_col: str = "media") -> DataFrame:
     """Attach a typed metadata struct sniffed from the binary column."""
-    head = F.expr(f"substring({binary_col}, 1, 4)")
     fmt = F.lit("unknown")
     for magic, name in _MAGIC.items():
-        prefix = F.lit(bytearray(magic))
         fmt = F.when(
             F.expr(f"substring({binary_col}, 1, {len(magic)})") == F.lit(magic), name
         ).otherwise(fmt)
