@@ -80,6 +80,8 @@ HEADLINE = [
     "corpus_c4_filter",
     "corpus_chunk",
     "corpus_span_dedup",
+    "corpus_stats",
+    "embedding_quality_filter",
 ]
 
 

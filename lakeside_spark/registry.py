@@ -2565,6 +2565,82 @@ FROM w LEFT JOIN agg ON w.doc_id = agg.doc_id
 """
 
 
+def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, source) corpus report: doc count, char/word totals,
+    median length, mean quality — the mixture-dashboard query every
+    curation run ends with. One shuffle, map-side combined."""
+    from lakeside_spark.functions.text import words
+    from lakeside_spark.operators.textstats import quality_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    # avg quality via an exact fixed-point integer sum: float addition is
+    # order-dependent and partial-aggregate order is not deterministic, so
+    # a double sum can flip the 6th rounded decimal run-to-run
+    q_fixed = F.round(quality_expr("text") * 1e6).cast("long")
+    return (
+        docs.groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum(F.size(words("text"))).cast("bigint").alias("total_words"),
+            F.round(F.median("n_chars"), 6).alias("median_chars"),
+            F.round(F.sum(q_fixed) / (F.count("*") * 1e6), 6).alias(
+                "avg_quality"
+            ),
+        )
+    )
+
+
+CORPUS_STATS_SQL = f"""
+WITH q AS ({TEXT_QUALITY_SQL.strip()})
+SELECT d.lang, d.source,
+       count(*) AS n_docs,
+       CAST(sum(d.n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(len(string_split({_NORM.replace('text', 'd.text')}, ' '))) AS BIGINT) AS total_words,
+       ROUND(median(d.n_chars), 6) AS median_chars,
+       ROUND(sum(CAST(round(q.quality * 1000000, 0) AS BIGINT))
+             / (count(*) * 1000000.0), 6) AS avg_quality
+FROM documents d JOIN q ON q.doc_id = d.doc_id
+GROUP BY d.lang, d.source
+"""
+
+
+def embedding_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fasttext-style linear quality scorer over the embedding column:
+    sigmoid(w·v) with a fixed deterministic weight vector (sin(1..64)),
+    keep score ≥ 0.5. The weights broadcast as a literal expression; the
+    scan stays map-only — the shape of classifier-based corpus filtering
+    (e.g. the GPT-3 / LLaMA quality classifiers) at 100 TB."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    w = F.transform(
+        F.sequence(F.lit(1), F.lit(64)), lambda i: F.sin(i.cast("double"))
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("embedding").cast("array<double>"), w, lambda a, b: a * b
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-dot))
+    return (
+        emb.select(
+            "vec_id", "label", F.round(score, 6).alias("quality_score")
+        )
+        .filter(F.col("quality_score") >= 0.5)
+    )
+
+
+EMBEDDING_QUALITY_FILTER_SQL = """
+SELECT vec_id, label,
+       round(1/(1+exp(-list_dot_product(embedding::DOUBLE[],
+             [sin(i) for i in range(1, 65)]))), 6) AS quality_score
+FROM embeddings
+WHERE round(1/(1+exp(-list_dot_product(embedding::DOUBLE[],
+      [sin(i) for i in range(1, 65)]))), 6) >= 0.5
+"""
+
+
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rows-only: synthesize REAL PNGs from the documents table, then
     pixel-decode them with the stdlib codec (operators/codecs.py) and emit
@@ -3063,6 +3139,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_c4_filter": corpus_c4_filter,
     "corpus_chunk": corpus_chunk,
     "corpus_span_dedup": corpus_span_dedup,
+    "corpus_stats": corpus_stats,
+    "embedding_quality_filter": embedding_quality_filter,
     "multimodal_meta": multimodal_meta,
     # --- rows-only by design (no oracle)
     "multimodal_decode": multimodal_decode,
@@ -3142,6 +3220,8 @@ ORACLES: dict[str, str] = {
     "corpus_c4_filter": CORPUS_C4_FILTER_SQL,
     "corpus_chunk": CORPUS_CHUNK_SQL,
     "corpus_span_dedup": CORPUS_SPAN_DEDUP_SQL,
+    "corpus_stats": CORPUS_STATS_SQL,
+    "embedding_quality_filter": EMBEDDING_QUALITY_FILTER_SQL,
     "formula_ratio": FORMULA_RATIO_SQL,
     "formula_add_fill": FORMULA_ADD_FILL_SQL,
     "graph_request": GRAPH_REQUEST_SQL,
