@@ -37,12 +37,14 @@ def chunk_documents(
 ) -> DataFrame:
     """(doc_id, chunk_id, chunk, n_words) — overlapping word windows.
 
-    Start positions 1, 1+S, 1+2S, …; the final window is the last start
-    not past the end, so every word lands in ≥1 chunk and no chunk is
-    empty. A doc shorter than the window yields exactly one chunk."""
+    Start positions 1, 1+S, 1+2S, … up to the first start whose window
+    reaches the last word (ceil, not floor — floor silently drops the
+    tail when (n-W) % S != 0), so every word lands in ≥1 chunk. A doc
+    shorter than the window yields exactly one chunk; with stride >
+    window (gap sampling) out-of-range starts are filtered out."""
     w = words(text_col)
     n = F.size(w)
-    n_chunks = F.floor(
+    n_chunks = F.ceil(
         F.greatest(n - window, F.lit(0)).cast("double") / stride
     ).cast("int") + 1
     chunks = F.transform(
@@ -62,7 +64,7 @@ def chunk_documents(
             F.lit(window).cast("long"),
             F.col("doc_words") - F.col("chunk_id") * stride,
         ).alias("n_words"),
-    )
+    ).filter(F.col("n_words") > 0)
 
 
 def span_dedup(

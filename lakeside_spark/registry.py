@@ -2526,12 +2526,13 @@ WITH w AS (SELECT doc_id, string_split({_NORM}, ' ') AS ws FROM documents),
 c0 AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS doc_words,
         [{{'chunk_id': i - 1,
            'chunk': array_to_string(list_slice(ws, (i-1)*16+1, (i-1)*16+32), ' ')}}
-         for i in range(1, CAST(floor(greatest(len(ws) - 32, 0)*1.0/16) AS BIGINT) + 2)] AS chunks
+         for i in range(1, CAST(ceil(greatest(len(ws) - 32, 0)*1.0/16) AS BIGINT) + 2)] AS chunks
        FROM w),
 c AS (SELECT doc_id, doc_words, unnest(chunks, recursive := true) FROM c0)
 SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id, chunk,
        least(32, doc_words - chunk_id*16) AS n_words
 FROM c
+WHERE least(32, doc_words - chunk_id*16) > 0
 """
 
 

@@ -83,3 +83,55 @@ def test_sessionize_matches_model(spark, events, gap):
         if start is not None:
             model[(k, sid)] = (start, prev, cnt)
     assert got == model
+
+
+TEXTS = st.lists(
+    st.text(
+        alphabet="abcdefg .!?@0123456789-+()",
+        min_size=0,
+        max_size=60,
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=TEXTS)
+def test_pii_scrub_is_idempotent(spark, texts):
+    """Scrubbing already-scrubbed text changes nothing: the replacement
+    tokens contain no digits or @, so no pattern can re-fire."""
+    from lakeside_spark.operators.pii import pii_scrub
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    once = pii_scrub(df).withColumnRenamed("scrubbed", "text")
+    twice = pii_scrub(once.select("doc_id", "text"))
+    rows = {r["doc_id"]: r.asDict() for r in twice.collect()}
+    first = {r["doc_id"]: r["text"] for r in once.select("doc_id", "text").collect()}
+    for did, r in rows.items():
+        assert r["scrubbed"] == first[did]
+        assert r["n_email"] == r["n_ssn"] == r["n_ip"] == r["n_phone"] == 0
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    words_=st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=1, max_size=30),
+    window=st.integers(1, 8),
+)
+def test_chunk_covers_every_word_and_tiles_reassemble(spark, words_, window):
+    from lakeside_spark.operators.chunking import chunk_documents
+
+    text = " ".join(words_)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    # stride == window -> non-overlapping tiles that reassemble exactly
+    chunks = sorted(
+        (r["chunk_id"], r["chunk"])
+        for r in chunk_documents(df, window=window, stride=window).collect()
+    )
+    assert " ".join(c for _, c in chunks) == text
+    # overlapping stride: total emitted words >= doc words (full coverage)
+    over = chunk_documents(df, window=window, stride=max(window // 2, 1))
+    emitted = sum(r["n_words"] for r in over.collect())
+    assert emitted >= len(words_)
