@@ -239,3 +239,51 @@ def test_streaming_dedup_drops_cross_batch_duplicates(spark):
     finally:
         shutil.rmtree(src_dir, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_streaming_curation_gates_match_batch(spark, sf_dir):
+    """The curation operators built from pure Column expressions
+    (pii_scrub, c4_filter, quality/gopher exprs) must run unchanged on a
+    stream — the 100 TB ingest path filters documents as they land, not
+    in a later batch pass. Gopher/dedup stages that aggregate need state
+    and are batch/compaction-side by design."""
+    from lakeside_spark.operators.pii import c4_filter, pii_scrub
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    src_dir = tempfile.mkdtemp(prefix="stream_docs_")
+    try:
+        docs.filter(F.col("doc_id") % 2 == 0).write.mode("overwrite").parquet(
+            f"{src_dir}/batch=0"
+        )
+        docs.filter(F.col("doc_id") % 2 == 1).write.mode("append").parquet(
+            f"{src_dir}/batch=1"
+        )
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(src_dir)
+        )
+        gated = c4_filter(pii_scrub(stream).withColumnRenamed("scrubbed", "text"))
+        q = (
+            gated.writeStream.format("memory")
+            .queryName("stream_curation")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = {
+            r["doc_id"]
+            for r in spark.sql("select doc_id from stream_curation").collect()
+        }
+        want = {
+            r["doc_id"]
+            for r in c4_filter(
+                pii_scrub(docs).withColumnRenamed("scrubbed", "text")
+            ).collect()
+        }
+        assert got == want and len(want) > 0
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
