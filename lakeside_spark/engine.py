@@ -273,6 +273,90 @@ class QueryEngine:
         ]
         return df.groupBy(*keys).agg(*measures).orderBy(S.STEP_TS)
 
+    _FUSABLE_AGGS = (S.COUNT, S.SUM, S.MIN, S.MAX, S.AVG)
+
+    def _fusable(self, e: BaseExpr) -> bool:
+        """A branch can join a single-scan fused aggregation when it is a
+        plain simple-agg chart over the raw value column (no extractor/
+        compute/rollup/sketch agg) and salting is off."""
+        return (
+            e.chart is not None
+            and e.chart.aggregation in self._FUSABLE_AGGS
+            and e.extractor is None
+            and e.compute is None
+            and e.chart.rollup is None
+            and (e.chart.field_name in (None, S.VALUE))
+            and self.salt == 1
+        )
+
+    def _run_chart_fused(
+        self,
+        branches: list[tuple[str, BaseExpr]],
+        df: DataFrame,
+        step_ms: int,
+    ) -> dict[str, DataFrame]:
+        """Evaluate N same-shaped chart branches in ONE scan + ONE shuffle.
+
+        The unfused path scans the fact table once per labeled expression
+        (the reference evaluates each BaseExpr's SQL separately) — at
+        100 TB a two-branch formula is two full passes. Here each branch
+        becomes a conditional aggregate ``agg(when(branch_filter, value))``
+        over the OR of all branch filters, plus a matched-row count whose
+        ``> 0`` filter reconstructs exactly the per-branch group
+        presence/absence the separate runs would produce (a step where
+        only the other branch matched must stay missing, not zero)."""
+        cols = set(df.columns)
+        conds = {
+            label: filter_to_column(e.filter, cols) for label, e in branches
+        }
+        combined = conds[branches[0][0]]
+        for label, _ in branches[1:]:
+            combined = combined | conds[label]
+        df = df.filter(combined)
+        group_bys = tuple(
+            g for g in branches[0][1].chart.group_bys if g in df.columns
+        )
+        step_col = F.col(S.TIMESTAMP) - F.col(S.TIMESTAMP) % F.lit(step_ms)
+        keys = [step_col.alias(S.STEP_TS)]
+        sel_keys = [S.STEP_TS]
+        if S.NAME in df.columns:
+            keys.append(F.col(S.NAME))
+            sel_keys.append(S.NAME)
+        keys += [F.col(g) for g in group_bys]
+        sel_keys += list(group_bys)
+        aggs = []
+        for i, (label, e) in enumerate(branches):
+            target = self._chart_value_column(e)
+            w = F.when(conds[label], target)
+            agg = {
+                S.COUNT: F.count(w),
+                S.SUM: F.sum(w),
+                S.MIN: F.min(w),
+                S.MAX: F.max(w),
+                S.AVG: F.avg(w),
+            }[e.chart.aggregation]
+            aggs.append(
+                self._chart_transform(e, agg.cast("double"), step_ms).alias(
+                    f"__v{i}"
+                )
+            )
+            aggs.append(
+                F.count(F.when(conds[label], F.lit(1))).alias(f"__n{i}")
+            )
+        # persist: every label (and each formula referencing it) consumes
+        # this frame, and exchange reuse does not reliably dedupe the
+        # subtrees across union branches — without the cache N consumers
+        # mean N scans of the fact table. The frame is post-aggregation
+        # (steps × names rows, KBs); Spark's context cleaner drops the
+        # cache once the DataFrames become unreachable.
+        agged = df.groupBy(*keys).agg(*aggs).persist()
+        return {
+            label: agged.filter(F.col(f"__n{i}") > 0).select(
+                *sel_keys, F.col(f"__v{i}").alias(S.VALUE)
+            )
+            for i, (label, _) in enumerate(branches)
+        }
+
     def _run_exemplars(self, expr: BaseExpr, df: DataFrame) -> DataFrame:
         """Raw-row query (reference: BaseExpr.scala:237-239): ORDER BY
         timestamp [DESC] LIMIT n. event_id breaks ties so limits are
@@ -305,10 +389,37 @@ class QueryEngine:
             parse_formula,
         )
 
-        out: dict[str, DataFrame] = {
-            label: self.run(e, df, start_ts=start_ts, end_ts=end_ts, step_ms=step_ms)
-            for label, e in exprs.items()
-        }
+        step_ms = step_ms or self.step_ms
+        scoped = df
+        if start_ts is not None:
+            scoped = scoped.filter(F.col(S.TIMESTAMP) >= F.lit(start_ts))
+        if end_ts is not None:
+            scoped = scoped.filter(F.col(S.TIMESTAMP) < F.lit(end_ts))
+
+        # single-scan fusion: same-dataset same-group-by simple-agg branches
+        # aggregate together (one pass over the fact table instead of one
+        # per label); everything else runs through the general path
+        groups: dict[tuple, list[tuple[str, BaseExpr]]] = {}
+        solo: dict[str, BaseExpr] = {}
+        for label, e in exprs.items():
+            if self._fusable(e):
+                groups.setdefault((e.dataset, e.chart.group_bys), []).append(
+                    (label, e)
+                )
+            else:
+                solo[label] = e
+        out: dict[str, DataFrame] = {}
+        for batch in groups.values():
+            if len(batch) >= 2:
+                out.update(self._run_chart_fused(batch, scoped, step_ms))
+            else:
+                solo[batch[0][0]] = batch[0][1]
+        out.update(
+            {
+                label: self.run(e, scoped, step_ms=step_ms)
+                for label, e in solo.items()
+            }
+        )
         if formulae:
             global_series = {
                 label: s.groupBy(S.STEP_TS).agg(F.sum(S.VALUE).alias(S.VALUE))

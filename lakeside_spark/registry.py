@@ -905,10 +905,22 @@ FROM a JOIN b USING (step_ts) WHERE b.value != 0
 
 def formula_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(errors / total) * 100 per 1h step — Formula div + mul with constant."""
-    a = _series(spark, sf_dir, Filter(k=S.NAME, v=("error",), op=S.EQ), HOUR)
-    b = _series(spark, sf_dir, Filter(k=S.NAME, op=S.EXISTS), HOUR)
-    out = eval_formula(parse_formula("(a / b) * 100"), {"a": a, "b": b})
-    return _rounded(out)
+    exprs = {
+        "a": BaseExpr(
+            filter=Filter(k=S.NAME, v=("error",), op=S.EQ),
+            chart=ChartOptions(aggregation="count"),
+        ),
+        "b": BaseExpr(
+            filter=Filter(k=S.NAME, op=S.EXISTS),
+            chart=ChartOptions(aggregation="count"),
+        ),
+    }
+    # run_graph fuses both branches into ONE scan + ONE shuffle (conditional
+    # aggregates over the OR of the filters) before the formula join
+    out = QueryEngine(spark, step_ms=HOUR).run_graph(
+        exprs, ["(a / b) * 100"], load_telemetry(spark, sf_dir)
+    )
+    return _rounded(out["(a / b) * 100"])
 
 
 FORMULA_RATIO_SQL = f"""
@@ -929,15 +941,20 @@ FROM a JOIN b USING (step_ts) WHERE bv != 0
 def formula_add_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """a + b where either side may be missing per step → zero-filled
     (reference Formula.scala:46-47)."""
-    a = _series(
-        spark, sf_dir,
-        Filter(k=S.VALUE, v=("480",), op=S.GT, data_type=S.NUMBER_TYPE), HOUR,
+    exprs = {
+        "a": BaseExpr(
+            filter=Filter(k=S.VALUE, v=("480",), op=S.GT, data_type=S.NUMBER_TYPE),
+            chart=ChartOptions(aggregation="count"),
+        ),
+        "b": BaseExpr(
+            filter=Filter(k=S.VALUE, v=("5",), op=S.LT, data_type=S.NUMBER_TYPE),
+            chart=ChartOptions(aggregation="count"),
+        ),
+    }
+    out = QueryEngine(spark, step_ms=HOUR).run_graph(
+        exprs, ["a + b"], load_telemetry(spark, sf_dir)
     )
-    b = _series(
-        spark, sf_dir,
-        Filter(k=S.VALUE, v=("5",), op=S.LT, data_type=S.NUMBER_TYPE), HOUR,
-    )
-    return eval_formula(parse_formula("a + b"), {"a": a, "b": b})
+    return out["a + b"]
 
 
 FORMULA_ADD_FILL_SQL = f"""
