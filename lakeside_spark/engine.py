@@ -227,16 +227,13 @@ class QueryEngine:
             final_keys = [S.STEP_TS] + [
                 c for c in part.columns if c not in ("__salt", "__s", "__c", S.STEP_TS)
             ]
-            return (
-                part.groupBy(*final_keys)
-                .agg(value.alias(S.VALUE))
-                .orderBy(S.STEP_TS)
-            )
-        return (
-            df.groupBy(*keys)
-            .agg(value.alias(S.VALUE))
-            .orderBy(S.STEP_TS)
-        )
+            return part.groupBy(*final_keys).agg(value.alias(S.VALUE))
+        # no ORDER BY: series ordering is presentation-layer concern (the
+        # reference sorts for SSE emission); a global sort here costs a
+        # rangepartitioning exchange on every chart query. Consumers that
+        # need order (moving windows, fill) sort within their own window
+        # specs; result comparison is order-insensitive.
+        return df.groupBy(*keys).agg(value.alias(S.VALUE))
 
     def multi_agg(
         self,
@@ -271,7 +268,7 @@ class QueryEngine:
             ).alias(f"{a}_value")
             for a in aggregations
         ]
-        return df.groupBy(*keys).agg(*measures).orderBy(S.STEP_TS)
+        return df.groupBy(*keys).agg(*measures)
 
     _FUSABLE_AGGS = (S.COUNT, S.SUM, S.MIN, S.MAX, S.AVG)
 
