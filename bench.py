@@ -35,6 +35,7 @@ HEADLINE = [
     "extract_regex",
     "compute_fns",
     "formula_ratio",
+    "graph_request",
     "metrics_rollup",
     "tpch_q1",
     "tpch_q3",
