@@ -144,6 +144,7 @@ def main() -> None:
     oracle_subset = [q for q in HEADLINE if q in ORACLES and q in per_query]
     spark_subset_wall = sum(per_query[q] for q in oracle_subset)
     duck_total = 0.0
+    duck_query: dict[str, float] = {}
     for name in oracle_subset:
         try:
             best = float("inf")
@@ -152,6 +153,7 @@ def main() -> None:
                 con.sql(ORACLES[name]).fetchall()
                 best = min(best, time.perf_counter() - start)
             duck_total += best
+            duck_query[name] = round(best, 4)
         except Exception as exc:
             print(f"# duckdb {name}: ERROR {exc}", file=sys.stderr)
     ratio = round(spark_subset_wall / duck_total, 3) if duck_total else None
@@ -173,6 +175,7 @@ def main() -> None:
                 "spark_oracle_subset_sec": round(spark_subset_wall, 4),
                 "duckdb_oracle_subset_sec": round(duck_total, 4),
                 "spark_over_duckdb_ratio": ratio,
+                "duckdb_queries": duck_query,
                 "errors": errors,
                 "error_count": len(errors),
             }
