@@ -277,3 +277,51 @@ def test_ddsketch_multi_quantile_single_pass(spark, sf_dir):
         }
         for k, v in single.items():
             assert multi[k][idx] == pytest.approx(v, abs=1e-12), (q, k)
+
+
+def test_run_graph_fused_matches_unfused_exactly(spark):
+    """The fused single-scan path must reproduce per-branch group
+    presence exactly: a step where only the OTHER branch matched stays
+    missing (not zero), and values/aggregations agree with separate
+    run() calls for every fusable aggregation."""
+    rows = [
+        (0, "error", 1.0), (0, "error", 3.0),          # step 0: only error
+        (10_000, "ok", 5.0),                           # step 1: only ok
+        (20_000, "error", 2.0), (20_000, "ok", 7.0),   # step 2: both
+    ]
+    tele = spark.createDataFrame(
+        rows, f"{S.TIMESTAMP} long, {S.NAME} string, {S.VALUE} double"
+    )
+    eng = QueryEngine(spark, step_ms=10_000)
+    for agg in ("count", "sum", "min", "max", "avg"):
+        exprs = {
+            "a": BaseExpr(
+                filter=Filter(k=S.NAME, v=("error",), op=S.EQ),
+                chart=ChartOptions(aggregation=agg),
+            ),
+            "b": BaseExpr(
+                filter=Filter(k=S.NAME, v=("ok",), op=S.EQ),
+                chart=ChartOptions(aggregation=agg),
+            ),
+        }
+        fused = eng.run_graph(exprs, [], tele)
+        for label, e in exprs.items():
+            assert rows_set(fused[label]) == rows_set(eng.run(e, tele)), (
+                agg, label,
+            )
+    # presence check made explicit: branch a has no step-1 row at all
+    got_a = rows_set(eng.run_graph(
+        {
+            "a": BaseExpr(
+                filter=Filter(k=S.NAME, v=("error",), op=S.EQ),
+                chart=ChartOptions(aggregation="count"),
+            ),
+            "b": BaseExpr(
+                filter=Filter(k=S.NAME, v=("ok",), op=S.EQ),
+                chart=ChartOptions(aggregation="count"),
+            ),
+        },
+        [],
+        tele,
+    )["a"])
+    assert {r[0] for r in got_a} == {0, 20_000}
