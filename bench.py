@@ -83,6 +83,7 @@ HEADLINE = [
     "corpus_span_dedup",
     "corpus_stats",
     "embedding_quality_filter",
+    "text_perplexity",
 ]
 
 

@@ -153,3 +153,44 @@ def shingle_profile(docs: DataFrame, n: int = 3, text_col: str = "text", id_col:
     return docs.select(
         F.col(id_col).alias("doc_id"), F.size(shingles(text_col, n)).alias("n_shingles")
     )
+
+
+def unigram_nll(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document mean negative log-likelihood under the corpus's own
+    unigram LM — the CCNet-style perplexity quality signal (Wenzek et al.
+    2020 score against a reference LM; self-trained here so the operator
+    is closed over its input).
+
+    Scale shape: one shuffle builds the vocabulary (map-side combined,
+    vocabulary-sized result), the corpus total rides in via a broadcast
+    single-row cross join, and scoring is an explode + broadcast hash
+    join + one aggregation. Per-word log-probs are snapped to 1e-9 and
+    summed as exact integers so the per-doc mean is order-independent
+    (double sums are not, and the oracle compares 6 decimals).
+
+    Output: (doc_id, n_words, nll, ppl) for every doc with ≥1 word.
+    """
+    wds = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(words(text_col)).alias("w"),
+        )
+        .filter(F.col("w") != "")
+    )
+    vocab = wds.groupBy("w").agg(F.count("*").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("__total"))
+    lp = vocab.crossJoin(F.broadcast(total)).select(
+        "w",
+        F.round(F.log(F.col("cnt") / F.col("__total")) * 1e9)
+        .cast("long")
+        .alias("lp9"),
+    )
+    scored = wds.join(F.broadcast(lp), "w")
+    nll = -F.sum("lp9") / (F.count("*") * 1e9)
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_words"),
+        F.round(nll, 6).alias("nll"),
+        F.round(F.exp(F.round(nll, 6)), 6).alias("ppl"),
+    )

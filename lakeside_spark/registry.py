@@ -2659,6 +2659,32 @@ WHERE round(1/(1+exp(-list_dot_product(embedding::DOUBLE[],
 """
 
 
+def text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity quality signal: per-doc mean negative
+    log-likelihood (and ppl = e^nll) under the corpus's own unigram LM."""
+    from lakeside_spark.operators.textstats import unigram_nll
+
+    return unigram_nll(load_table(spark, sf_dir, "documents"))
+
+
+TEXT_PERPLEXITY_SQL = f"""
+WITH wds AS (
+  SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS w FROM documents
+),
+wds2 AS (SELECT * FROM wds WHERE w <> ''),
+vocab AS (SELECT w, count(*) AS cnt FROM wds2 GROUP BY w),
+tot AS (SELECT sum(cnt) AS t FROM vocab),
+lp AS (SELECT w, CAST(round(ln(cnt / (SELECT t FROM tot)) * 1000000000, 0) AS BIGINT) AS lp9
+       FROM vocab)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       ROUND(-sum(lp.lp9) / (count(*) * 1000000000.0), 6) AS nll,
+       ROUND(exp(ROUND(-sum(lp.lp9) / (count(*) * 1000000000.0), 6)), 6) AS ppl
+FROM wds2 JOIN lp USING (w)
+GROUP BY doc_id
+"""
+
+
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rows-only: synthesize REAL PNGs from the documents table, then
     pixel-decode them with the stdlib codec (operators/codecs.py) and emit
@@ -3159,6 +3185,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_span_dedup": corpus_span_dedup,
     "corpus_stats": corpus_stats,
     "embedding_quality_filter": embedding_quality_filter,
+    "text_perplexity": text_perplexity,
     "multimodal_meta": multimodal_meta,
     # --- rows-only by design (no oracle)
     "multimodal_decode": multimodal_decode,
@@ -3240,6 +3267,7 @@ ORACLES: dict[str, str] = {
     "corpus_span_dedup": CORPUS_SPAN_DEDUP_SQL,
     "corpus_stats": CORPUS_STATS_SQL,
     "embedding_quality_filter": EMBEDDING_QUALITY_FILTER_SQL,
+    "text_perplexity": TEXT_PERPLEXITY_SQL,
     "formula_ratio": FORMULA_RATIO_SQL,
     "formula_add_fill": FORMULA_ADD_FILL_SQL,
     "graph_request": GRAPH_REQUEST_SQL,

@@ -551,3 +551,24 @@ def test_span_dedup_removes_boilerplate(spark):
     assert got[4]["clean_text"] == rows[3][1]
     assert got[4]["n_dropped"] == 0
     assert got[5]["clean_text"] == "" and got[5]["n_dropped"] == 1
+
+
+def test_unigram_nll_uniform_corpus(spark):
+    from math import log
+
+    import pytest as _pytest
+
+    from lakeside_spark.operators.textstats import unigram_nll
+
+    # 4 equally frequent words -> every doc's mean NLL is exactly ln(4)
+    rows = [(1, "aa bb"), (2, "cc dd"), (3, "aa bb cc dd")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in unigram_nll(df).collect()}
+    for did, want_n in [(1, 2), (2, 2), (3, 4)]:
+        assert got[did]["n_words"] == want_n
+        assert got[did]["nll"] == _pytest.approx(log(4), abs=1e-5)
+    # skewed corpus: the doc of rare words scores a higher NLL
+    rows2 = [(1, "x x x x x x x x"), (2, "y z")]
+    df2 = spark.createDataFrame(rows2, "doc_id long, text string")
+    got2 = {r["doc_id"]: r["nll"] for r in unigram_nll(df2).collect()}
+    assert got2[2] > got2[1]
