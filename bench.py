@@ -84,6 +84,7 @@ HEADLINE = [
     "corpus_stats",
     "embedding_quality_filter",
     "text_perplexity",
+    "text_bpe_tokens",
 ]
 
 

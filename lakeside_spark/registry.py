@@ -2685,6 +2685,18 @@ GROUP BY doc_id
 """
 
 
+def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rows-only: REAL byte-pair encoding — merges trained on the corpus
+    vocabulary (deterministic tie-breaks), then applied per doc in an
+    Arrow kernel. Iterative training is not SQL-expressible, so no
+    oracle; invariants (reconstruction, determinism) are pytest-gated."""
+    from lakeside_spark.operators.bpe import bpe_encode, bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_train(docs, num_merges=200)
+    return bpe_encode(docs, merges).select("doc_id", "n_words", "n_tokens")
+
+
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rows-only: synthesize REAL PNGs from the documents table, then
     pixel-decode them with the stdlib codec (operators/codecs.py) and emit
@@ -3189,6 +3201,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_meta": multimodal_meta,
     # --- rows-only by design (no oracle)
     "multimodal_decode": multimodal_decode,
+    "text_bpe_tokens": text_bpe_tokens,
     "dedup_simhash": dedup_simhash,
     "ann_lsh": ann_lsh,
     "ann_ivf": ann_ivf,

@@ -572,3 +572,27 @@ def test_unigram_nll_uniform_corpus(spark):
     df2 = spark.createDataFrame(rows2, "doc_id long, text string")
     got2 = {r["doc_id"]: r["nll"] for r in unigram_nll(df2).collect()}
     assert got2[2] > got2[1]
+
+
+def test_bpe_train_and_encode(spark):
+    from lakeside_spark.operators.bpe import END, bpe_encode, bpe_train
+
+    # Sennrich-style toy corpus: 'low' is the most frequent word, so its
+    # character pairs merge first and it becomes a single token
+    rows = [(1, "low low low low low"), (2, "lower lower widest"), (3, "newest newest newest")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = bpe_train(df, num_merges=50)
+    assert merges == bpe_train(df, num_merges=50), "training must be deterministic"
+    out = {r["doc_id"]: r.asDict() for r in bpe_encode(df, merges).collect()}
+    # enough merges: every frequent corpus word collapses to one token
+    assert out[1]["n_tokens"] == out[1]["n_words"] == 5
+    assert out[1]["tokens"][0] == "low" + END
+    # reconstruction: concatenating a doc's tokens reproduces its words
+    for did, text in rows:
+        joined = "".join(out[did]["tokens"])
+        assert joined == "".join(w + END for w in text.split())
+
+    # few merges: rare words stay multi-token, counts stay consistent
+    short = bpe_train(df, num_merges=3)
+    enc = {r["doc_id"]: r.asDict() for r in bpe_encode(df, short).collect()}
+    assert enc[2]["n_tokens"] > enc[2]["n_words"]
