@@ -3100,8 +3100,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # rounds 2-3 on the (now fixed) TIMESTAMP_NTZ read stay up top to flip
     # red->green, and slots 38-50 take the never-driver-judged dedup/ANN and
     # date-predicate TPC-H families. Keys with a prior driver hash-match
-    # (r1: curation/text; r3: derived-partsupp TPC-H) sit past the fold and
-    # rotate forward in round 5.
+    # (r1: curation/text; r3: derived-partsupp TPC-H) sit past the fold.
+    # ROUND-5 ROTATION PLAN: once round 4 records green driver rows for the
+    # top 50, move into slots 1-50: the date TPC-H block (q4 q5 q7 q8 q12
+    # q13 q14 q15 q18 q19), the round-4 additions (text_pii_scrub,
+    # corpus_c4_filter, corpus_chunk, corpus_span_dedup, corpus_stats,
+    # embedding_quality_filter, text_perplexity), and the remaining r1-only
+    # keys (text_quality, corpus_quality_filter, text_tokens,
+    # doc_fingerprint, corpus_sample already judged r4); keep a handful of
+    # round-4-green sentinels (ts_count, tpch_q1, dedup_exact) to detect
+    # regressions.
     # --- formula / graph
     "formula_ratio": formula_ratio,
     "formula_add_fill": formula_add_fill,
