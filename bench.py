@@ -30,6 +30,7 @@ HEADLINE = [
     "ts_moving_avg",
     "ts_anomaly",
     "ts_forecast",
+    "ts_seasonal",
     "exemplars",
     "filter_contains_regex",
     "extract_regex",

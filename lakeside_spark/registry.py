@@ -373,6 +373,50 @@ SELECT step_ts, name, value, zscore FROM scored WHERE ABS(zscore) >= 2.5
 """
 
 
+def ts_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonal decomposition of the hourly count series:
+    seasonal baseline = mean of the series at the same hour-of-day, and
+    the residual against it — the first stage of seasonality-aware
+    alerting (anomaly on residual, not raw value). One shuffle for the
+    step agg; the seasonal window repartitions only the tiny series.
+    Count sums are exactly representable, so the means are bit-identical
+    across engines."""
+    from pyspark.sql import Window
+
+    expr = BaseExpr(
+        filter=Filter(k=S.NAME, op=S.EXISTS),
+        chart=ChartOptions(aggregation="count"),
+    )
+    series = QueryEngine(spark, step_ms=HOUR).run(expr, load_telemetry(spark, sf_dir))
+    hod = (F.floor(F.col(S.STEP_TS) / F.lit(HOUR)) % 24).cast("bigint")
+    w = Window.partitionBy(S.NAME, "hod")
+    out = series.withColumn("hod", hod)
+    seasonal = F.round(F.avg(S.VALUE).over(w), 6)
+    return out.select(
+        S.STEP_TS,
+        S.NAME,
+        S.VALUE,
+        "hod",
+        seasonal.alias("seasonal_mean"),
+        F.round(F.col(S.VALUE) - F.avg(S.VALUE).over(w), 6).alias("residual"),
+    )
+
+
+TS_SEASONAL_SQL = f"""
+WITH series AS (
+  SELECT timestamp_ms - timestamp_ms % {HOUR} AS step_ts, name,
+         CAST(count(value) AS DOUBLE) AS value
+  FROM {_T} WHERE name IS NOT NULL GROUP BY 1, 2
+), s2 AS (
+  SELECT *, CAST((step_ts // {HOUR}) % 24 AS BIGINT) AS hod FROM series
+)
+SELECT step_ts, name, value, hod,
+       ROUND(AVG(value) OVER (PARTITION BY name, hod), 6) AS seasonal_mean,
+       ROUND(value - AVG(value) OVER (PARTITION BY name, hod), 6) AS residual
+FROM s2
+"""
+
+
 def ts_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-series linear trend + one-step-ahead forecast: ordinary least
     squares of the hourly count series against the step index (regr_slope /
@@ -3206,6 +3250,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_stats": corpus_stats,
     "embedding_quality_filter": embedding_quality_filter,
     "text_perplexity": text_perplexity,
+    "ts_seasonal": ts_seasonal,
     "multimodal_meta": multimodal_meta,
     # --- rows-only by design (no oracle)
     "multimodal_decode": multimodal_decode,
@@ -3289,6 +3334,7 @@ ORACLES: dict[str, str] = {
     "corpus_stats": CORPUS_STATS_SQL,
     "embedding_quality_filter": EMBEDDING_QUALITY_FILTER_SQL,
     "text_perplexity": TEXT_PERPLEXITY_SQL,
+    "ts_seasonal": TS_SEASONAL_SQL,
     "formula_ratio": FORMULA_RATIO_SQL,
     "formula_add_fill": FORMULA_ADD_FILL_SQL,
     "graph_request": GRAPH_REQUEST_SQL,
