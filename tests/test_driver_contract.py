@@ -28,8 +28,14 @@ spark = (
 import __spark_entry__ as e
 
 qs = e.queries()
-# one query per table family that carries TIMESTAMP(NANOS) columns
-for key in ["ts_count", "tpch_q1", "asof_join", "exemplars", "ema_smooth"]:
+# one query per table family that carries timestamp columns, plus one per
+# round-4 operator family (curation, codec, LM, seasonal) — new code paths
+# must also survive a conf-less session
+for key in [
+    "ts_count", "tpch_q1", "asof_join", "exemplars", "ema_smooth",
+    "text_pii_scrub", "corpus_span_dedup", "multimodal_decode",
+    "text_perplexity", "ts_seasonal", "text_bpe_tokens",
+]:
     df = qs[key](spark, "%s")
     n = df.count()
     assert n >= 0, key
