@@ -86,6 +86,7 @@ HEADLINE = [
     "embedding_quality_filter",
     "text_perplexity",
     "text_bpe_tokens",
+    "corpus_mixture_plan",
 ]
 
 

@@ -2741,6 +2741,63 @@ def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode(docs, merges).select("doc_id", "n_words", "n_tokens")
 
 
+def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted mixture planning (the data-recipe stage of a
+    pre-training pipeline): per-(lang, source) stratum, weight ∝
+    sqrt(total_words) (temperature 0.5 up-weights small strata), and the
+    sampling rate that hits a global token budget under those weights —
+    the rates feed corpus_sample's deterministic hash gate.
+
+    Determinism: stratum word totals are exact integer sums; sqrt is
+    IEEE-correctly-rounded in both engines, snapped to 1e-6 fixed point
+    so the denominator is an exact integer sum (order-independent). The
+    whole-frame window runs on the post-aggregation strata table
+    (languages × sources rows — KBs at any corpus size)."""
+    from pyspark.sql import Window
+
+    from lakeside_spark.functions.text import words
+
+    target = 100_000  # token budget
+    docs = load_table(spark, sf_dir, "documents")
+    strata = docs.groupBy("lang", "source").agg(
+        F.sum(F.size(words("text"))).cast("bigint").alias("total_words")
+    )
+    w6 = F.round(F.sqrt(F.col("total_words")) * 1e6).cast("bigint")
+    sw = strata.withColumn("w6", w6).withColumn(
+        "denom", F.sum("w6").over(Window.partitionBy())
+    )
+    rate = F.round(
+        F.least(
+            F.lit(1.0),
+            (F.lit(float(target)) * (F.col("w6") * 1.0 / F.col("denom")))
+            / F.col("total_words"),
+        ),
+        6,
+    )
+    return sw.select(
+        "lang",
+        "source",
+        "total_words",
+        F.round(F.col("w6") / 1e6, 6).alias("weight"),
+        rate.alias("sample_rate"),
+    )
+
+
+CORPUS_MIXTURE_PLAN_SQL = f"""
+WITH s AS (
+  SELECT lang, source,
+         CAST(sum(len(string_split({_NORM}, ' '))) AS BIGINT) AS total_words
+  FROM documents GROUP BY 1, 2
+),
+w AS (SELECT *, CAST(round(sqrt(total_words) * 1000000, 0) AS BIGINT) AS w6 FROM s),
+t AS (SELECT *, SUM(w6) OVER () AS denom FROM w)
+SELECT lang, source, total_words,
+       ROUND(w6 / 1000000.0, 6) AS weight,
+       ROUND(least(1.0, (100000.0 * (w6 * 1.0 / denom)) / total_words), 6) AS sample_rate
+FROM t
+"""
+
+
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rows-only: synthesize REAL PNGs from the documents table, then
     pixel-decode them with the stdlib codec (operators/codecs.py) and emit
@@ -3251,6 +3308,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_quality_filter": embedding_quality_filter,
     "text_perplexity": text_perplexity,
     "ts_seasonal": ts_seasonal,
+    "corpus_mixture_plan": corpus_mixture_plan,
     "multimodal_meta": multimodal_meta,
     # --- rows-only by design (no oracle)
     "multimodal_decode": multimodal_decode,
@@ -3335,6 +3393,7 @@ ORACLES: dict[str, str] = {
     "embedding_quality_filter": EMBEDDING_QUALITY_FILTER_SQL,
     "text_perplexity": TEXT_PERPLEXITY_SQL,
     "ts_seasonal": TS_SEASONAL_SQL,
+    "corpus_mixture_plan": CORPUS_MIXTURE_PLAN_SQL,
     "formula_ratio": FORMULA_RATIO_SQL,
     "formula_add_fill": FORMULA_ADD_FILL_SQL,
     "graph_request": GRAPH_REQUEST_SQL,
