@@ -45,6 +45,11 @@ def write_segments(
         .withColumn("dateint", dateint)
         .withColumn("hour", hour)
         .repartition("dateint", "hour")
+        # sort rows inside each file by (ts, name): parquet row-group
+        # min/max statistics become tight ranges, so time- and
+        # name-predicate scans skip whole row groups at read time —
+        # free pruning on every query against the lake
+        .sortWithinPartitions(S.TIMESTAMP, S.NAME)
     )
     writer = df.write.mode("overwrite").partitionBy("dataset", "dateint", "hour")
     for col in bloom_columns:
@@ -87,9 +92,12 @@ def compact_segments(
         # estimate rows per target file from overall average row width;
         # skewed hours get ceil(rows/rows_per_file) files, never one giant
         rows_per_file = max(1, int(target_file_bytes / max(total_bytes / total_rows, 1)))
+        sort_cols = [c for c in (S.TIMESTAMP, S.NAME) if c in df.columns]
+        shaped = df.repartition("dataset", "dateint", "hour")
+        if sort_cols:
+            shaped = shaped.sortWithinPartitions(*sort_cols)
         (
-            df.repartition("dataset", "dateint", "hour")
-            .write.mode("overwrite")
+            shaped.write.mode("overwrite")
             .option("maxRecordsPerFile", rows_per_file)
             .partitionBy("dataset", "dateint", "hour")
             .parquet(tmp)
