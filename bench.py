@@ -87,6 +87,7 @@ HEADLINE = [
     "text_perplexity",
     "text_bpe_tokens",
     "corpus_mixture_plan",
+    "multimodal_phash_dedup",
 ]
 
 

@@ -501,49 +501,53 @@ def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def simhash_pairs(docs: DataFrame, max_hamming: int = 8, **kw) -> DataFrame:
-    """Near-dup pairs with hamming(simhash) ≤ max_hamming. Exact (recall 1).
+def hamming_pairs(
+    hashes: DataFrame, max_hamming: int, bits: int, hash_col: str = "simhash"
+) -> DataFrame:
+    """All (id_a, id_b, hamming) pairs within ``max_hamming`` over a
+    ``(doc_id, <hash_col>)`` frame of ``bits``-bit signatures. Exact
+    (recall 1) — shared by text SimHash and image pHash dedup.
 
-    Candidate generation by pigeonhole banding: split the 60-bit signature
-    into max_hamming+1 chunks — a pair within the hamming budget must agree
-    on at least one whole chunk, so an equi-join on (chunk_idx, chunk_value)
-    finds every qualifying pair, then exact hamming verifies. This is the
-    multi-index-hashing scale path: the only shuffle is the chunk join, and
-    a chunk key touches n/2^bits of the corpus. When chunks get narrower
-    than 8 bits (large max_hamming) banding stops pruning and we fall back
-    to the all-pairs join — at that point the threshold itself is the
-    problem, not the algorithm.
+    Candidate generation by pigeonhole banding: split the signature into
+    max_hamming+1 chunks — a pair within the hamming budget must agree
+    on at least one whole chunk, so an equi-join on (chunk_idx,
+    chunk_value) finds every qualifying pair, then exact hamming
+    verifies. This is the multi-index-hashing scale path: the only
+    shuffle is the chunk join, and a chunk key touches n/2^bits of the
+    corpus. When chunks get narrower than 8 bits (large max_hamming)
+    banding stops pruning and we fall back to the all-pairs join — at
+    that point the threshold itself is the problem, not the algorithm.
     """
-    sh = simhash64(docs, **kw)
+    sh = hashes.select("doc_id", F.col(hash_col).alias("__h"))
     bands = max_hamming + 1
-    band_bits = 60 // bands
+    band_bits = bits // bands
     hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
     if band_bits >= 8:
         # chunk i covers bits [i*band_bits, ...); the last chunk absorbs the
         # remainder (any full partition of the bits preserves the pigeonhole)
         def chunk(col: F.Column, i: int) -> F.Column:
             lo = i * band_bits
-            width = 60 - lo if i == bands - 1 else band_bits
+            width = bits - lo if i == bands - 1 else band_bits
             mask = (1 << width) - 1
             return F.shiftright(col, lo).bitwiseAND(F.lit(mask))
 
         keyed = sh.select(
             "doc_id",
-            F.col("simhash"),
+            F.col("__h"),
             F.explode(
                 F.array(*[
                     F.struct(
-                        F.lit(i).alias("band"), chunk(F.col("simhash"), i).alias("key")
+                        F.lit(i).alias("band"), chunk(F.col("__h"), i).alias("key")
                     )
                     for i in range(bands)
                 ])
             ).alias("bk"),
-        ).select("doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+        ).select("doc_id", "__h", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
         a = keyed.select(
-            F.col("doc_id").alias("id_a"), F.col("simhash").alias("ha"), "band", "key"
+            F.col("doc_id").alias("id_a"), F.col("__h").alias("ha"), "band", "key"
         )
         b = keyed.select(
-            F.col("doc_id").alias("id_b"), F.col("simhash").alias("hb"), "band", "key"
+            F.col("doc_id").alias("id_b"), F.col("__h").alias("hb"), "band", "key"
         )
         cand = (
             a.join(b, ["band", "key"])
@@ -554,9 +558,17 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 8, **kw) -> DataFrame:
         return cand.select("id_a", "id_b", hamming.alias("hamming")).filter(
             F.col("hamming") <= max_hamming
         )
-    a = sh.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("ha"))
-    b = sh.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("hb"))
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("__h").alias("ha"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("__h").alias("hb"))
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     return pairs.select("id_a", "id_b", hamming.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 8, **kw) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) ≤ max_hamming over the 60-bit
+    text SimHash. Exact (recall 1) — see hamming_pairs for the banding."""
+    return hamming_pairs(simhash64(docs, **kw), max_hamming, bits=60)
+
+

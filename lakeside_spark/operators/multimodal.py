@@ -241,6 +241,109 @@ def resize_media(
     return df.select(id_col, binary_col).mapInPandas(kernel, schema=schema)
 
 
+def _dct_matrix(n: int) -> np.ndarray:
+    """Orthonormal DCT-II basis: D @ X @ D.T is the 2-D transform."""
+    k = np.arange(n)[:, None]
+    x = np.arange(n)[None, :]
+    d = np.sqrt(2.0 / n) * np.cos(np.pi * (2 * x + 1) * k / (2 * n))
+    d[0] /= np.sqrt(2.0)
+    return d
+
+
+def phash64(
+    df: DataFrame, binary_col: str = "media", id_col: str = "doc_id"
+) -> DataFrame:
+    """Perceptual image hash (classic pHash): stdlib pixel decode →
+    32×32 gray nearest-resize → 2-D DCT → 63 low-frequency coefficients
+    (8×8 block minus DC) thresholded at their median → 63-bit signature.
+    Visually similar images land within a small hamming distance, so the
+    banded dedup machinery (dedup.hamming_pairs) applies unchanged.
+
+    Map-only Arrow kernel; undecodable items hash to null and drop."""
+    D = _dct_matrix(32)
+    schema = f"{id_col} bigint, phash bigint"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, hashes = [], []
+            for did, buf in zip(pdf[id_col], pdf[binary_col]):
+                try:
+                    px = codecs.decode_pixels(bytes(buf))
+                except ValueError:
+                    px = None
+                if px is None:
+                    continue
+                gray = px.astype(np.float64).mean(axis=2)
+                h, w = gray.shape
+                ys = (np.arange(32) * h // 32).clip(0, h - 1)
+                xs = (np.arange(32) * w // 32).clip(0, w - 1)
+                small = gray[ys][:, xs]
+                coef = (D @ small @ D.T)[:8, :8].flatten()[1:]  # drop DC
+                bits = coef > np.median(coef)
+                val = 0
+                for i, b in enumerate(bits):
+                    if b:
+                        val |= 1 << i
+                ids.append(int(did))
+                hashes.append(val)
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "phash": pd.Series(hashes, dtype="int64"),
+                }
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(batches, schema)
+
+
+def perturb_images(
+    df: DataFrame,
+    brightness: int = 60,
+    rows_frac: float = 0.25,
+    id_offset: int = 1_000_000,
+    binary_col: str = "media",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic visible edit per image (brighten the top rows) with a
+    shifted id — a near-duplicate generator for exercising perceptual-hash
+    dedup on corpora that have no natural image dups."""
+    schema = f"{id_col} bigint, media binary"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, blobs = [], []
+            for did, buf in zip(pdf[id_col], pdf[binary_col]):
+                try:
+                    px = codecs.decode_pixels(bytes(buf))
+                except ValueError:
+                    continue
+                n = max(1, int(px.shape[0] * rows_frac))
+                edited = px.astype(np.int16)
+                edited[:n] = np.clip(edited[:n] + brightness, 0, 255)
+                ids.append(int(did) + id_offset)
+                blobs.append(codecs.png_encode(edited.astype(np.uint8)))
+            yield pd.DataFrame(
+                {id_col: pd.Series(ids, dtype="int64"), "media": blobs}
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(batches, schema)
+
+
+def phash_pairs(
+    df: DataFrame,
+    max_hamming: int = 6,
+    binary_col: str = "media",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Image near-dup pairs: pHash signatures into the shared pigeonhole-
+    banded hamming join (exact at the given budget, no all-pairs scan)."""
+    from lakeside_spark.operators.dedup import hamming_pairs
+
+    return hamming_pairs(
+        phash64(df, binary_col, id_col), max_hamming, bits=63, hash_col="phash"
+    )
+
+
 def sample_frames(
     df: DataFrame,
     every_n: int = 10,

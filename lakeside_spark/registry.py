@@ -2741,6 +2741,27 @@ def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode(docs, merges).select("doc_id", "n_words", "n_tokens")
 
 
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rows-only: image near-dup detection end-to-end — synthesize real
+    PNGs from the documents table, add a deterministically brightened
+    variant for every 50th doc (id + 1e6), perceptual-hash everything
+    (32×32 DCT, 63-bit signature) in an Arrow kernel, and find pairs
+    within hamming 10 via the shared pigeonhole-banded join. Expected
+    pairs: each variant against its original at a small distance;
+    unrelated md5-noise images sit near 31 bits apart. DCT hashing is
+    not SQL-expressible."""
+    from lakeside_spark.operators.multimodal import (
+        perturb_images,
+        phash_pairs,
+        synthesize_images,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = synthesize_images(docs, width=32, height=32)
+    variants = perturb_images(base.filter(F.col("doc_id") % 50 == 0))
+    return phash_pairs(base.select("doc_id", "media").unionByName(variants), max_hamming=10)
+
+
 def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-weighted mixture planning (the data-recipe stage of a
     pre-training pipeline): per-(lang, source) stratum, weight ∝
@@ -3312,6 +3333,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_meta": multimodal_meta,
     # --- rows-only by design (no oracle)
     "multimodal_decode": multimodal_decode,
+    "multimodal_phash_dedup": multimodal_phash_dedup,
     "text_bpe_tokens": text_bpe_tokens,
     "dedup_simhash": dedup_simhash,
     "ann_lsh": ann_lsh,

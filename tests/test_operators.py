@@ -596,3 +596,45 @@ def test_bpe_train_and_encode(spark):
     short = bpe_train(df, num_merges=3)
     enc = {r["doc_id"]: r.asDict() for r in bpe_encode(df, short).collect()}
     assert enc[2]["n_tokens"] > enc[2]["n_words"]
+
+
+def test_phash_image_near_dup(spark):
+    import numpy as np
+
+    from lakeside_spark.operators import codecs
+    from lakeside_spark.operators.multimodal import phash64, phash_pairs
+
+    rng = np.random.default_rng(11)
+    base = rng.integers(0, 256, size=(40, 40), dtype=np.uint8)
+    # brighten the top 20% of rows: a visible edit that moves a few
+    # low-frequency DCT coefficients (pixel-level edits hash identically
+    # by design — that robustness is what makes pHash a near-dup signal)
+    near = base.astype(np.int16)
+    near[:8, :] = np.clip(near[:8, :] + 60, 0, 255)
+    near = near.astype(np.uint8)
+    other = rng.integers(0, 256, size=(40, 40), dtype=np.uint8)
+    rows = [
+        (1, bytearray(codecs.png_encode(base))),
+        (2, bytearray(codecs.png_encode(base))),   # exact duplicate
+        (3, bytearray(codecs.png_encode(near))),   # near duplicate
+        (4, bytearray(codecs.png_encode(other))),  # unrelated
+        (5, bytearray(b"not an image")),           # undecodable drops
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, media binary")
+    hashes = {r["doc_id"]: r["phash"] for r in phash64(df).collect()}
+    assert set(hashes) == {1, 2, 3, 4}
+    assert hashes[1] == hashes[2]
+    assert all(0 <= h < 2**63 for h in hashes.values())
+
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in phash_pairs(df, max_hamming=10).collect()}
+    assert pairs[(1, 2)] == 0
+    assert (1, 3) in pairs and 0 < pairs[(1, 3)] <= 10
+    assert (1, 4) not in pairs and (2, 4) not in pairs
+    # banded result equals brute force at the same budget
+    def brute(a, b):
+        return bin(hashes[a] ^ hashes[b]).count("1")
+    want = {
+        (a, b): brute(a, b)
+        for a in hashes for b in hashes if a < b and brute(a, b) <= 10
+    }
+    assert pairs == want
