@@ -88,6 +88,7 @@ HEADLINE = [
     "text_bpe_tokens",
     "corpus_mixture_plan",
     "multimodal_phash_dedup",
+    "multimodal_audio_dedup",
 ]
 
 

@@ -2762,6 +2762,25 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phash_pairs(base.select("doc_id", "media").unionByName(variants), max_hamming=10)
 
 
+def multimodal_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rows-only: audio near-dup detection end-to-end — synthesize real
+    WAV clips from the documents table, add a gain-changed noisy variant
+    for every 50th doc (id + 1e6), fingerprint with the spectral-band
+    difference scheme (Haitsma-Kalker style, 56 bits), and pair via the
+    shared banded hamming join. FFT fingerprinting is not
+    SQL-expressible."""
+    from lakeside_spark.operators.audiofp import (
+        audio_pairs,
+        perturb_audio,
+        synthesize_audio,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = synthesize_audio(docs)
+    variants = perturb_audio(base.filter(F.col("doc_id") % 50 == 0))
+    return audio_pairs(base.unionByName(variants), max_hamming=5)
+
+
 def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-weighted mixture planning (the data-recipe stage of a
     pre-training pipeline): per-(lang, source) stratum, weight ∝
@@ -3334,6 +3353,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- rows-only by design (no oracle)
     "multimodal_decode": multimodal_decode,
     "multimodal_phash_dedup": multimodal_phash_dedup,
+    "multimodal_audio_dedup": multimodal_audio_dedup,
     "text_bpe_tokens": text_bpe_tokens,
     "dedup_simhash": dedup_simhash,
     "ann_lsh": ann_lsh,

@@ -35,6 +35,7 @@ for key in [
     "ts_count", "tpch_q1", "asof_join", "exemplars", "ema_smooth",
     "text_pii_scrub", "corpus_span_dedup", "multimodal_decode",
     "text_perplexity", "ts_seasonal", "text_bpe_tokens",
+    "multimodal_phash_dedup", "multimodal_audio_dedup",
 ]:
     df = qs[key](spark, "%s")
     n = df.count()

@@ -638,3 +638,41 @@ def test_phash_image_near_dup(spark):
         for a in hashes for b in hashes if a < b and brute(a, b) <= 10
     }
     assert pairs == want
+
+
+def test_audio_fingerprint_dedup(spark):
+    from lakeside_spark.operators.audiofp import (
+        audio_fingerprint,
+        audio_pairs,
+        perturb_audio,
+        synthesize_audio,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"text number {i} with words") for i in range(20)],
+        "doc_id long, text string",
+    )
+    base = synthesize_audio(docs)
+    fps = {r["doc_id"]: r["afp"] for r in audio_fingerprint(base).collect()}
+    assert len(fps) == 20 and all(0 <= v < 2**49 for v in fps.values())
+    # deterministic
+    again = {r["doc_id"]: r["afp"] for r in audio_fingerprint(base).collect()}
+    assert fps == again
+
+    variants = perturb_audio(base.filter(F.col("doc_id") < 10))
+    allc = base.unionByName(variants)
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in audio_pairs(allc, max_hamming=5).collect()
+    }
+    # every gain+noise variant pairs with its original within the budget
+    recovered = [(i, i + 1_000_000) in pairs for i in range(10)]
+    assert sum(recovered) >= 9, recovered
+    # banded join is exact at the budget: equals brute force over the fps
+    vfps = {r["doc_id"]: r["afp"] for r in audio_fingerprint(allc).collect()}
+    want = {
+        (a, b): bin(vfps[a] ^ vfps[b]).count("1")
+        for a in vfps for b in vfps
+        if a < b and bin(vfps[a] ^ vfps[b]).count("1") <= 5
+    }
+    assert pairs == want
