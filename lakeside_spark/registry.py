@@ -2757,7 +2757,10 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    base = synthesize_images(docs, width=32, height=32)
+    # persisted: consumed twice (directly and under the perturbation
+    # kernel); the frame is corpus-count × ~1KB PNGs and Spark's context
+    # cleaner drops it once unreachable
+    base = synthesize_images(docs, width=32, height=32).persist()
     variants = perturb_images(base.filter(F.col("doc_id") % 50 == 0))
     return phash_pairs(base.select("doc_id", "media").unionByName(variants), max_hamming=10)
 
@@ -2776,7 +2779,9 @@ def multimodal_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    base = synthesize_audio(docs)
+    # persisted: consumed twice (directly and under the perturbation
+    # kernel) — without the cache the synth kernel runs twice per query
+    base = synthesize_audio(docs).persist()
     variants = perturb_audio(base.filter(F.col("doc_id") % 50 == 0))
     return audio_pairs(base.unionByName(variants), max_hamming=5)
 
