@@ -30,7 +30,7 @@ from lakeside_spark.functions.text import words
 END = "</w>"
 
 
-def _word_freqs(docs: DataFrame, text_col: str, id_col: str) -> list[tuple[str, int]]:
+def _word_freqs(docs: DataFrame, text_col: str) -> list[tuple[str, int]]:
     """(word, count) — ONE aggregation; result is vocabulary-sized."""
     rows = (
         docs.select(F.explode(words(text_col)).alias("w"))
@@ -49,7 +49,7 @@ def bpe_train(
     id_col: str = "doc_id",
 ) -> list[tuple[str, str]]:
     """Learn up to ``num_merges`` merge rules from the corpus vocabulary."""
-    freqs = _word_freqs(docs, text_col, id_col)
+    freqs = _word_freqs(docs, text_col)
     # each vocab word as a symbol tuple: chars + end-of-word marker
     symbolized: dict[tuple[str, ...], int] = {}
     for w, cnt in freqs:
