@@ -27,12 +27,33 @@ def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(
         prog="lakeside_spark", description="Run a graph-request JSON against the engine"
     )
-    ap.add_argument("request", help="path to request JSON, or '-' for stdin")
+    ap.add_argument(
+        "request",
+        nargs="?",
+        help="path to request JSON, or '-' for stdin (omit with --list)",
+    )
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.001", help="table directory")
     ap.add_argument("--step-ms", type=int, default=3_600_000)
     ap.add_argument("--approx", action="store_true", help="sketch aggregations (100 TB path)")
     ap.add_argument("--limit", type=int, default=1000, help="max rows printed per label")
+    ap.add_argument(
+        "--list",
+        action="store_true",
+        help="list every registry query key (oracle-backed keys marked)",
+    )
     args = ap.parse_args(argv)
+
+    if args.list:
+        from lakeside_spark.registry import ORACLES, QUERIES
+
+        for name, fn in QUERIES.items():
+            doc = (fn.__doc__ or "").strip().splitlines()
+            summary = doc[0] if doc else ""
+            mark = "oracle" if name in ORACLES else "rows-only"
+            print(f"{name:28s} [{mark:9s}] {summary}")
+        return 0
+    if not args.request:
+        ap.error("request is required unless --list is given")
 
     body = sys.stdin.read() if args.request == "-" else open(args.request).read()
     try:
