@@ -73,6 +73,7 @@ def span_dedup(
     max_df: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    broadcast_limit: int = 100_000,
 ) -> DataFrame:
     """Remove spans repeated across more than ``max_df`` documents.
 
@@ -80,7 +81,17 @@ def span_dedup(
     (last tile may be short); a span is boilerplate when its md5 appears
     in more than ``max_df`` DISTINCT documents. Returns
     (doc_id, clean_text, n_spans, n_dropped) with surviving spans
-    rejoined in document order."""
+    rejoined in document order.
+
+    The boilerplate table is usually tiny, but "usually" is not a plan: a
+    100 TB crawl with heavy boilerplate can push it past executor memory,
+    where a forced broadcast hint means OOM instead of degradation. So the
+    hint is gated on a count probe (the same pattern as
+    similarity.embedding_dup_pairs): ≤ ``broadcast_limit`` distinct
+    over-represented spans → broadcast anti-join (map-only, no corpus
+    shuffle); above it → plain shuffled anti-join and let AQE pick the
+    strategy. The probe itself aggregates the vocabulary-sized span-hash
+    table once — one cheap extra pass, never corpus-sized."""
     w = words(text_col)
     n_tiles = F.ceil(F.size(w).cast("double") / span_words).cast("int")
     tiles = F.transform(
@@ -99,8 +110,10 @@ def span_dedup(
         .agg(F.count_distinct("doc_id").alias("df"))
         .filter(F.col("df") > max_df)
     )
+    if span_df.count() <= broadcast_limit:
+        span_df = span_df.hint("broadcast")
     kept = tiled.join(
-        span_df.hint("broadcast"),
+        span_df,
         F.md5(tiled["span"]) == span_df["span_hash"],
         "left_anti",
     )

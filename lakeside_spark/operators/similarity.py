@@ -32,7 +32,18 @@ from lakeside_spark.functions.vectors import as_double_array
 
 
 def _parallelize(df: DataFrame) -> DataFrame:
+    """Repartition ONLY when the input is under-parallel.
+
+    A small-SF parquet table often arrives as 1-2 partitions, starving the
+    Arrow kernels; but an unconditional ``repartition(defaultParallelism)``
+    is a corpus-sized Exchange at 100 TB — and would SHRINK a
+    many-thousand-partition scan down to cluster-core count. Gate on the
+    actual partition count: an already-parallel scan passes through with no
+    Exchange at all, and ``spark.sql.files.maxPartitionBytes`` stays in
+    charge of scan sizing."""
     sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() >= sc.defaultParallelism:
+        return df
     return df.repartition(sc.defaultParallelism)
 
 
@@ -341,6 +352,7 @@ def ann_ivf(
     train_sample: int = 10_000,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    cache_key: str | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: corpus vectors are assigned to
     their nearest spherical-kmeans centroid; each query scores only the
@@ -351,16 +363,22 @@ def ann_ivf(
     is just argmax of a [block × n_cells] matmul), then hash-partition the
     corpus by cell so a query's n_probe cells touch n_probe partitions
     instead of the full corpus. Recall < 1 by design — brute-force
-    cosine_topk is the exact baseline.
+    cosine_topk is the exact baseline. ``cache_key`` (a stable corpus name)
+    reuses the trained coarse quantizer across calls — see _CODEBOOK_CACHE.
     """
     spark = corpus.sparkSession
-    sample = corpus.select(vec_col).limit(train_sample).collect()
-    if not sample:
-        return spark.createDataFrame([], schema="q_id bigint, n_id bigint, cos double, rank int")
-    mat = np.array([r[0] for r in sample], dtype=np.float64)
-    norms = np.linalg.norm(mat, axis=1, keepdims=True)
-    norms[norms == 0] = 1.0
-    cents = _spherical_kmeans(mat / norms, n_cells)
+    ck = None if cache_key is None else ("ivf", cache_key, n_cells, train_sample)
+    cents = _CODEBOOK_CACHE.get(ck) if ck is not None else None
+    if cents is None:
+        sample = corpus.select(vec_col).limit(train_sample).collect()
+        if not sample:
+            return spark.createDataFrame([], schema="q_id bigint, n_id bigint, cos double, rank int")
+        mat = np.array([r[0] for r in sample], dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        cents = _spherical_kmeans(mat / norms, n_cells)
+        if ck is not None:
+            _CODEBOOK_CACHE[ck] = cents
     bc = spark.sparkContext.broadcast(cents)
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -495,6 +513,17 @@ def _lloyd_kmeans(
     return cents
 
 
+# Trained quantizers keyed by (cache_key, params). Training runs Lloyd/
+# spherical k-means on a bounded driver-side sample — correct but the
+# dominant cost of a repeated ann_pq/ann_ivf call (the codebook is a pure
+# function of the corpus sample and params, so retraining per call is
+# waste). Callers that can name their corpus stably (e.g. a table path)
+# pass cache_key to amortize training across calls; None keeps the
+# uncached per-call behavior. Cache values are small numpy arrays
+# (m_subs × n_codes × sub floats), never corpus-sized.
+_CODEBOOK_CACHE: dict[tuple, np.ndarray] = {}
+
+
 def ann_pq(
     corpus: DataFrame,
     queries: DataFrame,
@@ -504,6 +533,7 @@ def ann_pq(
     train_sample: int = 10_000,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    cache_key: str | None = None,
 ) -> DataFrame:
     """Product-quantization ANN (Jégou et al. 2011, the FAISS `PQ` index):
     unit vectors are chopped into m_subs subspaces, each encoded as the id
@@ -518,23 +548,31 @@ def ann_pq(
     design: brute-force cosine_topk is the exact baseline."""
     spark = corpus.sparkSession
     empty = "q_id bigint, n_id bigint, cos_pq double, rank int"
-    sample = corpus.select(vec_col).limit(train_sample).collect()
-    if not sample:
-        return spark.createDataFrame([], schema=empty)
-    mat = np.array([r[0] for r in sample], dtype=np.float64)
-    norms = np.linalg.norm(mat, axis=1, keepdims=True)
-    norms[norms == 0] = 1.0
-    unit = mat / norms
-    dim = unit.shape[1]
-    if dim % m_subs:
-        raise ValueError(f"dim {dim} not divisible by m_subs {m_subs}")
-    sub = dim // m_subs
-    books = np.stack(
-        [
-            _lloyd_kmeans(unit[:, j * sub : (j + 1) * sub], n_codes)
-            for j in range(m_subs)
-        ]
-    )  # [m_subs, n_codes, sub]
+    ck = None if cache_key is None else (
+        "pq", cache_key, m_subs, n_codes, train_sample
+    )
+    books = _CODEBOOK_CACHE.get(ck) if ck is not None else None
+    if books is None:
+        sample = corpus.select(vec_col).limit(train_sample).collect()
+        if not sample:
+            return spark.createDataFrame([], schema=empty)
+        mat = np.array([r[0] for r in sample], dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        unit = mat / norms
+        dim = unit.shape[1]
+        if dim % m_subs:
+            raise ValueError(f"dim {dim} not divisible by m_subs {m_subs}")
+        sub = dim // m_subs
+        books = np.stack(
+            [
+                _lloyd_kmeans(unit[:, j * sub : (j + 1) * sub], n_codes)
+                for j in range(m_subs)
+            ]
+        )  # [m_subs, n_codes, sub]
+        if ck is not None:
+            _CODEBOOK_CACHE[ck] = books
+    sub = books.shape[2]
     bc_books = spark.sparkContext.broadcast(books)
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -2139,7 +2139,10 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakeside_spark.operators.similarity import ann_ivf as _ann_ivf
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return _ann_ivf(emb, emb.filter(F.col("vec_id") < 5), k=5, n_cells=16, n_probe=6)
+    return _ann_ivf(
+        emb, emb.filter(F.col("vec_id") < 5), k=5, n_cells=16, n_probe=6,
+        cache_key=f"{sf_dir}:embeddings",
+    )
 
 
 def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2148,7 +2151,10 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakeside_spark.operators.similarity import ann_pq as _ann_pq
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return _ann_pq(emb, emb.filter(F.col("vec_id") < 5), k=5, m_subs=16, n_codes=64)
+    return _ann_pq(
+        emb, emb.filter(F.col("vec_id") < 5), k=5, m_subs=16, n_codes=64,
+        cache_key=f"{sf_dir}:embeddings",
+    )
 
 
 def semdedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:

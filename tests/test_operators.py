@@ -444,6 +444,42 @@ def test_ann_pq_recall_and_determinism(spark, sf_dir):
     assert all(v == 5 for v in per_q.values())
 
 
+def test_ann_codebook_cache_skips_retraining(spark, sf_dir, monkeypatch):
+    """With cache_key set, a second ann_pq/ann_ivf call must reuse the
+    trained quantizer: same answer, zero k-means calls (the per-call
+    training was the bench's slowest single cost)."""
+    from lakeside_spark.operators import similarity as sim
+
+    sim._CODEBOOK_CACHE.clear()
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    key = "test:embeddings"
+    cold = sorted(
+        tuple(r)
+        for r in sim.ann_pq(emb, q, k=5, m_subs=16, n_codes=64, cache_key=key).collect()
+    )
+    sim.ann_ivf(emb, q, k=5, n_cells=8, cache_key=key).collect()
+    assert len(sim._CODEBOOK_CACHE) == 2
+
+    def boom(*a, **kw):  # training must not run again on a warm cache
+        raise AssertionError("k-means retrained despite warm codebook cache")
+
+    monkeypatch.setattr(sim, "_lloyd_kmeans", boom)
+    monkeypatch.setattr(sim, "_spherical_kmeans", boom)
+    warm = sorted(
+        tuple(r)
+        for r in sim.ann_pq(emb, q, k=5, m_subs=16, n_codes=64, cache_key=key).collect()
+    )
+    assert warm == cold
+    sim.ann_ivf(emb, q, k=5, n_cells=8, cache_key=key).collect()
+    # a different corpus name is a cache miss and would retrain
+    import pytest as _pytest
+
+    with _pytest.raises(AssertionError, match="retrained"):
+        sim.ann_pq(emb, q, k=5, m_subs=16, n_codes=64, cache_key="other").collect()
+    sim._CODEBOOK_CACHE.clear()
+
+
 def test_semdedup_invariants(spark, sf_dir):
     from lakeside_spark.operators.similarity import semdedup
 

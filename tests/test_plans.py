@@ -133,6 +133,59 @@ def test_span_dedup_broadcasts_boilerplate(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_span_dedup_fallback_past_broadcast_limit(spark, sf_dir):
+    """Past broadcast_limit the hint must NOT be applied: the anti-join
+    degrades to a shuffled join (graceful), never an OOM'd forced
+    broadcast — and the answer is identical either way."""
+    from lakeside_spark.operators.chunking import span_dedup
+    from lakeside_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+    # kill auto-broadcast so the plan shape reflects the gate, not AQE
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        fallback = span_dedup(docs, broadcast_limit=0)
+        plan = fallback._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan, plan[:1500]
+        assert "LeftAnti" in plan and "CartesianProduct" not in plan
+        rows_fb = {tuple(r) for r in fallback.collect()}
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    rows_bc = {tuple(r) for r in span_dedup(docs).collect()}
+    assert rows_fb == rows_bc
+
+
+def test_parallelize_passthrough_when_already_parallel(spark, sf_dir):
+    """similarity's kernel-feed repartition must be a no-op on an
+    already-parallel input: at 100 TB an unconditional
+    repartition(defaultParallelism) is a corpus-sized Exchange that also
+    SHRINKS a many-partition scan down to core count."""
+    from lakeside_spark.operators.similarity import _parallelize, _scored_against
+    import numpy as np
+    from lakeside_spark.sources.tables import load_table
+
+    par = spark.sparkContext.defaultParallelism
+    emb = load_table(spark, sf_dir, "embeddings")
+    wide = emb.repartition(par)
+    assert _parallelize(wide) is wide  # exact passthrough, no new plan node
+    narrow = emb.coalesce(1)
+    assert _parallelize(narrow).rdd.getNumPartitions() == par
+    # end-to-end: the score kernel over an already-parallel corpus plans
+    # with NO Exchange between the scan and MapInPandas
+    q_ids = np.array([1], dtype=np.int64)
+    q_unit = np.ones((1, 8), dtype=np.float64)
+    scored = _scored_against(
+        wide.withColumn("embedding", F.col("embedding").cast("array<double>")),
+        q_ids, q_unit, "embedding", "vec_id", exclude_self=False,
+    )
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    # exactly ONE Exchange — the test's own repartition(par) that made the
+    # input wide; _parallelize must not have stacked a second one
+    assert plan.count("Exchange") == 1, plan[:1500]
+
+
 def test_corpus_curate_single_scan_gates(spark, sf_dir):
     """The quality/length/split gates must be filters at the documents
     scan (no semi-joins against derived projections), and decontamination
