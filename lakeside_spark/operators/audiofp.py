@@ -104,6 +104,7 @@ def audio_pairs(
         max_hamming,
         bits=BITS,
         hash_col="afp",
+        id_col=id_col,
     )
 
 

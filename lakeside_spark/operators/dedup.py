@@ -502,10 +502,14 @@ def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def hamming_pairs(
-    hashes: DataFrame, max_hamming: int, bits: int, hash_col: str = "simhash"
+    hashes: DataFrame,
+    max_hamming: int,
+    bits: int,
+    hash_col: str = "simhash",
+    id_col: str = "doc_id",
 ) -> DataFrame:
-    """All (id_a, id_b, hamming) pairs within ``max_hamming`` over a
-    ``(doc_id, <hash_col>)`` frame of ``bits``-bit signatures. Exact
+    """All (id_a, id_b, hamming) pairs within ``max_hamming`` over an
+    ``(<id_col>, <hash_col>)`` frame of ``bits``-bit signatures. Exact
     (recall 1) — shared by text SimHash and image pHash dedup.
 
     Candidate generation by pigeonhole banding: split the signature into
@@ -514,11 +518,14 @@ def hamming_pairs(
     chunk_value) finds every qualifying pair, then exact hamming
     verifies. This is the multi-index-hashing scale path: the only
     shuffle is the chunk join, and a chunk key touches n/2^bits of the
-    corpus. When chunks get narrower than 8 bits (large max_hamming)
-    banding stops pruning and we fall back to the all-pairs join — at
-    that point the threshold itself is the problem, not the algorithm.
+    corpus. When chunks get narrower than 8 bits (large max_hamming
+    relative to the signature width) banding stops pruning and we fall
+    back to the all-pairs join — at that point the threshold itself is
+    the problem, not the algorithm. The fallback is O(n²) and warns
+    loudly: at corpus scale the caller must tighten the budget (so
+    bits // (max_hamming+1) >= 8) or widen the signature.
     """
-    sh = hashes.select("doc_id", F.col(hash_col).alias("__h"))
+    sh = hashes.select(F.col(id_col).alias("doc_id"), F.col(hash_col).alias("__h"))
     bands = max_hamming + 1
     band_bits = bits // bands
     hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
@@ -558,6 +565,15 @@ def hamming_pairs(
         return cand.select("id_a", "id_b", hamming.alias("hamming")).filter(
             F.col("hamming") <= max_hamming
         )
+    import warnings
+
+    warnings.warn(
+        f"hamming_pairs: max_hamming={max_hamming} on a {bits}-bit signature "
+        f"leaves {band_bits}-bit bands (<8): pigeonhole banding cannot prune, "
+        "falling back to the O(n²) all-pairs join. Tighten the budget so "
+        "bits // (max_hamming+1) >= 8 before running at corpus scale.",
+        stacklevel=2,
+    )
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("__h").alias("ha"))
     b = sh.select(F.col("doc_id").alias("id_b"), F.col("__h").alias("hb"))
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))

@@ -340,7 +340,11 @@ def phash_pairs(
     from lakeside_spark.operators.dedup import hamming_pairs
 
     return hamming_pairs(
-        phash64(df, binary_col, id_col), max_hamming, bits=63, hash_col="phash"
+        phash64(df, binary_col, id_col),
+        max_hamming,
+        bits=63,
+        hash_col="phash",
+        id_col=id_col,
     )
 
 

@@ -2752,10 +2752,14 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     PNGs from the documents table, add a deterministically brightened
     variant for every 50th doc (id + 1e6), perceptual-hash everything
     (32×32 DCT, 63-bit signature) in an Arrow kernel, and find pairs
-    within hamming 10 via the shared pigeonhole-banded join. Expected
-    pairs: each variant against its original at a small distance;
-    unrelated md5-noise images sit near 31 bits apart. DCT hashing is
-    not SQL-expressible."""
+    within hamming 6 via the shared pigeonhole-banded join. Budget 6 is
+    the largest that keeps the banded path on a 63-bit signature
+    (7 bands × 9 bits ≥ 8; a larger budget would silently fall back to
+    the O(n²) all-pairs join hamming_pairs now warns about). Expected
+    pairs: most variants against their original (measured distances
+    2-8; the distance-8 tail is honestly past the near-dup budget);
+    unrelated md5-noise images sit ≥14 bits apart, so zero false pairs.
+    DCT hashing is not SQL-expressible."""
     from lakeside_spark.operators.multimodal import (
         perturb_images,
         phash_pairs,
@@ -2768,15 +2772,15 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cleaner drops it once unreachable
     base = synthesize_images(docs, width=32, height=32).persist()
     variants = perturb_images(base.filter(F.col("doc_id") % 50 == 0))
-    return phash_pairs(base.select("doc_id", "media").unionByName(variants), max_hamming=10)
+    return phash_pairs(base.select("doc_id", "media").unionByName(variants), max_hamming=6)
 
 
 def multimodal_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rows-only: audio near-dup detection end-to-end — synthesize real
     WAV clips from the documents table, add a gain-changed noisy variant
     for every 50th doc (id + 1e6), fingerprint with the spectral-band
-    difference scheme (Haitsma-Kalker style, 56 bits), and pair via the
-    shared banded hamming join. FFT fingerprinting is not
+    difference scheme (Haitsma-Kalker style, 49 bits = 7 windows × 7
+    band-pairs), and pair via the shared banded hamming join. FFT fingerprinting is not
     SQL-expressible."""
     from lakeside_spark.operators.audiofp import (
         audio_pairs,

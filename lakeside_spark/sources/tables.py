@@ -57,6 +57,18 @@ def _ensure_nanos_readable(spark: SparkSession) -> None:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     except Exception:
         pass
+    # The NTZ→timestamp cast below is only correct under a UTC session tz;
+    # a silently-ignored conf.set would shift every telemetry timestamp by
+    # the ambient zone offset with no error. Verify, don't hope.
+    tz = spark.conf.get("spark.sql.session.timeZone", None)
+    if tz != "UTC":
+        raise RuntimeError(
+            f"spark.sql.session.timeZone is {tz!r}, not 'UTC' — TIMESTAMP_NTZ "
+            "columns would be reinterpreted in the ambient zone. Set the conf "
+            "before loading tables (it is runtime-settable on a standard "
+            "SparkSession; a session where it cannot be set cannot read this "
+            "testdata correctly)."
+        )
 
 
 def load_table(

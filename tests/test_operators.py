@@ -676,6 +676,26 @@ def test_phash_image_near_dup(spark):
     assert pairs == want
 
 
+def test_hamming_pairs_custom_id_col_and_fallback_warning(spark):
+    from lakeside_spark.operators.dedup import hamming_pairs
+
+    df = spark.createDataFrame(
+        [(1, 0b1111), (2, 0b1110), (3, 0b0000)], "img_id long, h long"
+    )
+    # custom id column flows through the banded join (was hard-coded doc_id)
+    pairs = hamming_pairs(df, max_hamming=1, bits=64, hash_col="h", id_col="img_id")
+    assert {(r["id_a"], r["id_b"]) for r in pairs.collect()} == {(1, 2)}
+    # a budget too wide for the signature falls back all-pairs AND warns
+    import warnings
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        wide = hamming_pairs(df, max_hamming=12, bits=64, hash_col="h", id_col="img_id")
+        assert any("all-pairs" in str(w.message) for w in caught)
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in wide.collect()}
+    assert got == {(1, 2): 1, (1, 3): 4, (2, 3): 3}
+
+
 def test_audio_fingerprint_dedup(spark):
     from lakeside_spark.operators.audiofp import (
         audio_fingerprint,

@@ -44,6 +44,18 @@ def test_banded_simhash_no_cartesian(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_phash_dedup_stays_banded(spark, sf_dir):
+    """multimodal_phash_dedup's budget (6 on a 63-bit hash) must keep the
+    pigeonhole-banded equi-join — a larger budget silently degrades
+    hamming_pairs to the O(n²) all-pairs join (ADVICE r4)."""
+    plan = _plan(spark, sf_dir, "multimodal_phash_dedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    plan2 = _plan(spark, sf_dir, "multimodal_audio_dedup")
+    assert "CartesianProduct" not in plan2
+    assert "BroadcastNestedLoopJoin" not in plan2
+
+
 def test_jaccard_join_path_no_cartesian(spark, sf_dir):
     from lakeside_spark.operators.dedup import ngram_jaccard_pairs
     from lakeside_spark.sources.tables import load_table
