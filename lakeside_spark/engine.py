@@ -356,14 +356,18 @@ class QueryEngine:
 
     def _run_exemplars(self, expr: BaseExpr, df: DataFrame) -> DataFrame:
         """Raw-row query (reference: BaseExpr.scala:237-239): ORDER BY
-        timestamp [DESC] LIMIT n. event_id breaks ties so limits are
-        deterministic across engines."""
+        timestamp [DESC] LIMIT n, leading with the dataset's canonical
+        projection (`SELECT $projectionSql, *` — logs lead with message,
+        traces with span.name/span.kind; BaseExpr.scala:210-214,238).
+        event_id breaks ties so limits are deterministic across engines."""
         order = [
             F.col(S.TIMESTAMP).desc() if expr.order == "DESC" else F.col(S.TIMESTAMP).asc()
         ]
         if "event_id" in df.columns:
             order.append(F.col("event_id").desc() if expr.order == "DESC" else F.col("event_id").asc())
-        return df.orderBy(*order).limit(expr.limit)
+        proj = [c for c in S.dataset_projection_columns(expr.dataset) if c in df.columns]
+        rest = [c for c in df.columns if c not in proj]
+        return df.orderBy(*order).limit(expr.limit).select(*proj, *rest)
 
     def run_graph(
         self,

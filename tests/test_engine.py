@@ -91,6 +91,32 @@ def test_exemplars_limit_and_order(spark, sf_dir):
     assert all(r[S.NAME] == "error" for r in rows)
 
 
+def test_traces_dataset_projection_and_dispatch(spark, sf_dir):
+    """dataset=traces raw-row output leads with the SPANS projection
+    (timestamp, value, span.name, span.kind — BaseExpr.scala:44-45,212);
+    unknown datasets raise like the reference's dispatch."""
+    import pytest
+
+    from lakeside_spark.schema import load_traces
+
+    tr = load_traces(spark, sf_dir)
+    assert {S.SPAN_NAME, S.SPAN_KIND, S.TIMESTAMP, S.VALUE} <= set(tr.columns)
+    expr = BaseExpr(
+        dataset=S.DATASET_TRACES,
+        filter=Filter(k=S.SPAN_NAME, op=S.EXISTS),
+        limit=10,
+    )
+    out = QueryEngine(spark).run(expr, tr)
+    # canonical projection columns lead, in reference order
+    assert out.columns[:4] == [S.TIMESTAMP, S.VALUE, S.SPAN_NAME, S.SPAN_KIND]
+    rows = out.collect()
+    assert len(rows) == 10
+    kinds = {r[S.SPAN_KIND] for r in rows}
+    assert kinds <= {"SERVER", "CLIENT", "INTERNAL"}
+    with pytest.raises(ValueError, match="Invalid dataset"):
+        S.dataset_projection_columns("spans")
+
+
 def test_missing_column_filter_is_false(spark, sf_dir):
     tele = load_telemetry(spark, sf_dir)
     expr = BaseExpr(filter=Filter(k="no_such_tag", v=("x",), op=S.EQ), limit=10)
