@@ -118,6 +118,30 @@ def test_new_tpch_no_nested_loop(key, spark, sf_dir):
     assert "BroadcastHashJoin" in plan, f"{key}: dims must broadcast"
 
 
+@pytest.mark.parametrize(
+    "key", ["tpch_q2", "tpch_q9", "tpch_q11", "tpch_q16", "tpch_q20"]
+)
+def test_derived_partsupp_tpch_shapes(key, spark, sf_dir):
+    """The five derived-partsupp queries must not degenerate: no cartesian
+    product, dims broadcast, and any BroadcastNestedLoopJoin must be the
+    single-row scalar attach from the partsupp derivation (count(*) from
+    supplier cross-joined onto part) — a one-row broadcast is O(1) and
+    scale-safe; a nested-loop join against anything wider is not."""
+    plan = _plan(spark, sf_dir, key)
+    assert "CartesianProduct" not in plan, key
+    assert "BroadcastHashJoin" in plan, f"{key}: dims must broadcast"
+    # BNLJ builds broadcast with IdentityBroadcastMode (hash joins use
+    # HashedRelationBroadcastMode), so asserting every IdentityBroadcastMode
+    # exchange feeds from a global (keys=[]) aggregate pins ALL nested-loop
+    # builds in the plan to single-row scalars
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "IdentityBroadcastMode" not in line:
+            continue
+        window = "\n".join(lines[i : i + 4])
+        assert "HashAggregate(keys=[]" in window, f"{key}: non-scalar BNLJ\n{window}"
+
+
 def test_q21_semi_anti_shape(spark, sf_dir):
     """EXISTS/NOT EXISTS compile to semi/anti joins on the fact key — the
     plan property that keeps q21 from degenerating at scale."""
