@@ -70,6 +70,7 @@ class QueryEngine:
         step_ms: int = S.DEFAULT_STEP_MS,
         approx: bool = False,
         salt_partitions: int = 1,
+        order_by_step: bool = False,
     ):
         self.spark = spark
         self.step_ms = step_ms
@@ -78,6 +79,12 @@ class QueryEngine:
         #: (a single dominant metric name lands on one reducer otherwise);
         #: exact for count/sum/avg/min/max, ignored for sketch aggs
         self.salt = salt_partitions
+        #: opt-in time-ordered chart delivery, restoring the reference's
+        #: SegmentSequencer/SequencingStrategy contract (results streamed to
+        #: the consumer in step order, core SegmentSequencer.scala). Default
+        #: off: a global sort is a rangepartitioning Exchange on every chart
+        #: query, and ordering is a presentation concern for most callers.
+        self.order_by_step = order_by_step
 
     # -- pipeline stages ----------------------------------------------------
 
@@ -227,13 +234,20 @@ class QueryEngine:
             final_keys = [S.STEP_TS] + [
                 c for c in part.columns if c not in ("__salt", "__s", "__c", S.STEP_TS)
             ]
-            return part.groupBy(*final_keys).agg(value.alias(S.VALUE))
-        # no ORDER BY: series ordering is presentation-layer concern (the
-        # reference sorts for SSE emission); a global sort here costs a
-        # rangepartitioning exchange on every chart query. Consumers that
-        # need order (moving windows, fill) sort within their own window
-        # specs; result comparison is order-insensitive.
-        return df.groupBy(*keys).agg(value.alias(S.VALUE))
+            return self._sequenced(part.groupBy(*final_keys).agg(value.alias(S.VALUE)))
+        # no ORDER BY by default: series ordering is presentation-layer
+        # concern (the reference sorts for SSE emission); a global sort here
+        # costs a rangepartitioning exchange on every chart query. Consumers
+        # that need order (moving windows, fill) sort within their own window
+        # specs; result comparison is order-insensitive. order_by_step=True
+        # opts back into the reference's sequenced-delivery contract.
+        return self._sequenced(df.groupBy(*keys).agg(value.alias(S.VALUE)))
+
+    def _sequenced(self, out: DataFrame) -> DataFrame:
+        """SegmentSequencer-style ordered delivery when opted in (reference:
+        core SegmentSequencer.scala / SequencingStrategy.scala — per-segment
+        results are released to the consumer in time order)."""
+        return out.orderBy(S.STEP_TS) if self.order_by_step else out
 
     def multi_agg(
         self,

@@ -91,6 +91,24 @@ def test_exemplars_limit_and_order(spark, sf_dir):
     assert all(r[S.NAME] == "error" for r in rows)
 
 
+def test_order_by_step_opt_in(spark, sf_dir):
+    """order_by_step=True restores the SegmentSequencer ordered-delivery
+    contract; the default plan must stay sort-free (no rangepartitioning
+    Exchange on every chart query)."""
+    tele = load_telemetry(spark, sf_dir)
+    expr = BaseExpr(
+        filter=Filter(k=S.NAME, op=S.EXISTS),
+        chart=ChartOptions(aggregation="count"),
+    )
+    default = QueryEngine(spark, step_ms=3_600_000).run(expr, tele)
+    assert "Sort" not in default._jdf.queryExecution().executedPlan().toString()
+    ordered = QueryEngine(spark, step_ms=3_600_000, order_by_step=True).run(expr, tele)
+    steps = [r[S.STEP_TS] for r in ordered.collect()]
+    assert steps == sorted(steps)
+    # same rows either way — ordering is delivery, not semantics
+    assert sorted(map(tuple, default.collect())) == sorted(map(tuple, ordered.collect()))
+
+
 def test_traces_dataset_projection_and_dispatch(spark, sf_dir):
     """dataset=traces raw-row output leads with the SPANS projection
     (timestamp, value, span.name, span.kind — BaseExpr.scala:44-45,212);
