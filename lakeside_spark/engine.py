@@ -64,12 +64,20 @@ def _agg_column(
 class QueryEngine:
     """Runs BaseExprs / tag queries over a canonical telemetry DataFrame."""
 
+    #: session-wide default for chart-aggregation salting — set it once
+    #: (spark.conf.set) and every QueryEngine constructed without an
+    #: explicit salt_partitions picks it up. AQE's skew handling covers
+    #: shuffle JOINS only, not aggregations, so a deployment that knows its
+    #: telemetry has dominant hot (step, name) keys opts the whole fleet in
+    #: here instead of threading a parameter through every call site.
+    SALT_CONF = "spark.lakeside.chart.saltPartitions"
+
     def __init__(
         self,
         spark,
         step_ms: int = S.DEFAULT_STEP_MS,
         approx: bool = False,
-        salt_partitions: int = 1,
+        salt_partitions: int | None = None,
         order_by_step: bool = False,
     ):
         self.spark = spark
@@ -77,7 +85,13 @@ class QueryEngine:
         self.approx = approx
         #: >1 enables salted two-phase chart aggregation for hot-key skew
         #: (a single dominant metric name lands on one reducer otherwise);
-        #: exact for count/sum/avg/min/max, ignored for sketch aggs
+        #: exact for count/sum/avg/min/max, ignored for sketch aggs.
+        #: None (default) defers to the SALT_CONF session conf.
+        if salt_partitions is None:
+            try:
+                salt_partitions = int(spark.conf.get(self.SALT_CONF, "1"))
+            except (ValueError, TypeError):
+                salt_partitions = 1
         self.salt = salt_partitions
         #: opt-in time-ordered chart delivery, restoring the reference's
         #: SegmentSequencer/SequencingStrategy contract (results streamed to

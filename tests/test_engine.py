@@ -149,6 +149,39 @@ def test_tag_values(spark, sf_dir, ddb):
     assert rows_set(got) == {tuple(r) for r in exp}
 
 
+def test_salt_conf_session_default(spark, sf_dir):
+    """The SALT_CONF session conf opts every default-constructed engine
+    into salted aggregation (AQE does not handle aggregation skew);
+    explicit salt_partitions still wins, and the salted result is
+    identical to unsalted."""
+    tele = load_telemetry(spark, sf_dir)
+    expr = BaseExpr(
+        filter=Filter(k=S.NAME, op=S.EXISTS),
+        chart=ChartOptions(aggregation="sum"),
+    )
+    baseline = QueryEngine(spark, step_ms=86_400_000).run(expr, tele)
+    assert QueryEngine(spark).salt == 1
+    spark.conf.set(QueryEngine.SALT_CONF, "8")
+    try:
+        eng = QueryEngine(spark, step_ms=86_400_000)
+        assert eng.salt == 8
+        assert QueryEngine(spark, salt_partitions=2).salt == 2  # explicit wins
+        salted = eng.run(expr, tele)
+        assert "__salt" not in salted.columns
+
+        def normalized(df):
+            # float sums are order-sensitive in the last ulps; round like
+            # the oracle compare does
+            return sorted(
+                (r[S.STEP_TS], r[S.NAME], round(r[S.VALUE], 6)) for r in df.collect()
+            )
+
+        assert normalized(salted) == normalized(baseline)
+    finally:
+        spark.conf.unset(QueryEngine.SALT_CONF)
+    assert QueryEngine(spark).salt == 1
+
+
 def test_salted_aggregation_matches_unsalted(spark, sf_dir):
     """Salted two-phase chart agg (hot-key skew path) is exact for
     count/sum/avg/min/max."""
