@@ -89,6 +89,11 @@ HEADLINE = [
     "corpus_mixture_plan",
     "multimodal_phash_dedup",
     "multimodal_audio_dedup",
+    "traces_exemplars",
+    "traces_span_stats",
+    "corpus_source_cap",
+    "vocab_tfidf",
+    "embedding_label_outliers",
 ]
 
 

@@ -122,3 +122,51 @@ def vocab_topk(
         F.row_number().over(Window.orderBy(F.col("cnt").desc(), F.col("word").asc())),
     )
     return ranked.filter(F.col("rank") <= k).select("rank", "word", "cnt")
+
+
+def vocab_tfidf(
+    docs: DataFrame,
+    k: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k corpus terms by smoothed tf-idf (the sklearn formulation:
+    idf = ln((N+1)/(df+1)) + 1, score = tf · idf) — the signal behind
+    keyword extraction, boilerplate spotting (high-tf low-idf), and
+    quality-weighted vocab builds.
+
+    Shape: one explode → ONE word-keyed aggregation computing tf and df
+    together (count + count_distinct over the same shuffle; partial
+    aggregation combines map-side), the corpus size N attached as a
+    single-row broadcast scalar (the same scalar-attach pattern as the
+    derived partsupp), then a global top-k window over the vocabulary —
+    word-count-sized, never corpus-sized. Determinism: rank orders by
+    (rounded score desc, word asc); equal (tf, df) pairs produce
+    bit-identical scores in any engine computing doubles."""
+    w = F.filter(F.split(normalized(text_col), " "), lambda x: x != F.lit(""))
+    stats = (
+        docs.select(F.col(id_col).alias("_doc"), F.explode(w).alias("word"))
+        .groupBy("word")
+        .agg(
+            F.count("*").alias("tf"),
+            F.count_distinct("_doc").alias("df"),
+        )
+    )
+    n_docs = docs.select(F.count("*").alias("_n"))
+    scored = stats.join(F.broadcast(n_docs)).withColumn(
+        "tfidf",
+        F.round(
+            F.col("tf")
+            * (F.log((F.col("_n") + 1).cast("double") / (F.col("df") + 1)) + 1.0),
+            6,
+        ),
+    )
+    ranked = scored.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.col("tfidf").desc(), F.col("word").asc())
+        ),
+    )
+    return ranked.filter(F.col("rank") <= k).select(
+        F.col("rank").cast("long").alias("rank"), "word", "tf", "df", "tfidf"
+    )

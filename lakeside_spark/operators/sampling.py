@@ -19,7 +19,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -35,6 +35,30 @@ def hash_gate(id_col: str, rate_pct: F.Column | float) -> F.Column:
     )
     rate = rate_pct if isinstance(rate_pct, F.Column) else F.lit(rate_pct)
     return bucket < rate
+
+
+def source_cap(
+    docs: DataFrame,
+    cap: int = 100,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-source document cap: keep the first ``cap`` docs (by id) of each
+    source — the per-domain cap every crawl pipeline applies so a handful
+    of giant domains cannot dominate the mixture (C4 and RefinedWeb both
+    cap URL-host contributions).
+
+    One shuffle on the source key, then a bounded row_number. At 100 TB a
+    monster domain makes its window partition big, but the sort is by the
+    id the scan already delivers mostly-ordered and spills gracefully; a
+    two-phase refinement (per-partition local top-cap, then global) drops
+    out of the same plan when cap << partition rows because row_number
+    stops consuming after cap rows per key. Deterministic: (source, id)
+    is a total order, so the kept set is stable across engines."""
+    w = Window.partitionBy(source_col).orderBy(id_col)
+    return docs.withColumn(
+        "source_rank", F.row_number().over(w).cast("long")
+    ).filter(F.col("source_rank") <= cap)
 
 
 def stratified_sample(

@@ -646,6 +646,61 @@ def ann_pq(
     )
 
 
+def label_centroid_outliers(
+    emb: DataFrame,
+    threshold: float = 0.5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Vectors far from their own label's centroid — cleanlab-style
+    mislabel/outlier detection for labeled embedding sets: a training
+    example whose embedding disagrees with its class centroid is a label
+    error or an out-of-distribution sample.
+
+    Shape (all JVM-side Column algebra, no Python kernels): posexplode →
+    per-(label, dim) mean (ONE map-side-combined aggregation; the result
+    is labels × dims rows — model-sized, not corpus-sized) → rebuild each
+    centroid as an array → broadcast-join centroids back → cosine via
+    zip_with/aggregate per row, map-only. Two tiny shuffles; the corpus is
+    touched twice but never shuffled on its own key. Returns (vec_id,
+    label, cos_to_centroid) for vectors with rounded cosine < threshold."""
+    v = as_double_array(vec_col)
+    ex = emb.select(
+        F.col(label_col).alias("label"), F.posexplode(v).alias("dim", "val")
+    )
+    cent = (
+        ex.groupBy("label", "dim")
+        .agg(F.avg("val").alias("c"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "c"))),
+                lambda s: s["c"],
+            ).alias("centroid")
+        )
+    )
+    joined = emb.select(
+        F.col(id_col).alias("vec_id"), F.col(label_col).alias("label"), v.alias("__v")
+    ).join(F.broadcast(cent), "label")
+
+    def _dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    cos = _dot(F.col("__v"), F.col("centroid")) / F.sqrt(
+        _dot(F.col("__v"), F.col("__v")) * _dot(F.col("centroid"), F.col("centroid"))
+    )
+    return (
+        joined.withColumn("cos_to_centroid", F.round(cos, 6))
+        .filter(F.col("cos_to_centroid") < threshold)
+        .select("vec_id", "label", "cos_to_centroid")
+    )
+
+
 def semdedup(
     emb: DataFrame,
     threshold: float = 0.95,

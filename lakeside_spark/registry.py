@@ -2487,6 +2487,87 @@ WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100
 """
 
 
+def corpus_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (the per-domain cap of C4/RefinedWeb-style
+    crawl pipelines): keep the first 30 docs by id of each source so no
+    single domain dominates the mixture."""
+    from lakeside_spark.operators.sampling import source_cap
+
+    docs = load_table(spark, sf_dir, "documents")
+    return source_cap(docs, cap=30).select(
+        "doc_id", "lang", "source", "n_chars", "source_rank"
+    )
+
+
+CORPUS_SOURCE_CAP_SQL = """
+SELECT doc_id, lang, source, n_chars,
+       CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT)
+           AS source_rank
+FROM documents
+QUALIFY source_rank <= 30
+"""
+
+
+def vocab_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 corpus terms by smoothed tf-idf (idf = ln((N+1)/(df+1))+1):
+    keyword extraction / boilerplate spotting over one word-keyed
+    aggregation plus a vocabulary-sized top-k window."""
+    from lakeside_spark.operators.decontam import vocab_tfidf as _tfidf
+
+    docs = load_table(spark, sf_dir, "documents")
+    return _tfidf(docs, k=100)
+
+
+VOCAB_TFIDF_SQL = f"""
+WITH t AS (
+  SELECT doc_id, unnest(list_filter(string_split({_NORM}, ' '), x -> x <> '')) AS word
+  FROM documents
+), s AS (
+  SELECT word, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df FROM t GROUP BY word
+), n AS (SELECT COUNT(*) AS _n FROM documents),
+sc AS (
+  SELECT word, tf, df,
+         ROUND(tf * (ln(CAST(_n + 1 AS DOUBLE) / (df + 1)) + 1.0), 6) AS tfidf
+  FROM s CROSS JOIN n
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY tfidf DESC, word ASC) AS BIGINT) AS rank,
+       word, tf, df, tfidf
+FROM sc
+QUALIFY rank <= 100
+"""
+
+
+def embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cleanlab-style label-error candidates: vectors whose cosine to their
+    own label's centroid is negative (the ~10% tail at this data's
+    clustering strength) — mislabeled or out-of-distribution training
+    examples."""
+    from lakeside_spark.operators.similarity import label_centroid_outliers
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return label_centroid_outliers(emb, threshold=0.0)
+
+
+EMBEDDING_LABEL_OUTLIERS_SQL = """
+WITH ex AS (
+  SELECT vec_id, label, generate_subscripts(embedding, 1) - 1 AS dim,
+         unnest(embedding) AS val
+  FROM embeddings
+), cent AS (
+  SELECT label, dim, AVG(CAST(val AS DOUBLE)) AS c FROM ex GROUP BY 1, 2
+), sc AS (
+  SELECT ex.vec_id, ex.label,
+         SUM(CAST(ex.val AS DOUBLE) * cent.c) AS dot,
+         SUM(CAST(ex.val AS DOUBLE) * CAST(ex.val AS DOUBLE)) AS n1,
+         SUM(cent.c * cent.c) AS n2
+  FROM ex JOIN cent ON ex.label = cent.label AND ex.dim = cent.dim
+  GROUP BY 1, 2
+)
+SELECT vec_id, label, ROUND(dot / (sqrt(n1) * sqrt(n2)), 6) AS cos_to_centroid
+FROM sc WHERE ROUND(dot / (sqrt(n1) * sqrt(n2)), 6) < 0.0
+"""
+
+
 def corpus_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rows-only: greedy sequence packing of per-language doc streams into
     2048-token bins (applyInPandas fold — inherently sequential per bin
@@ -3326,15 +3407,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "formula_ratio": formula_ratio,
     "graph_request": graph_request,
     "tpch_q1": tpch_q1,
-    "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "ann_cosine_topk": ann_cosine_topk,
-    "corpus_dedupe": corpus_dedupe,
     "asof_join": asof_join_events,
-    "sessionize": sessionize_events,
-    # --- new round 5: the traces dataset (SPANS_PROJECTIONS dispatch)
+    # --- new round 5: traces dataset + curation/embedding additions
     "traces_exemplars": traces_exemplars,
     "traces_span_stats": traces_span_stats,
+    "corpus_source_cap": corpus_source_cap,
+    "vocab_tfidf": vocab_tfidf,
+    "embedding_label_outliers": embedding_label_outliers,
     # --- never-judged block 1: date-predicate TPC-H (13-25)
     "tpch_q4": tpch_q4,
     "tpch_q5": tpch_q5,
@@ -3381,6 +3462,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- driver-green round 4 (CORRECTNESS_r04: 50/50)
     "ts_percentile": ts_percentile,
     "tpch_q6": tpch_q6,
+    "dedup_exact": dedup_exact,
+    "corpus_dedupe": corpus_dedupe,
+    "sessionize": sessionize_events,
     "formula_add_fill": formula_add_fill,
     "tag_values": tag_values,
     "tag_values_extracted": tag_values_extracted,
@@ -3457,6 +3541,9 @@ ORACLES: dict[str, str] = {
     "decontam_overlap": DECONTAM_OVERLAP_SQL,
     "corpus_decontam": CORPUS_DECONTAM_SQL,
     "vocab_topk": VOCAB_TOPK_SQL,
+    "vocab_tfidf": VOCAB_TFIDF_SQL,
+    "corpus_source_cap": CORPUS_SOURCE_CAP_SQL,
+    "embedding_label_outliers": EMBEDDING_LABEL_OUTLIERS_SQL,
     "corpus_curate": CORPUS_CURATE_SQL,
     # dedup_simhash, ann_lsh, ema_smooth: genuinely non-SQL-expressible /
     # approximate — rows-only check by design

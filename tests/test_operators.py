@@ -480,6 +480,63 @@ def test_ann_codebook_cache_skips_retraining(spark, sf_dir, monkeypatch):
     sim._CODEBOOK_CACHE.clear()
 
 
+def test_source_cap_invariants(spark, sf_dir):
+    from lakeside_spark.operators.sampling import source_cap
+
+    docs = load_table(spark, sf_dir, "documents")
+    capped = source_cap(docs, cap=5)
+    per_source = capped.groupBy("source").count().collect()
+    assert all(r["count"] <= 5 for r in per_source)
+    # kept docs are exactly the 5 lowest ids of each source
+    rows = capped.select("source", "doc_id").collect()
+    lowest = {
+        r["source"]: r["ids"]
+        for r in docs.groupBy("source")
+        .agg(F.slice(F.array_sort(F.collect_list("doc_id")), 1, 5).alias("ids"))
+        .collect()
+    }
+    for src in lowest:
+        got = sorted(r["doc_id"] for r in rows if r["source"] == src)
+        assert got == sorted(lowest[src]), src
+
+
+def test_vocab_tfidf_ranks_rare_terms_over_stopwords(spark):
+    from lakeside_spark.operators.decontam import vocab_tfidf
+
+    docs = spark.createDataFrame(
+        [(i, "the common filler text plus " + ("rareword " if i == 0 else "the "))
+         for i in range(20)],
+        "doc_id long, text string",
+    )
+    out = {r["word"]: (r["rank"], r["tf"], r["df"], r["tfidf"]) for r in
+           vocab_tfidf(docs, k=50).collect()}
+    # 'the' dominates tf but its idf ~1; 'rareword' appears once in one doc
+    assert out["rareword"][2] == 1  # df
+    assert out["the"][1] > out["rareword"][1]  # tf
+    # idf boost: rareword's per-occurrence score beats a stopword's
+    assert out["rareword"][3] / out["rareword"][1] > out["the"][3] / out["the"][1]
+
+
+def test_label_centroid_outliers_flags_planted_flip(spark):
+    import numpy as np
+
+    from lakeside_spark.operators.similarity import label_centroid_outliers
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for label, center in ((0, np.array([10.0, 0, 0, 0])), (1, np.array([0, 10.0, 0, 0]))):
+        for i in range(50):
+            v = center + rng.normal(0, 0.5, 4)
+            rows.append((label * 100 + i, [float(x) for x in v], label))
+    # plant one mislabel: a label-0-looking vector tagged label 1
+    rows.append((999, [10.0, 0.0, 0.0, 0.0], 1))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    flagged = {r["vec_id"] for r in label_centroid_outliers(emb, threshold=0.5).collect()}
+    assert 999 in flagged
+    # the well-labeled mass stays unflagged
+    assert len(flagged) <= 3
+
+
 def test_semdedup_invariants(spark, sf_dir):
     from lakeside_spark.operators.similarity import semdedup
 
