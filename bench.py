@@ -94,6 +94,7 @@ HEADLINE = [
     "corpus_source_cap",
     "vocab_tfidf",
     "embedding_label_outliers",
+    "corpus_bloom_decontam",
 ]
 
 

@@ -101,6 +101,120 @@ def decontaminate(
     )
 
 
+def _bloom_positions(h1, h2, k: int, m: int):
+    """Double hashing (Kirsch–Mitzenmacher): position_i = (h1 + i·h2) mod m
+    gives k independent-enough probes from two base uint64 hash arrays."""
+    import numpy as np
+
+    return [
+        ((h1 + np.uint64(i) * h2) % np.uint64(m)).astype(np.int64) for i in range(k)
+    ]
+
+
+def _gram_hashes(grams: "pd.Series"):
+    """Two stable 63-bit hashes per gram from its md5 — engine-independent
+    and reproducible (no Python hash randomization)."""
+    import hashlib
+
+    import numpy as np
+
+    h1 = np.empty(len(grams), dtype=np.uint64)
+    h2 = np.empty(len(grams), dtype=np.uint64)
+    for i, g in enumerate(grams):
+        d = hashlib.md5(g.encode()).digest()
+        h1[i] = int.from_bytes(d[:8], "big") & 0x7FFFFFFFFFFFFFFF
+        h2[i] = (int.from_bytes(d[8:], "big") & 0x7FFFFFFFFFFFFFFF) | 1
+    return h1, h2
+
+
+def bloom_decontam(
+    corpus: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 5,
+    m_bits: int = 1 << 20,
+    k_hashes: int = 7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Bloom-filter n-gram decontamination — the 100 TB variant of
+    ``ngram_overlap`` for when the eval-gram SET is too large to broadcast
+    as data but its bitmap is not: a 1M-bit filter is 128 KB regardless of
+    gram count, and false positives only ever over-flag (zero false
+    negatives — a contaminated doc can never slip through; FP rate
+    ≈ (1 - e^(-k·g/m))^k for g distinct grams).
+
+    Build side: eval grams → k bit positions each (distributed map) → ONE
+    distinct-positions aggregation (bounded by m, never by eval size) →
+    driver assembles the m-bit numpy bitmap → broadcast. Probe side:
+    map-only Arrow kernel — each corpus doc's distinct grams hash to k
+    positions and a doc is flagged when ANY gram finds all k bits set.
+    Returns (doc_id, n_suspect_grams) for flagged docs.
+
+    Reference parity: same screening semantics as decontam.ngram_overlap
+    (GPT-3 Brown et al. 2020 §C); the bitmap replaces the broadcast set.
+    """
+    import numpy as np
+
+    k, m = k_hashes, m_bits
+    eval_grams = _doc_grams(eval_docs, n, text_col, id_col).select("gram").distinct()
+
+    def positions_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            h1, h2 = _gram_hashes(pdf["gram"])
+            yield pd.DataFrame(
+                {"pos": np.unique(np.concatenate(_bloom_positions(h1, h2, k, m)))}
+            )
+
+    # distinct bit positions: bounded by m (a filter-sized set), combines
+    # map-side; the driver only ever sees set-bit indices, not grams
+    pos_rows = (
+        eval_grams.mapInPandas(positions_kernel, schema="pos long")
+        .distinct()
+        .collect()
+    )
+    bitmap = np.zeros(m, dtype=bool)
+    if pos_rows:
+        bitmap[np.array([r["pos"] for r in pos_rows], dtype=np.int64)] = True
+    bc = corpus.sparkSession.sparkContext.broadcast(np.packbits(bitmap))
+
+    def probe_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        packed = bc.value
+        bits = np.unpackbits(packed).astype(bool)
+        for pdf in batches:
+            ids_out: list[int] = []
+            cnt_out: list[int] = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                words = [w for w in _normalize_py(text).split(" ") if w]
+                if len(words) < n:
+                    continue
+                gset = list({
+                    " ".join(words[i : i + n]) for i in range(len(words) - n + 1)
+                })
+                h1, h2 = _gram_hashes(gset)
+                hit = np.ones(len(gset), dtype=bool)
+                for p in _bloom_positions(h1, h2, k, m):
+                    hit &= bits[p]
+                n_hit = int(hit.sum())
+                if n_hit:
+                    ids_out.append(did)
+                    cnt_out.append(n_hit)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids_out, dtype="int64"),
+                    "n_suspect_grams": pd.Series(cnt_out, dtype="int64"),
+                }
+            )
+
+    from lakeside_spark.operators.dedup import _parallelize
+
+    src = _parallelize(
+        corpus.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    )
+    return src.mapInPandas(probe_kernel, schema="doc_id long, n_suspect_grams long")
+
+
 def vocab_topk(
     docs: DataFrame,
     k: int = 100,

@@ -2444,6 +2444,20 @@ WHERE d.doc_id % 20 <> 0
 """
 
 
+def corpus_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rows-only: Bloom-filter n-gram decontamination — the 100 TB variant
+    of decontam_overlap where the eval-gram set is replaced by a 128 KB
+    bitmap broadcast (zero false negatives by construction; FP-only
+    over-flagging). Bit arithmetic is not practically SQL-expressible;
+    the invariants pytest pins superset-of-exact + FP bound."""
+    from lakeside_spark.operators.decontam import bloom_decontam
+
+    docs = load_table(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 20 == 0)
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    return bloom_decontam(corpus, ev, n=5)
+
+
 def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic top-100 vocabulary: global word counts ranked by
     (count desc, word asc) — the seed step of a BPE/WordPiece vocab build.
@@ -3504,6 +3518,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_sample": corpus_sample,
     "text_langid": text_langid,
     # --- rows-only by design (no oracle)
+    "corpus_bloom_decontam": corpus_bloom_decontam,
     "multimodal_decode": multimodal_decode,
     "multimodal_phash_dedup": multimodal_phash_dedup,
     "multimodal_audio_dedup": multimodal_audio_dedup,

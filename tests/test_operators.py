@@ -412,6 +412,30 @@ def test_decontam_broadcast_and_exactness(spark, sf_dir):
     assert clean == {3}
 
 
+def test_bloom_decontam_no_false_negatives(spark, sf_dir):
+    """The Bloom screen must flag a SUPERSET of the exact n-gram overlap
+    (zero false negatives — the Bloom guarantee) with a tiny FP margin at
+    the default 1M-bit / 7-hash sizing."""
+    from lakeside_spark.operators.decontam import bloom_decontam, ngram_overlap
+
+    docs = load_table(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 20 == 0)
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    exact = {r["doc_id"]: r["n_overlap_grams"] for r in ngram_overlap(corpus, ev, n=5).collect()}
+    bloom = {r["doc_id"]: r["n_suspect_grams"] for r in bloom_decontam(corpus, ev, n=5).collect()}
+    missing = set(exact) - set(bloom)
+    assert not missing, f"false negatives: {missing}"
+    # per-doc: Bloom sees at least as many suspect grams as true overlaps
+    assert all(bloom[d] >= exact[d] for d in exact)
+    # FP discipline: flagged docs beyond the exact set stay a small margin
+    n_corpus = corpus.count()
+    fp_docs = len(set(bloom) - set(exact))
+    assert fp_docs <= max(2, 0.02 * n_corpus), fp_docs
+    # a filter sized far too small floods with FPs but still never misses
+    tiny = {r["doc_id"] for r in bloom_decontam(corpus, ev, n=5, m_bits=1 << 8).collect()}
+    assert set(exact) <= tiny
+
+
 def test_vocab_topk_deterministic_ties(spark):
     from lakeside_spark.operators.decontam import vocab_topk
 
