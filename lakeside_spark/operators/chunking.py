@@ -90,33 +90,43 @@ def span_dedup(
     similarity.embedding_dup_pairs): ≤ ``broadcast_limit`` distinct
     over-represented spans → broadcast anti-join (map-only, no corpus
     shuffle); above it → plain shuffled anti-join and let AQE pick the
-    strategy. The probe itself aggregates the vocabulary-sized span-hash
-    table once — one cheap extra pass, never corpus-sized."""
+    strategy. The span-hash table is persisted before the probe so the
+    count and the subsequent anti-join share ONE tiling+aggregation pass
+    over the corpus instead of recomputing it — persisting the
+    boilerplate-sized table is safe at any scale; it is the corpus we
+    must never cache."""
     w = words(text_col)
     n_tiles = F.ceil(F.size(w).cast("double") / span_words).cast("int")
     tiles = F.transform(
         F.sequence(F.lit(0), n_tiles - 1),
         lambda i: F.concat_ws(" ", F.slice(w, i * span_words + 1, span_words)),
     )
+    # under-parallel inputs (a small-SF single-file parquet) starve the
+    # tiling/explode stages; the gate keeps this a no-op on an
+    # already-parallel 100 TB scan (see similarity._parallelize)
+    from lakeside_spark.operators.similarity import _parallelize
+
+    docs = _parallelize(docs)
+    # hash each span once at tiling time: the same column feeds the
+    # document-frequency aggregation and the anti-join key, so the join
+    # does not re-run md5 over the corpus side
     tiled = docs.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(tiles).alias("span_idx", "span"),
-    )
+    ).withColumn("span_hash", F.md5("span"))
     # global document-frequency per span hash: one map-side-combined
     # aggregation; the result is boilerplate-sized (distinct spans), far
     # smaller than the corpus, and joins back on the hash
     span_df = (
-        tiled.groupBy(F.md5("span").alias("span_hash"))
+        tiled.groupBy("span_hash")
         .agg(F.count_distinct("doc_id").alias("df"))
         .filter(F.col("df") > max_df)
+        .select("span_hash")
+        .persist()
     )
     if span_df.count() <= broadcast_limit:
         span_df = span_df.hint("broadcast")
-    kept = tiled.join(
-        span_df,
-        F.md5(tiled["span"]) == span_df["span_hash"],
-        "left_anti",
-    )
+    kept = tiled.join(span_df, "span_hash", "left_anti")
     surv = kept.groupBy("doc_id").agg(
         F.concat_ws(
             " ",
