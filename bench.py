@@ -95,6 +95,11 @@ HEADLINE = [
     "vocab_tfidf",
     "embedding_label_outliers",
     "corpus_bloom_decontam",
+    "trace_service_graph",
+    "funnel_conversion",
+    "event_path_topk",
+    "ts_outlier_mad",
+    "log_patterns",
 ]
 
 

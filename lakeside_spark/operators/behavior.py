@@ -1,0 +1,130 @@
+"""User-behavior / trace-topology operators: funnels, event paths,
+service graphs.
+
+The reference serves raw telemetry and chart aggregations; product
+analytics on top of the same event stream (conversion funnels, common
+navigation paths, span-adjacency service maps) are the natural next
+queries a telemetry user runs, and none of them is a Spark built-in.
+All three are expressed as declarative DataFrame plans:
+
+- ``funnel``: strict-order conversion funnel. Step 1 completion is the
+  user's first matching event; step i completes at the first matching
+  event within ``window_ms`` AFTER the previous step's completion
+  (cascading windows — the standard "strict funnel" definition). Shape:
+  one name-filtered scan + one user-keyed aggregation per step, chained
+  by equi-joins on the user key. Every join is user-cardinality ×
+  user-cardinality on the same key, so at 100 TB the chain is k
+  co-partitioned shuffles over *distinct-user-sized* tables — the fact
+  table is scanned once per step with the step's name predicate pushed
+  to parquet (never materialized unfiltered).
+- ``next_event_edges``: adjacent-event transition edges per key
+  ((prev event → event) counts + mean gap). One keyed window over
+  (key, ts, tiebreak) — a single shuffle; the edge table is
+  name-vocabulary², tiny. With the traces mapping this is the classic
+  span-adjacency service-dependency graph.
+- ``path_topk``: top-k length-``depth`` event sequences (navigation /
+  error-cascade mining). Same single keyed window (lag chain), one
+  vocabulary-sized count aggregation, deterministic (count desc, path
+  asc) ranking.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    window_ms: int,
+    user_col: str = "user_id",
+    ts_col: str = "timestamp_ms",
+    name_col: str = "name",
+) -> DataFrame:
+    """(step, step_name, users): distinct users completing each funnel
+    step in order, each step within ``window_ms`` of the previous one."""
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    per_step: list[DataFrame] = []
+    cur = (
+        events.filter(F.col(name_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("t"))
+    )
+    per_step.append(cur)
+    for step_name in steps[1:]:
+        cur = (
+            events.filter(F.col(name_col) == step_name)
+            .join(cur.select(user_col, "t"), user_col)
+            .filter(
+                (F.col(ts_col) > F.col("t"))
+                & (F.col(ts_col) <= F.col("t") + F.lit(window_ms))
+            )
+            .groupBy(user_col)
+            .agg(F.min(ts_col).alias("t"))
+        )
+        per_step.append(cur)
+    labeled = [
+        df.select(
+            F.lit(i + 1).cast("bigint").alias("step"),
+            F.lit(steps[i]).alias("step_name"),
+            F.col(user_col),
+        )
+        for i, df in enumerate(per_step)
+    ]
+    return (
+        reduce(DataFrame.unionAll, labeled)
+        .groupBy("step", "step_name")
+        .agg(F.count("*").alias("users"))
+    )
+
+
+def next_event_edges(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "timestamp_ms",
+    name_col: str = "name",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """(src, dst, n, avg_gap_ms): adjacent-event transition edges per key."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    with_prev = events.select(
+        F.lag(name_col).over(w).alias("src"),
+        F.col(name_col).alias("dst"),
+        (F.col(ts_col) - F.lag(ts_col).over(w)).alias("gap_ms"),
+    ).filter(F.col("src").isNotNull())
+    return with_prev.groupBy("src", "dst").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("gap_ms"), 6).alias("avg_gap_ms"),
+    )
+
+
+def path_topk(
+    events: DataFrame,
+    depth: int = 3,
+    k: int = 10,
+    user_col: str = "user_id",
+    ts_col: str = "timestamp_ms",
+    name_col: str = "name",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """(rank, path, n): the k most common length-``depth`` event paths."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    lags = [
+        F.lag(name_col, depth - 1 - i).over(w) for i in range(depth - 1)
+    ] + [F.col(name_col)]
+    paths = events.select(
+        F.concat_ws(" > ", *lags).alias("path"),
+        lags[0].alias("_first"),
+    ).filter(F.col("_first").isNotNull())
+    counted = paths.groupBy("path").agg(F.count("*").alias("n"))
+    rk = Window.orderBy(F.desc("n"), F.asc("path"))
+    return (
+        counted.select(
+            F.row_number().over(rk).cast("bigint").alias("rank"), "path", "n"
+        )
+        .filter(F.col("rank") <= k)
+    )

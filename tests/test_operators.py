@@ -813,3 +813,76 @@ def test_audio_fingerprint_dedup(spark):
         if a < b and bin(vfps[a] ^ vfps[b]).count("1") <= 5
     }
     assert pairs == want
+
+
+class TestBehavior:
+    def test_funnel_strict_order_and_window(self, spark):
+        from lakeside_spark.operators.behavior import funnel
+
+        rows = [
+            # u1 completes all three in order inside the window
+            (1, 100, "view"), (1, 200, "click"), (1, 300, "purchase"),
+            # u2: click BEFORE view — step 2 must not count it
+            (2, 100, "click"), (2, 200, "view"),
+            # u3: click too late (window is 500ms)
+            (3, 100, "view"), (3, 700, "click"),
+            # u4: view only
+            (4, 100, "view"),
+            # u5: same-ts click must NOT complete step 2 (strictly after)
+            (5, 100, "view"), (5, 100, "click"),
+        ]
+        df = spark.createDataFrame(rows, "user_id long, ts long, name string")
+        out = funnel(
+            df, ["view", "click", "purchase"], window_ms=500,
+            user_col="user_id", ts_col="ts", name_col="name",
+        )
+        got = {r["step"]: r["users"] for r in out.collect()}
+        assert got == {1: 5, 2: 1, 3: 1}
+
+    def test_funnel_window_anchors_on_previous_step(self, spark):
+        from lakeside_spark.operators.behavior import funnel
+
+        # purchase is 800ms after view but only 400ms after click —
+        # cascading windows (anchor = previous step) must count it
+        rows = [(1, 0, "view"), (1, 400, "click"), (1, 800, "purchase")]
+        df = spark.createDataFrame(rows, "user_id long, ts long, name string")
+        out = funnel(
+            df, ["view", "click", "purchase"], window_ms=500,
+            user_col="user_id", ts_col="ts", name_col="name",
+        )
+        got = {r["step"]: r["users"] for r in out.collect()}
+        assert got == {1: 1, 2: 1, 3: 1}
+
+    def test_next_event_edges_counts_and_gaps(self, spark):
+        from lakeside_spark.operators.behavior import next_event_edges
+
+        rows = [
+            (1, 100, "a", 1), (1, 200, "b", 2), (1, 400, "b", 3),
+            (2, 100, "a", 4), (2, 150, "b", 5),
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id long, ts long, name string, event_id long"
+        )
+        out = next_event_edges(
+            df, user_col="user_id", ts_col="ts", name_col="name",
+            tiebreak_col="event_id",
+        )
+        got = {(r["src"], r["dst"]): (r["n"], r["avg_gap_ms"]) for r in out.collect()}
+        assert got == {("a", "b"): (2, 75.0), ("b", "b"): (1, 200.0)}
+
+    def test_path_topk_requires_full_depth(self, spark):
+        from lakeside_spark.operators.behavior import path_topk
+
+        # u1 has 3 events → exactly one depth-3 path; u2 has 2 → none
+        rows = [
+            (1, 100, "a", 1), (1, 200, "b", 2), (1, 300, "c", 3),
+            (2, 100, "a", 4), (2, 200, "b", 5),
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id long, ts long, name string, event_id long"
+        )
+        out = path_topk(
+            df, depth=3, k=5, user_col="user_id", ts_col="ts",
+            name_col="name", tiebreak_col="event_id",
+        ).collect()
+        assert [(r["rank"], r["path"], r["n"]) for r in out] == [(1, "a > b > c", 1)]

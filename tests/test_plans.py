@@ -232,3 +232,34 @@ def test_corpus_curate_single_scan_gates(spark, sf_dir):
     assert scan_lines, plan
     # the doc_id % 20 split gate reaches the scan as a data filter
     assert any("n_chars" in l for l in scan_lines), scan_lines
+
+
+def test_funnel_no_cartesian_and_pushed_step_filters(spark, sf_dir):
+    """Every funnel step must be a name-filtered scan (predicate pushed
+    to parquet) chained by user-key equi-joins — at 100 TB a funnel that
+    materializes the unfiltered fact table per step, or theta-joins
+    steps, does not survive."""
+    plan = _plan(spark, sf_dir, "funnel_conversion")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    scans = [l for l in plan.splitlines() if "FileScan" in l and "events" in l]
+    # one scan per step, each with its step's name equality pushed down
+    assert any("purchase" in l for l in scans), scans
+    assert any("view" in l for l in scans), scans
+
+
+def test_trace_service_graph_single_window_shuffle(spark, sf_dir):
+    """The span-adjacency edges come from ONE keyed window pass plus the
+    vocabulary-sized edge agg — no joins at all in the plan."""
+    plan = _plan(spark, sf_dir, "trace_service_graph")
+    assert "Join" not in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ts_outlier_mad_broadcasts_series_stats(spark, sf_dir):
+    """Median/MAD per-series stats tables are name-vocabulary-sized and
+    must broadcast back onto the series — never shuffle the series twice
+    for a stats attach."""
+    plan = _plan(spark, sf_dir, "ts_outlier_mad")
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:2000]
+    assert "CartesianProduct" not in plan
