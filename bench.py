@@ -100,6 +100,8 @@ HEADLINE = [
     "event_path_topk",
     "ts_outlier_mad",
     "log_patterns",
+    "embedding_dim_stats",
+    "freq_topk_sketch",
 ]
 
 

@@ -2827,6 +2827,66 @@ GROUP BY d.lang, d.source
 """
 
 
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding QA: mean, sample std, and near-zero
+    fraction per coordinate — the dead/collapsed-dimension report run
+    before trusting an embedding table for dedup/ANN. posexplode →
+    one 64-key aggregation (map-side combined). Sums go through
+    fixed-point integers (float addition is order-dependent across
+    partial aggregates); the variance formula then runs on the exact
+    integer sums cast to double, identically in both engines."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x")
+    )
+    q = F.round(F.col("x") * 1e7).cast("long")
+    t = ex.select((F.col("pos") + 1).cast("bigint").alias("dim"), q.alias("q"))
+    agg = t.groupBy("dim").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("q").cast("decimal(38,0)")).alias("s1"),
+        F.sum((F.col("q") * F.col("q")).cast("decimal(38,0)")).alias("s2"),
+        F.sum(F.when(F.abs(F.col("q")) < 100000, 1).otherwise(0)).alias(
+            "n_small"
+        ),
+    )
+    s1d = F.col("s1").cast("double")
+    s2d = F.col("s2").cast("double")
+    nd = F.col("n").cast("double")
+    return agg.select(
+        "dim",
+        "n",
+        F.round(s1d / nd / 1e7, 6).alias("mean"),
+        F.round(
+            F.sqrt((s2d - s1d * s1d / nd) / (nd - 1) / 1e14), 6
+        ).alias("std"),
+        F.round(F.col("n_small").cast("double") / nd, 6).alias("frac_small"),
+    )
+
+
+EMBEDDING_DIM_STATS_SQL = """
+WITH t AS (
+  SELECT generate_subscripts(embedding, 1) AS dim,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000000, 0)
+              AS BIGINT) AS q
+  FROM embeddings
+), a AS (
+  SELECT CAST(dim AS BIGINT) AS dim, COUNT(*) AS n,
+         SUM(CAST(q AS HUGEINT)) AS s1,
+         SUM(CAST(q * q AS HUGEINT)) AS s2,
+         SUM(CASE WHEN ABS(q) < 100000 THEN 1 ELSE 0 END) AS n_small
+  FROM t GROUP BY 1
+)
+SELECT dim, n,
+       ROUND(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / 1e7, 6) AS mean,
+       ROUND(SQRT((CAST(s2 AS DOUBLE)
+                   - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                     / CAST(n AS DOUBLE))
+                  / (CAST(n AS DOUBLE) - 1) / 1e14), 6) AS std,
+       ROUND(CAST(n_small AS DOUBLE) / CAST(n AS DOUBLE), 6) AS frac_small
+FROM a
+"""
+
+
 def embedding_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fasttext-style linear quality scorer over the embedding column:
     sigmoid(w·v) with a fixed deterministic weight vector (sin(1..64)),
@@ -3290,6 +3350,19 @@ FROM {_T} WHERE message IS NOT NULL GROUP BY 1, 2
 """
 
 
+def freq_topk_sketch_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 users by event count via a distributed
+    Misra-Gries sketch (operators/freqitems.py) — the frequent-items
+    member of the sketch family (HLL/KLL/DDSketch/theta cover
+    cardinality/quantiles/sets; none answers "which values dominate").
+    Map side emits ≤capacity counters per Arrow batch; the one shuffle
+    moves KB-sized summaries, never rows."""
+    from lakeside_spark.operators.freqitems import freq_topk_sketch
+
+    tele = load_telemetry(spark, sf_dir)
+    return freq_topk_sketch(tele, item_col="user_id", k=10, capacity=256)
+
+
 def ts_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-step value histogram (reference: histogram MetricType rendered
     as heatmaps; fixed-width buckets here, counts per (step, bucket))."""
@@ -3669,6 +3742,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_path_topk": event_path_topk,
     "ts_outlier_mad": ts_outlier_mad,
     "log_patterns": log_patterns,
+    "embedding_dim_stats": embedding_dim_stats,
     # --- driver-green round 4 (CORRECTNESS_r04: 50/50)
     "ts_percentile": ts_percentile,
     "tpch_q6": tpch_q6,
@@ -3731,6 +3805,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ts_percentile_sketch": ts_percentile_sketch,
     "ts_percentile_ddsketch": ts_percentile_ddsketch,
     "user_retention_sketch": user_retention_sketch,
+    "freq_topk_sketch": freq_topk_sketch_users,
 }
 
 ORACLES: dict[str, str] = {
@@ -3759,6 +3834,7 @@ ORACLES: dict[str, str] = {
     "event_path_topk": EVENT_PATH_TOPK_SQL,
     "ts_outlier_mad": TS_OUTLIER_MAD_SQL,
     "log_patterns": LOG_PATTERNS_SQL,
+    "embedding_dim_stats": EMBEDDING_DIM_STATS_SQL,
     "embedding_label_outliers": EMBEDDING_LABEL_OUTLIERS_SQL,
     "corpus_curate": CORPUS_CURATE_SQL,
     # dedup_simhash, ann_lsh, ema_smooth: genuinely non-SQL-expressible /

@@ -886,3 +886,39 @@ class TestBehavior:
             name_col="name", tiebreak_col="event_id",
         ).collect()
         assert [(r["rank"], r["path"], r["n"]) for r in out] == [(1, "a > b > c", 1)]
+
+
+class TestFreqItems:
+    def test_mg_guarantees_on_skewed_stream(self, spark):
+        """est ≤ true ≤ est + err_bound for every reported item, and the
+        true heavy hitters (count > N/(capacity+1)) all appear."""
+        import pandas as pd
+        from lakeside_spark.operators.freqitems import freq_topk_sketch
+
+        # zipf-ish: item i has ~3000/i occurrences, 200 distinct items
+        rows = [(f"item{i:03d}",) for i in range(1, 201) for _ in range(3000 // i)]
+        df = spark.createDataFrame(rows, "item string").repartition(8)
+        n = len(rows)
+        capacity = 32
+        out = freq_topk_sketch(df, "item", k=20, capacity=capacity).collect()
+        true = pd.DataFrame(rows, columns=["item"])["item"].value_counts()
+        err = out[0]["err_bound"]
+        assert err <= n // (capacity + 1) + 1
+        for r in out:
+            t = int(true[r["item"]])
+            assert r["est_count"] <= t <= r["est_count"] + err, r
+        got_items = {r["item"] for r in out}
+        heavy = {i for i, c in true.items() if c > n / (capacity + 1)}
+        # every true heavy hitter above the MG threshold must be reported
+        # (k=20 leaves room: there are far fewer threshold-crossers)
+        assert heavy <= got_items, heavy - got_items
+
+    def test_mg_exact_when_under_capacity(self, spark):
+        from lakeside_spark.operators.freqitems import freq_topk_sketch
+
+        rows = [("a",)] * 5 + [("b",)] * 3 + [("c",)] * 1
+        df = spark.createDataFrame(rows, "item string").coalesce(1)
+        out = freq_topk_sketch(df, "item", k=3, capacity=16).collect()
+        assert [(r["rank"], r["item"], r["est_count"], r["err_bound"]) for r in out] == [
+            (1, "a", 5, 0), (2, "b", 3, 0), (3, "c", 1, 0)
+        ]
