@@ -53,3 +53,65 @@ def streaming_ema(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_funnel(
+    stream: DataFrame,
+    steps: list[str],
+    window_ms: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts_ms",
+    name_col: str = "name",
+) -> DataFrame:
+    """Streaming twin of operators/behavior.funnel: per-user funnel
+    progress as events arrive, emitting one row per newly-completed step.
+
+    State per user = (deepest completed step, its completion ts) — two
+    scalars regardless of stream length, the smallest state a strict-
+    order funnel can carry. A step completes at the first matching event
+    STRICTLY after the previous step's completion and within
+    ``window_ms`` of it (the cascading-window rule of the batch
+    operator); rows inside a micro-batch are processed in event-time
+    order so batch boundaries cannot reorder a user's funnel.
+
+    Semantics note vs the batch operator: the batch funnel anchors every
+    step on the previous step's FIRST completion; the streaming fold
+    advances the anchor greedily in arrival order, which matches batch
+    whenever events arrive watermark-ordered (asserted by the
+    equivalence test on sorted replays)."""
+
+    output_schema = f"{user_col} long, step bigint, step_name string, ts long"
+    state_schema = "step long, t long"
+    step_of = {s: i + 1 for i, s in enumerate(steps)}
+
+    def update(key, pdfs, state: GroupState):
+        cur_step, cur_t = state.get if state.exists else (0, 0)
+        rows = pd.concat(list(pdfs)).sort_values(ts_col)
+        out_steps, out_names, out_ts = [], [], []
+        for name, ts in zip(rows[name_col], rows[ts_col]):
+            nxt = cur_step + 1
+            if step_of.get(name) != nxt:
+                continue
+            ts = int(ts)
+            if cur_step == 0 or (cur_t < ts <= cur_t + window_ms):
+                cur_step, cur_t = nxt, ts
+                out_steps.append(nxt)
+                out_names.append(name)
+                out_ts.append(ts)
+        state.update((cur_step, cur_t))
+        yield pd.DataFrame(
+            {
+                user_col: pd.Series([key[0]] * len(out_steps), dtype="int64"),
+                "step": pd.Series(out_steps, dtype="int64"),
+                "step_name": out_names,
+                "ts": pd.Series(out_ts, dtype="int64"),
+            }
+        )
+
+    return stream.groupBy(user_col).applyInPandasWithState(
+        update,
+        outputStructType=output_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -45,3 +45,67 @@ def test_streaming_ema_state_across_batches(spark):
         assert got[("b", 0)] == 4.0
     finally:
         shutil.rmtree(src, ignore_errors=True)
+
+
+def test_streaming_funnel_matches_batch_on_ordered_replay(spark):
+    """Replaying events watermark-ordered across micro-batches, the
+    stateful funnel's per-step completion counts equal the batch
+    operator's (operators/behavior.funnel)."""
+    from lakeside_spark.operators.behavior import funnel
+    from lakeside_spark.streaming.stateful import streaming_funnel
+
+    schema = "user_id long, ts_ms long, name string"
+    rows = [
+        # u1 full funnel; u2 wrong order; u3 step2 outside window;
+        # u4 step1 only; u5 same-ts click (must not advance)
+        (1, 100, "view"), (1, 200, "click"), (1, 300, "purchase"),
+        (2, 100, "click"), (2, 200, "view"),
+        (3, 100, "view"), (3, 700, "click"),
+        (4, 100, "view"),
+        (5, 100, "view"), (5, 100, "click"),
+    ]
+    steps = ["view", "click", "purchase"]
+
+    src = tempfile.mkdtemp(prefix="funnel_src_")
+    try:
+        # two event-time-ordered micro-batches: state must carry u1's
+        # step-1/2 progress into the batch holding the purchase
+        first = [r for r in rows if r[1] <= 200]
+        second = [r for r in rows if r[1] > 200]
+        spark.createDataFrame(first, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/b0")
+        spark.createDataFrame(second, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(f"{src}/b1")
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("recursiveFileLookup", "true")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = (
+            streaming_funnel(stream, steps, window_ms=500)
+            .writeStream.format("memory")
+            .queryName("funnel_out")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = spark.sql(
+            "SELECT step, count(*) AS users FROM funnel_out GROUP BY step"
+        ).collect()
+        streaming_counts = {r["step"]: r["users"] for r in got}
+
+        batch = funnel(
+            spark.createDataFrame(rows, schema), steps, window_ms=500,
+            user_col="user_id", ts_col="ts_ms", name_col="name",
+        )
+        batch_counts = {r["step"]: r["users"] for r in batch.collect()}
+        assert streaming_counts == batch_counts == {1: 5, 2: 1, 3: 1}
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
