@@ -102,6 +102,8 @@ HEADLINE = [
     "log_patterns",
     "embedding_dim_stats",
     "freq_topk_sketch",
+    "ts_step_change",
+    "embedding_knn_mislabel",
 ]
 
 

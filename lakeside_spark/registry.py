@@ -384,6 +384,102 @@ SELECT step_ts, name, value, zscore FROM scored WHERE ABS(zscore) >= 2.5
 """
 
 
+def ts_step_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series changepoint via CUSUM: the step whose cumulative
+    deviation from the series mean is largest in magnitude, with the
+    level shift (mean after − mean before). One shuffle for the step
+    agg; the CUSUM window and the argmax run on the tiny series table,
+    and the before/after means re-aggregate it once more joined against
+    the name-sized changepoint row. Count series + a deterministic
+    ORDER BY make the float accumulation order identical in both
+    engines."""
+    from pyspark.sql import Window
+
+    expr = BaseExpr(
+        filter=Filter(k=S.NAME, op=S.EXISTS),
+        chart=ChartOptions(aggregation="count"),
+    )
+    series = QueryEngine(spark, step_ms=HOUR).run(expr, load_telemetry(spark, sf_dir))
+    mean_w = Window.partitionBy(S.NAME)
+    cum_w = (
+        Window.partitionBy(S.NAME)
+        .orderBy(S.STEP_TS)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    scored = series.select(
+        S.STEP_TS,
+        S.NAME,
+        S.VALUE,
+        F.sum(F.col(S.VALUE) - F.avg(S.VALUE).over(mean_w))
+        .over(cum_w)
+        .alias("cusum"),
+    )
+    pick_w = Window.partitionBy(S.NAME).orderBy(
+        F.abs(F.col("cusum")).desc(), F.col(S.STEP_TS)
+    )
+    cp = (
+        scored.withColumn("rn", F.row_number().over(pick_w))
+        .filter(F.col("rn") == 1)
+        .select(S.NAME, F.col(S.STEP_TS).alias("cp_step_ts"), "cusum")
+    )
+    sides = series.join(F.broadcast(cp), S.NAME).groupBy(
+        S.NAME, "cp_step_ts", "cusum"
+    ).agg(
+        F.avg(F.when(F.col(S.STEP_TS) <= F.col("cp_step_ts"), F.col(S.VALUE))).alias(
+            "mean_before"
+        ),
+        F.avg(F.when(F.col(S.STEP_TS) > F.col("cp_step_ts"), F.col(S.VALUE))).alias(
+            "mean_after"
+        ),
+    )
+    return sides.select(
+        S.NAME,
+        "cp_step_ts",
+        F.round("cusum", 6).alias("cusum"),
+        F.round("mean_before", 6).alias("mean_before"),
+        F.round("mean_after", 6).alias("mean_after"),
+        F.round(F.col("mean_after") - F.col("mean_before"), 6).alias("shift"),
+    )
+
+
+TS_STEP_CHANGE_SQL = f"""
+WITH series AS (
+  SELECT timestamp_ms - timestamp_ms % {HOUR} AS step_ts, name,
+         CAST(count(value) AS DOUBLE) AS value
+  FROM {_T} WHERE name IS NOT NULL GROUP BY 1, 2
+), m AS (
+  -- separate CTE (DuckDB forbids nested windows); exact-integer count
+  -- sums make this mean bit-identical to Spark's window AVG
+  SELECT name, AVG(value) AS mu FROM series GROUP BY 1
+), scored AS (
+  SELECT s.step_ts, s.name, s.value,
+         SUM(s.value - m.mu)
+             OVER (PARTITION BY s.name ORDER BY s.step_ts
+                   ROWS UNBOUNDED PRECEDING) AS cusum
+  FROM series s JOIN m USING (name)
+), cp AS (
+  SELECT name, step_ts AS cp_step_ts, cusum,
+         ROW_NUMBER() OVER (PARTITION BY name
+                            ORDER BY ABS(cusum) DESC, step_ts) AS rn
+  FROM scored
+  QUALIFY rn = 1
+), sides AS (
+  SELECT s.name, cp.cp_step_ts, cp.cusum,
+         AVG(CASE WHEN s.step_ts <= cp.cp_step_ts THEN s.value END)
+             AS mean_before,
+         AVG(CASE WHEN s.step_ts > cp.cp_step_ts THEN s.value END)
+             AS mean_after
+  FROM series s JOIN cp ON s.name = cp.name
+  GROUP BY 1, 2, 3
+)
+SELECT name, cp_step_ts, ROUND(cusum, 6) AS cusum,
+       ROUND(mean_before, 6) AS mean_before,
+       ROUND(mean_after, 6) AS mean_after,
+       ROUND(mean_after - mean_before, 6) AS shift
+FROM sides
+"""
+
+
 def ts_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hour-of-day seasonal decomposition of the hourly count series:
     seasonal baseline = mean of the series at the same hour-of-day, and
@@ -2184,6 +2280,66 @@ FROM ranked WHERE rank <= 5
 """
 
 
+def embedding_knn_mislabel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label-noise score (confident-learning style, the neighborhood
+    sibling of embedding_label_outliers' centroid method): for every
+    vector, the fraction of its 10 exact cosine nearest neighbors
+    carrying a different label. Exact kernel here (broadcast query
+    matrix × Arrow block matmul — the corpus is the query set); at
+    100 TB the same aggregation runs over ann_lsh/ann_ivf candidates
+    instead of the exact top-k. Label attach is a plain equi-join on the
+    top-k output (corpus-sized but k-bounded rows), never a broadcast of
+    a corpus-sized side."""
+    from lakeside_spark.operators.similarity import cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    nn = cosine_topk(emb, emb, k=10)
+    lab = emb.select("vec_id", "label")
+    own = lab.select(
+        F.col("vec_id").alias("q_id"), F.col("label").alias("own_label")
+    )
+    nbr = lab.select(
+        F.col("vec_id").alias("n_id"), F.col("label").alias("n_label")
+    )
+    j = nn.join(own, "q_id").join(nbr, "n_id")
+    return (
+        j.groupBy("q_id", "own_label")
+        .agg(
+            F.count("*").alias("k"),
+            F.round(
+                F.avg(
+                    F.when(
+                        F.col("n_label") != F.col("own_label"), 1.0
+                    ).otherwise(0.0)
+                ),
+                6,
+            ).alias("knn_disagree"),
+        )
+        .select(
+            F.col("q_id").alias("vec_id"),
+            F.col("own_label").alias("label"),
+            "k",
+            "knn_disagree",
+        )
+    )
+
+
+EMBEDDING_KNN_MISLABEL_SQL = """
+WITH scored AS (
+  SELECT q.vec_id AS q_id, q.label AS label, c.label AS n_label, c.vec_id AS n_id,
+         list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cos
+  FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+  FROM scored
+)
+SELECT q_id AS vec_id, label, COUNT(*) AS k,
+       ROUND(AVG(CASE WHEN n_label != label THEN 1.0 ELSE 0.0 END), 6)
+           AS knn_disagree
+FROM ranked WHERE rank <= 10 GROUP BY 1, 2
+"""
+
+
 def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rows-only: hyperplane-LSH ANN (the 100 TB fan-out-bounded path)."""
     from lakeside_spark.operators.similarity import ann_lsh as _ann_lsh
@@ -3743,6 +3899,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ts_outlier_mad": ts_outlier_mad,
     "log_patterns": log_patterns,
     "embedding_dim_stats": embedding_dim_stats,
+    "ts_step_change": ts_step_change,
+    "embedding_knn_mislabel": embedding_knn_mislabel,
     # --- driver-green round 4 (CORRECTNESS_r04: 50/50)
     "ts_percentile": ts_percentile,
     "tpch_q6": tpch_q6,
@@ -3835,6 +3993,8 @@ ORACLES: dict[str, str] = {
     "ts_outlier_mad": TS_OUTLIER_MAD_SQL,
     "log_patterns": LOG_PATTERNS_SQL,
     "embedding_dim_stats": EMBEDDING_DIM_STATS_SQL,
+    "ts_step_change": TS_STEP_CHANGE_SQL,
+    "embedding_knn_mislabel": EMBEDDING_KNN_MISLABEL_SQL,
     "embedding_label_outliers": EMBEDDING_LABEL_OUTLIERS_SQL,
     "corpus_curate": CORPUS_CURATE_SQL,
     # dedup_simhash, ann_lsh, ema_smooth: genuinely non-SQL-expressible /
