@@ -1177,24 +1177,25 @@ FROM a FULL OUTER JOIN b USING (step_ts)
 
 
 def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # money math in exact fixed-point longs (see _revenue_fixed): the
+    # decimal(28,x) product-sums this replaces ran per-row BigDecimal
     li = load_table(spark, sf_dir, "lineitem")
-    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
-    disc = (F.lit(1).cast("decimal(18,2)") - dec("l_discount")).cast("decimal(18,4)")
-    charge = (F.lit(1).cast("decimal(18,2)") + dec("l_tax")).cast("decimal(18,4)")
+    p, d, t, q = (
+        _cents("l_extendedprice"),
+        _cents("l_discount"),
+        _cents("l_tax"),
+        _cents("l_quantity"),
+    )
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
-            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
-            F.sum((dec("l_extendedprice") * disc).cast("decimal(28,6)"))
-            .cast("double")
-            .alias("sum_disc_price"),
-            F.sum(
-                (dec("l_extendedprice") * disc * charge).cast("decimal(28,8)")
-            )
-            .cast("double")
-            .alias("sum_charge"),
+            _fixed_sum(q, 100).alias("sum_qty"),
+            _fixed_sum(p, 100).alias("sum_base_price"),
+            _fixed_sum(p * (F.lit(100) - d), 10000).alias("sum_disc_price"),
+            _fixed_sum(
+                p * (F.lit(100) - d) * (F.lit(100) + t), 1000000
+            ).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
             F.round(F.avg("l_discount"), 6).alias("avg_disc"),
@@ -1222,10 +1223,31 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
-def _revenue_col() -> F.Column:
-    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
-    disc = (F.lit(1).cast("decimal(18,2)") - dec("l_discount")).cast("decimal(18,4)")
-    return (dec("l_extendedprice") * disc).cast("decimal(28,6)")
+def _cents(c: str) -> F.Column:
+    """Exact integer cents of a 2-decimal money/ratio column."""
+    return F.round(F.col(c) * 100).cast("long")
+
+
+def _revenue_fixed() -> F.Column:
+    """l_extendedprice·(1−l_discount) as an exact integer scaled 1e4.
+
+    Spark Decimals past precision 18 leave the long-backed fast path
+    (per-row java BigDecimal), which made the decimal(28,6) revenue
+    product the hottest expression in every revenue query (~40% of
+    tpch_q1's wall). The same exact arithmetic as LONG multiplies is
+    codegen-friendly; sums go through decimal(38,0) (``_fixed_sum``) so
+    a 100 TB row count cannot overflow, and the final scale-down
+    happens in decimal, so the double the oracle compares against is
+    converted from the identical exact value the DECIMAL formulation
+    produces (strict-sweep verified)."""
+    return _cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))
+
+
+def _fixed_sum(col: F.Column, scale: int) -> F.Column:
+    """SUM of an exact integer-scaled product → exact decimal → double."""
+    return (
+        F.sum(col.cast("decimal(38,0)")) / F.lit(scale).cast("decimal(18,0)")
+    ).cast("double")
 
 
 _REVENUE_SQL = (
@@ -1247,7 +1269,7 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum(_revenue_col()).cast("double").alias("revenue"))
+        .agg(_fixed_sum(_revenue_fixed(), 10000).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
         # date as string: engines disagree on timestamp unit (ns vs us)
@@ -1287,7 +1309,7 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region.filter(F.col("r_name") == "ASIA")), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("n_name")
-        .agg(F.sum(_revenue_col()).cast("double").alias("revenue"))
+        .agg(_fixed_sum(_revenue_fixed(), 10000).alias("revenue"))
     )
 
 
@@ -1305,7 +1327,6 @@ GROUP BY n_name
 
 def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
     return (
         li.filter(
             (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -1315,9 +1336,9 @@ def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.sum((dec("l_extendedprice") * dec("l_discount")).cast("decimal(28,4)"))
-            .cast("double")
-            .alias("revenue")
+            _fixed_sum(
+                _cents("l_extendedprice") * _cents("l_discount"), 10000
+            ).alias("revenue")
         )
     )
 
@@ -1381,7 +1402,7 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(F.sum(_revenue_col()).cast("double").alias("revenue"))
+        .agg(_fixed_sum(_revenue_fixed(), 10000).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
     )
@@ -1394,15 +1415,18 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
     lo = F.lit("1996-01-01").cast("timestamp")
     hi = F.lit("1996-02-01").cast("timestamp")
-    rev = _revenue_col()
+    rev = _revenue_fixed()
     joined = li.filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)).join(
         F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
     )
     return joined.agg(
         F.round(
             F.lit(100.0)
-            * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0)).cast("decimal(28,6)")).cast("double")
-            / F.sum(rev).cast("double"),
+            * _fixed_sum(
+                F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0)),
+                10000,
+            )
+            / _fixed_sum(rev, 10000),
             6,
         ).alias("promo_revenue")
     )
@@ -1440,7 +1464,7 @@ def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .filter(cond)
-        .agg(F.sum(_revenue_col()).cast("double").alias("revenue"))
+        .agg(_fixed_sum(_revenue_fixed(), 10000).alias("revenue"))
     )
 
 
@@ -1501,7 +1525,7 @@ def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cust_nation",
             F.year("l_shipdate").cast("long").alias("l_year"),
         )
-        .agg(F.sum(_revenue_col()).cast("double").alias("revenue"))
+        .agg(_fixed_sum(_revenue_fixed(), 10000).alias("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
 
@@ -1554,14 +1578,20 @@ def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nkey"))
         .select(
             F.year("o_orderdate").cast("long").alias("o_year"),
-            _revenue_col().alias("volume"),
+            _revenue_fixed().alias("volume"),
             F.col("supp_nation"),
         )
         .groupBy("o_year")
         .agg(
+            # the 1e4 fixed-point scale cancels in the ratio; the decimal
+            # division matches the oracle's decimal-division-then-double
             (
-                F.sum(F.when(F.col("supp_nation") == "GERMANY", vol).otherwise(F.lit(0)))
-                / F.sum(vol)
+                F.sum(
+                    F.when(F.col("supp_nation") == "GERMANY", vol)
+                    .otherwise(F.lit(0))
+                    .cast("decimal(38,0)")
+                )
+                / F.sum(vol.cast("decimal(38,0)"))
             )
             .cast("double")
             .alias("mkt_share")
@@ -1661,7 +1691,7 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = (
         li.filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
-        .agg(F.sum(_revenue_col()).cast("double").alias("total_revenue"))
+        .agg(_fixed_sum(_revenue_fixed(), 10000).alias("total_revenue"))
     )
     max_rev = revenue.agg(F.max("total_revenue").alias("__max_rev"))
     return (
@@ -1914,7 +1944,8 @@ def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q9 (product-type profit by nation and year). partsupp is derived from
     part, so the name-filtered (part ⋈ partsupp) side is narrow; the join to
     lineitem shuffles on (partkey, suppkey) and AQE may broadcast the small
-    side. Profit math stays in decimal so summation order can't drift."""
+    side. Profit math is exact fixed-point (longs summed in decimal) so
+    summation order can't drift."""
     from lakeside_spark.sources.partsupp import derived_partsupp
 
     ps = derived_partsupp(spark, sf_dir)
@@ -1923,11 +1954,8 @@ def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
-    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
-    profit = (
-        dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
-        - dec("ps_supplycost") * dec("l_quantity")
-    )
+    # both terms exact integers scaled 1e4 (cents × cent-ratio)
+    profit = _revenue_fixed() - _cents("ps_supplycost") * _cents("l_quantity")
     ps_named = ps.join(
         F.broadcast(part.select("p_partkey")), F.col("ps_partkey") == F.col("p_partkey")
     )
@@ -1944,7 +1972,7 @@ def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("long").alias("o_year"),
         )
-        .agg(F.sum(profit).cast("double").alias("sum_profit"))
+        .agg(_fixed_sum(profit, 10000).alias("sum_profit"))
         .orderBy("nation", F.col("o_year").desc())
     )
 
