@@ -83,3 +83,24 @@ def test_cli_runner_rejects_bad_request(tmp_path, sf_dir):
         capture_output=True, text=True, timeout=120,
     )
     assert out.returncode == 2 and "not valid JSON" in out.stderr
+
+
+def test_json_traces_exemplar_request(spark, sf_dir):
+    """dataset=traces dispatch through the JSON surface: raw-span output
+    must lead with the SPANS projection (timestamp, value, span.name,
+    span.kind — reference BaseExpr.scala:44-45, dispatched at :210-214)."""
+    from lakeside_spark.schema import load_traces
+
+    req = {
+        "dataset": "traces",
+        "filter": {"k": "span_name", "op": "exists"},
+        "limit": 25,
+        "order": "DESC",
+    }
+    expr = base_expr_from_json(json.dumps(req))
+    out = QueryEngine(spark).run(expr, load_traces(spark, sf_dir))
+    rows = out.collect()
+    assert 0 < len(rows) <= 25
+    assert out.columns[:4] == [S.TIMESTAMP, S.VALUE, S.SPAN_NAME, S.SPAN_KIND]
+    ts = [r[S.TIMESTAMP] for r in rows]
+    assert ts == sorted(ts, reverse=True)
