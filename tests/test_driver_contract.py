@@ -36,6 +36,11 @@ for key in [
     "text_pii_scrub", "corpus_span_dedup", "multimodal_decode",
     "text_perplexity", "ts_seasonal", "text_bpe_tokens",
     "multimodal_phash_dedup", "multimodal_audio_dedup",
+    # round-5 families: traces mapping, behavior windows, MG sketch,
+    # fixed-point embedding stats, CUSUM, kNN labels
+    "traces_span_stats", "trace_service_graph", "funnel_conversion",
+    "freq_topk_sketch", "embedding_dim_stats", "ts_step_change",
+    "embedding_knn_mislabel",
 ]:
     df = qs[key](spark, "%s")
     n = df.count()
