@@ -135,3 +135,62 @@ def test_chunk_covers_every_word_and_tiles_reassemble(spark, words_, window):
     over = chunk_documents(df, window=window, stride=max(window // 2, 1))
     emitted = sum(r["n_words"] for r in over.collect())
     assert emitted >= len(words_)
+
+
+def _model_funnel_exact(rows, steps, window_ms):
+    """min-ts chaining exactly as the batch operator defines it: step 1 at
+    the user's first step-1 event; step i at the first step-i event
+    strictly after step i-1's completion and within window_ms of it."""
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for uid, ts, name in rows:
+        by_user[uid].append((ts, name))
+    counts = dict.fromkeys(range(1, len(steps) + 1), 0)
+    for evs in by_user.values():
+        prev_t = None
+        for i, step in enumerate(steps, start=1):
+            cands = [
+                ts
+                for ts, name in evs
+                if name == step
+                and (
+                    (i == 1 and prev_t is None)
+                    or (i > 1 and prev_t is not None and prev_t < ts <= prev_t + window_ms)
+                )
+            ]
+            if not cands:
+                break
+            prev_t = min(cands)
+            counts[i] += 1
+    return counts
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(1, 4),            # user
+            st.integers(0, 30),           # ts
+            st.sampled_from(["a", "b", "c", "x"]),
+        ),
+        max_size=24,
+    ),
+    window=st.sampled_from([5, 10, 100]),
+)
+def test_funnel_matches_model(spark, rows, window):
+    from lakeside_spark.operators.behavior import funnel
+
+    df = spark.createDataFrame(
+        [(u, t, n) for u, t, n in rows] or [(0, 0, "_none")],
+        "user_id long, ts long, name string",
+    )
+    out = funnel(
+        df, ["a", "b", "c"], window_ms=window,
+        user_col="user_id", ts_col="ts", name_col="name",
+    )
+    got = {r["step"]: r["users"] for r in out.collect()}
+    exp = {
+        k: v for k, v in _model_funnel_exact(rows, ["a", "b", "c"], window).items() if v
+    }
+    assert got == exp
