@@ -104,6 +104,7 @@ HEADLINE = [
     "freq_topk_sketch",
     "ts_step_change",
     "embedding_knn_mislabel",
+    "trace_summary",
 ]
 
 

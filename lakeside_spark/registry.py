@@ -3377,6 +3377,33 @@ FROM p WHERE src_span IS NOT NULL GROUP BY 1, 2
 """
 
 
+def trace_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-trace rollup over dataset=traces: span count, wall duration
+    (last − first span ts), error-span count, and mean span value — the
+    trace-list panel row (reference serves per-trace aggregates from the
+    trace segment lake, QueryEngineV2.scala:858-862). One keyed
+    aggregation, map-side combined."""
+    tr = S.load_traces(spark, sf_dir)
+    return tr.groupBy(F.col("user_id").alias("trace_id")).agg(
+        F.count("*").alias("n_spans"),
+        (F.max(S.TIMESTAMP) - F.min(S.TIMESTAMP)).alias("duration_ms"),
+        F.sum(
+            F.when(F.col(S.SPAN_NAME) == "error", 1).otherwise(0)
+        ).alias("n_errors"),
+        F.round(F.avg(S.VALUE), 6).alias("avg_value"),
+    )
+
+
+TRACE_SUMMARY_SQL = f"""
+SELECT user_id AS trace_id, COUNT(*) AS n_spans,
+       MAX(timestamp_ms) - MIN(timestamp_ms) AS duration_ms,
+       CAST(SUM(CASE WHEN span_name = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_errors,
+       ROUND(AVG(value), 6) AS avg_value
+FROM {_TR} GROUP BY 1
+"""
+
+
 _FUNNEL_WINDOW_MS = 7 * DAY
 
 
@@ -3933,6 +3960,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_dim_stats": embedding_dim_stats,
     "ts_step_change": ts_step_change,
     "embedding_knn_mislabel": embedding_knn_mislabel,
+    "trace_summary": trace_summary,
     # --- driver-green round 4 (CORRECTNESS_r04: 50/50)
     "ts_percentile": ts_percentile,
     "tpch_q6": tpch_q6,
@@ -4027,6 +4055,7 @@ ORACLES: dict[str, str] = {
     "embedding_dim_stats": EMBEDDING_DIM_STATS_SQL,
     "ts_step_change": TS_STEP_CHANGE_SQL,
     "embedding_knn_mislabel": EMBEDDING_KNN_MISLABEL_SQL,
+    "trace_summary": TRACE_SUMMARY_SQL,
     "embedding_label_outliers": EMBEDDING_LABEL_OUTLIERS_SQL,
     "corpus_curate": CORPUS_CURATE_SQL,
     # dedup_simhash, ann_lsh, ema_smooth: genuinely non-SQL-expressible /
