@@ -105,6 +105,7 @@ HEADLINE = [
     "ts_step_change",
     "embedding_knn_mislabel",
     "trace_summary",
+    "ts_downsample",
 ]
 
 

@@ -3561,6 +3561,22 @@ FROM {_T} WHERE message IS NOT NULL GROUP BY 1, 2
 """
 
 
+def ts_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rows-only: LTTB chart downsampling of the hourly count series to
+    100 points per series (operators/downsample.py — sequential bucket
+    anchoring is not SQL-expressible). The kernel runs on the
+    already-aggregated series table; invariants (endpoints kept, size
+    cap, subset-of-input, determinism) are pinned by pytest."""
+    from lakeside_spark.operators.downsample import lttb_downsample
+
+    expr = BaseExpr(
+        filter=Filter(k=S.NAME, op=S.EXISTS),
+        chart=ChartOptions(aggregation="count"),
+    )
+    series = QueryEngine(spark, step_ms=HOUR).run(expr, load_telemetry(spark, sf_dir))
+    return lttb_downsample(series, n_out=100)
+
+
 def freq_topk_sketch_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10 users by event count via a distributed
     Misra-Gries sketch (operators/freqitems.py) — the frequent-items
@@ -4024,6 +4040,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ts_percentile_ddsketch": ts_percentile_ddsketch,
     "user_retention_sketch": user_retention_sketch,
     "freq_topk_sketch": freq_topk_sketch_users,
+    "ts_downsample": ts_downsample,
 }
 
 ORACLES: dict[str, str] = {

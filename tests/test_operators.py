@@ -922,3 +922,38 @@ class TestFreqItems:
         assert [(r["rank"], r["item"], r["est_count"], r["err_bound"]) for r in out] == [
             (1, "a", 5, 0), (2, "b", 3, 0), (3, "c", 1, 0)
         ]
+
+
+class TestDownsample:
+    def test_lttb_invariants(self, spark):
+        from lakeside_spark.operators.downsample import lttb_downsample
+
+        import math
+        rows = [
+            ("a", t * 1000, 50.0 + 40.0 * math.sin(t / 7.0) + (90.0 if t == 123 else 0.0))
+            for t in range(400)
+        ] + [("b", t * 1000, float(t)) for t in range(5)]
+        df = spark.createDataFrame(rows, "name string, step_ts long, value double")
+        out = lttb_downsample(df, n_out=50).collect()
+        by_key = {}
+        for r in out:
+            by_key.setdefault(r["name"], []).append((r["step_ts"], r["value"]))
+        a = sorted(by_key["a"])
+        # size cap, endpoints, subset-of-input
+        assert len(a) == 50
+        assert a[0] == (0, rows[0][2]) and a[-1] == (399_000, rows[399][2])
+        src = {(t, v) for _, t, v in rows}
+        assert set(a) <= src
+        # the isolated spike at t=123 must survive (the whole point of LTTB)
+        assert any(t == 123_000 for t, _ in a)
+        # short series pass through whole
+        assert sorted(by_key["b"]) == [(t * 1000, float(t)) for t in range(5)]
+
+    def test_lttb_deterministic(self, spark):
+        from lakeside_spark.operators.downsample import lttb_downsample
+
+        rows = [("a", t, 1.0) for t in range(100)]  # all ties
+        df = spark.createDataFrame(rows, "name string, step_ts long, value double")
+        one = sorted((r["step_ts"]) for r in lttb_downsample(df, n_out=10).collect())
+        two = sorted((r["step_ts"]) for r in lttb_downsample(df, n_out=10).collect())
+        assert one == two and len(one) == 10
