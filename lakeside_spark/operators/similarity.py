@@ -175,6 +175,72 @@ def cosine_topk(
     )
 
 
+def self_knn(
+    emb: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    strategy: str = "auto",
+    broadcast_limit: int = 100_000,
+    dim: int = 64,
+) -> DataFrame:
+    """(q_id, n_id, cos, rank): every vector's top-k neighbors in its own
+    corpus (the feed for kNN label-noise / neighborhood-density scoring).
+
+    strategy="exact": the corpus doubles as the broadcast query matrix —
+    right answer while n·d doubles fit a broadcast, a driver-sized
+    collect past that. strategy="bucket" (the scale path): one
+    hyperplane-bucket pass, then a bucket SELF-join — no broadcast, no
+    driver collect; candidates are bucket-bounded (the plane count
+    scales as log2(n/256), so expected bucket size stays ~256 and pair
+    volume ~256·n, never n²). Approximate: neighbors outside the
+    query's bucket are missed, which for label-noise scoring biases
+    toward the densest (most informative) neighborhood.
+    strategy="auto" gates on a count probe, the same pattern as
+    embedding_dup_pairs."""
+    if strategy == "auto":
+        strategy = "exact" if emb.count() <= broadcast_limit else "bucket"
+    if strategy == "exact":
+        return cosine_topk(emb, emb, k, vec_col, id_col)
+
+    n = emb.count()
+    num_planes = max(8, int(np.ceil(np.log2(max(n, 2) / 256))))
+    planes = _hyperplane_matrix(num_planes, dim)
+    bc_planes = emb.sparkSession.sparkContext.broadcast(planes)
+
+    def bucketize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        P = bc_planes.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.array(list(pdf["v"]), dtype=np.float64)
+            bits = (m @ P.T) > 0
+            bucket = ["".join("1" if b else "0" for b in row) for row in bits]
+            yield pd.DataFrame({"id": pdf["id"], "v": pdf["v"], "bucket": bucket})
+
+    b = (
+        _parallelize(emb)
+        .select(F.col(id_col).alias("id"), as_double_array(vec_col).alias("v"))
+        .mapInPandas(bucketize, schema="id bigint, v array<double>, bucket string")
+    )
+    cand = (
+        b.select(F.col("id").alias("q_id"), F.col("v").alias("qv"), "bucket")
+        .join(
+            b.select(F.col("id").alias("n_id"), F.col("v").alias("nv"), "bucket"),
+            "bucket",
+        )
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id", "qv", "nv")
+    )
+    scored = _rowwise_cosine(cand, "qv", "nv", "q_id", "n_id")
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", F.round("cos", 6).alias("cos"), "rank")
+    )
+
+
 def embedding_dup_pairs(
     emb: DataFrame,
     threshold: float = 0.9,

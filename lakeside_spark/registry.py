@@ -2314,14 +2314,15 @@ def embedding_knn_mislabel(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector, the fraction of its 10 exact cosine nearest neighbors
     carrying a different label. Exact kernel here (broadcast query
     matrix × Arrow block matmul — the corpus is the query set); at
-    100 TB the same aggregation runs over ann_lsh/ann_ivf candidates
-    instead of the exact top-k. Label attach is a plain equi-join on the
-    top-k output (corpus-sized but k-bounded rows), never a broadcast of
-    a corpus-sized side."""
-    from lakeside_spark.operators.similarity import cosine_topk
+    100 TB ``self_knn`` flips (count-probe gate) to its hyperplane-bucket
+    SELF-join path — no broadcast, no driver collect, bucket-bounded
+    candidates. Label attach is a plain equi-join on the top-k output
+    (corpus-sized but k-bounded rows), never a broadcast of a
+    corpus-sized side."""
+    from lakeside_spark.operators.similarity import self_knn
 
     emb = load_table(spark, sf_dir, "embeddings")
-    nn = cosine_topk(emb, emb, k=10)
+    nn = self_knn(emb, k=10)
     lab = emb.select("vec_id", "label")
     own = lab.select(
         F.col("vec_id").alias("q_id"), F.col("label").alias("own_label")

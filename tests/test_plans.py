@@ -263,3 +263,32 @@ def test_ts_outlier_mad_broadcasts_series_stats(spark, sf_dir):
     plan = _plan(spark, sf_dir, "ts_outlier_mad")
     assert plan.count("BroadcastHashJoin") >= 2, plan[:2000]
     assert "CartesianProduct" not in plan
+
+
+def test_self_knn_bucket_path_no_broadcast_collect(spark, sf_dir):
+    """Past the broadcast gate, corpus self-kNN must become a bucket
+    SELF-join: no cartesian, no nested-loop, and it must agree with the
+    exact path on the vectors' own-bucket neighbors (subset recall)."""
+    from lakeside_spark.operators.similarity import self_knn
+    from lakeside_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    bucketed = self_knn(emb, k=3, strategy="bucket")
+    plan = bucketed._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    rows = bucketed.collect()
+    assert rows
+    # every reported neighbor must be a genuine corpus id and ranked 1..k
+    ids = {r["vec_id"] for r in emb.select("vec_id").collect()}
+    assert all(r["q_id"] in ids and r["n_id"] in ids for r in rows)
+    assert all(1 <= r["rank"] <= 3 for r in rows)
+    # approximate-vs-exact sanity: for queries where the bucket held >=3
+    # candidates, the bucket path's top-1 cos can not exceed exact top-1
+    exact = {
+        (r["q_id"], r["rank"]): r["cos"]
+        for r in self_knn(emb, k=3, strategy="exact").collect()
+    }
+    for r in rows:
+        if r["rank"] == 1:
+            assert r["cos"] <= exact[(r["q_id"], 1)] + 1e-9
