@@ -292,3 +292,13 @@ def test_self_knn_bucket_path_no_broadcast_collect(spark, sf_dir):
     for r in rows:
         if r["rank"] == 1:
             assert r["cos"] <= exact[(r["q_id"], 1)] + 1e-9
+
+
+def test_embedding_dim_stats_single_shuffle_partial_agg(spark, sf_dir):
+    """posexplode must stay map-side: the only Exchange is the 64-key
+    dim aggregation, with partial (map-combined) HashAggregates before
+    it — at 100 TB shuffling the exploded n×d rows raw would move the
+    whole corpus."""
+    plan = _plan(spark, sf_dir, "embedding_dim_stats")
+    assert plan.count("Exchange") == 1, plan[:1500]
+    assert "partial_sum" in plan

@@ -194,3 +194,74 @@ def test_funnel_matches_model(spark, rows, window):
         k: v for k, v in _model_funnel_exact(rows, ["a", "b", "c"], window).items() if v
     }
     assert got == exp
+
+
+def _model_step_change(series):
+    """numpy CUSUM changepoint reference (same formula order as the SQL)."""
+    import numpy as np
+
+    ts = np.array([t for t, _ in series], dtype=np.int64)
+    xs = np.array([v for _, v in series], dtype=np.float64)
+    order = np.argsort(ts)
+    ts, xs = ts[order], xs[order]
+    cusum = np.cumsum(xs - xs.mean())
+    # argmax |cusum|, earliest step on ties
+    i = int(np.lexsort((ts, -np.abs(cusum)))[0])
+    cp = ts[i]
+    before = xs[ts <= cp]
+    after = xs[ts > cp]
+    mean_after = float(after.mean()) if len(after) else None
+    return (
+        int(cp),
+        round(float(cusum[i]), 6),
+        round(float(before.mean()), 6),
+        None if mean_after is None else round(mean_after, 6),
+    )
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    vals=st.lists(st.integers(0, 20), min_size=2, max_size=20),
+)
+def test_step_change_matches_model(spark, vals):
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    series = [(i * 3_600_000, float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        [("m", t, v) for t, v in series], "name string, step_ts long, value double"
+    )
+    # re-run the registry's exact expression chain on a synthetic series
+    mean_w = Window.partitionBy("name")
+    cum_w = (
+        Window.partitionBy("name")
+        .orderBy("step_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    scored = df.select(
+        "step_ts", "name", "value",
+        F.sum(F.col("value") - F.avg("value").over(mean_w)).over(cum_w).alias("cusum"),
+    )
+    pick_w = Window.partitionBy("name").orderBy(
+        F.abs(F.col("cusum")).desc(), F.col("step_ts")
+    )
+    cp = (
+        scored.withColumn("rn", F.row_number().over(pick_w))
+        .filter(F.col("rn") == 1)
+        .select("name", F.col("step_ts").alias("cp_step_ts"), "cusum")
+    )
+    row = (
+        df.join(cp, "name")
+        .groupBy("cp_step_ts", "cusum")
+        .agg(
+            F.avg(F.when(F.col("step_ts") <= F.col("cp_step_ts"), F.col("value"))).alias("mb"),
+            F.avg(F.when(F.col("step_ts") > F.col("cp_step_ts"), F.col("value"))).alias("ma"),
+        )
+        .collect()[0]
+    )
+    cp_m, cusum_m, mb_m, ma_m = _model_step_change(series)
+    assert row["cp_step_ts"] == cp_m
+    assert round(row["cusum"], 6) == cusum_m
+    assert round(row["mb"], 6) == mb_m
+    got_ma = None if row["ma"] is None else round(row["ma"], 6)
+    assert got_ma == ma_m
