@@ -106,6 +106,7 @@ HEADLINE = [
     "embedding_knn_mislabel",
     "trace_summary",
     "ts_downsample",
+    "slo_burn",
 ]
 
 

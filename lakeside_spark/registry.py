@@ -3346,6 +3346,67 @@ FROM s GROUP BY user_id, session_id
 """
 
 
+_SLO_BUDGET = 0.25  # error-ratio objective: alert when burn > 1 in BOTH windows
+
+
+def slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-window SLO burn-rate alerting (the Google SRE-workbook
+    pattern): error-ratio burn over a fast window (1h) AND a slow window
+    (6h trailing), alerting only when both exceed 1 — the fast window
+    catches the spike, the slow window suppresses flappy single-hour
+    noise. One scan + one conditional hourly aggregation; the trailing
+    window runs on the tiny series table. Exact integer counts keep the
+    ratios bit-identical across engines."""
+    from pyspark.sql import Window
+
+    tele = load_telemetry(spark, sf_dir)
+    hourly = tele.groupBy(
+        (F.col(S.TIMESTAMP) - F.col(S.TIMESTAMP) % F.lit(HOUR)).alias(S.STEP_TS)
+    ).agg(
+        F.sum(F.when(F.col(S.NAME) == "error", 1).otherwise(0)).alias("err"),
+        F.count("*").alias("total"),
+    )
+    w6 = Window.orderBy(S.STEP_TS).rowsBetween(-5, 0)
+    scored = hourly.select(
+        S.STEP_TS,
+        "err",
+        "total",
+        (F.col("err") / F.col("total") / F.lit(_SLO_BUDGET)).alias("burn_1h"),
+        (
+            F.sum("err").over(w6) / F.sum("total").over(w6) / F.lit(_SLO_BUDGET)
+        ).alias("burn_6h"),
+    )
+    return scored.filter(
+        (F.col("burn_1h") > 1) & (F.col("burn_6h") > 1)
+    ).select(
+        S.STEP_TS,
+        "err",
+        "total",
+        F.round("burn_1h", 6).alias("burn_1h"),
+        F.round("burn_6h", 6).alias("burn_6h"),
+    )
+
+
+SLO_BURN_SQL = f"""
+WITH hourly AS (
+  SELECT timestamp_ms - timestamp_ms % {HOUR} AS step_ts,
+         CAST(SUM(CASE WHEN name = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+             AS err,
+         COUNT(*) AS total
+  FROM {_T} GROUP BY 1
+), scored AS (
+  SELECT step_ts, err, total,
+         err / total / {_SLO_BUDGET} AS burn_1h,
+         SUM(err) OVER w / SUM(total) OVER w / {_SLO_BUDGET} AS burn_6h
+  FROM hourly
+  WINDOW w AS (ORDER BY step_ts ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+)
+SELECT step_ts, err, total, ROUND(burn_1h, 6) AS burn_1h,
+       ROUND(burn_6h, 6) AS burn_6h
+FROM scored WHERE burn_1h > 1 AND burn_6h > 1
+"""
+
+
 def trace_service_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-adjacency service-dependency graph over dataset=traces:
     (prev span → span) transition edges per trace (user_id stands in for
@@ -3978,6 +4039,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ts_step_change": ts_step_change,
     "embedding_knn_mislabel": embedding_knn_mislabel,
     "trace_summary": trace_summary,
+    "slo_burn": slo_burn,
     # --- driver-green round 4 (CORRECTNESS_r04: 50/50)
     "ts_percentile": ts_percentile,
     "tpch_q6": tpch_q6,
@@ -4074,6 +4136,7 @@ ORACLES: dict[str, str] = {
     "ts_step_change": TS_STEP_CHANGE_SQL,
     "embedding_knn_mislabel": EMBEDDING_KNN_MISLABEL_SQL,
     "trace_summary": TRACE_SUMMARY_SQL,
+    "slo_burn": SLO_BURN_SQL,
     "embedding_label_outliers": EMBEDDING_LABEL_OUTLIERS_SQL,
     "corpus_curate": CORPUS_CURATE_SQL,
     # dedup_simhash, ann_lsh, ema_smooth: genuinely non-SQL-expressible /
