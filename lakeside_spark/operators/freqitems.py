@@ -52,17 +52,16 @@ def _mg_summarize(values: pd.Series, capacity: int) -> tuple[pd.Series, int]:
     return kept[kept > 0], cut
 
 
-def freq_topk_sketch(
-    df: DataFrame,
-    item_col: str,
-    k: int = 10,
-    capacity: int = 64,
+def mg_summaries(
+    df: DataFrame, item_col: str, capacity: int = 64
 ) -> DataFrame:
-    """(rank, item, est_count, err_bound): approximate top-k items.
-
-    ``est_count`` is a lower bound on the true count; the true count is
-    ≤ est_count + err_bound (err_bound = total decremented mass across
-    batch summaries, a single global number attached to every row)."""
+    """Per-Arrow-batch MG summaries as (item, cnt) rows; a NULL item row
+    carries the batch's prune-cut error mass. Exact count rows (e.g. the
+    streaming unsealed-window counts of
+    streaming.pipeline.streaming_freq_counts) are themselves valid MG
+    summaries with zero error, so sealed and unsealed sides union
+    directly into ``merge_topk`` — the reference's sealed+unsealed
+    sketch-merge pattern (same shape as the DDSketch rows)."""
     src = df.select(F.col(item_col).cast("string").alias("item"))
 
     def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -79,7 +78,15 @@ def freq_topk_sketch(
             )
             yield out
 
-    summaries = src.mapInPandas(summarize, schema="item string, cnt long")
+    return src.mapInPandas(summarize, schema="item string, cnt long")
+
+
+def merge_topk(summaries: DataFrame, k: int = 10) -> DataFrame:
+    """Merge MG summary rows → (rank, item, est_count, err_bound).
+
+    MG merge = pointwise counter addition (one groupBy-sum over KB-sized
+    summaries); err_bound = total NULL-sentinel mass, attached to every
+    output row."""
     merged = summaries.groupBy("item").agg(F.sum("cnt").alias("est_count"))
     err = merged.filter(F.col("item").isNull()).select(
         F.coalesce(F.sum("est_count"), F.lit(0)).alias("err_bound")
@@ -95,3 +102,17 @@ def freq_topk_sketch(
         .filter(F.col("rank") <= k)
     )
     return top.crossJoin(F.broadcast(err))
+
+
+def freq_topk_sketch(
+    df: DataFrame,
+    item_col: str,
+    k: int = 10,
+    capacity: int = 64,
+) -> DataFrame:
+    """(rank, item, est_count, err_bound): approximate top-k items.
+
+    ``est_count`` is a lower bound on the true count; the true count is
+    ≤ est_count + err_bound (err_bound = total prune-cut mass across
+    batch summaries, a single global number attached to every row)."""
+    return merge_topk(mg_summaries(df, item_col, capacity), k)

@@ -152,3 +152,28 @@ def streaming_dedup_exact(
         .dropDuplicatesWithinWatermark(["__h"])
         .drop("__h")
     )
+
+
+def streaming_freq_counts(
+    stream: DataFrame,
+    step: str = "1 hour",
+    watermark: str = "30 seconds",
+    ts_col: str = "ts",
+    item_col: str = "user_id",
+) -> DataFrame:
+    """Frequent-items feed over the UNSEALED (streaming) path: exact
+    per-window item counts, state bounded by the watermark. An exact
+    count table is itself a Misra-Gries summary with zero error, so
+    these rows UNION with the sealed side's
+    ``operators.freqitems.mg_summaries`` output and merge through
+    ``merge_topk`` — sealed + unsealed with no special-case code path,
+    the same pattern as the streaming DDSketch buckets above."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.window(F.col(ts_col), step),
+            F.col(item_col).cast("string").alias("item"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select("item", "cnt")
+    )

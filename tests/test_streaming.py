@@ -287,3 +287,66 @@ def test_streaming_curation_gates_match_batch(spark, sf_dir):
         assert got == want and len(want) > 0
     finally:
         shutil.rmtree(src_dir, ignore_errors=True)
+
+
+def test_streaming_freq_counts_merge_with_sealed(spark, tmp_path):
+    """Sealed half → MG summaries; unsealed half → streaming window
+    counts; merged through merge_topk the MG contract must hold against
+    exact whole-data counts: est ≤ true ≤ est + err_bound, heavy
+    hitters present."""
+    import pandas as pd
+
+    from lakeside_spark.operators.freqitems import merge_topk, mg_summaries
+    from lakeside_spark.streaming.pipeline import streaming_freq_counts
+
+    # skewed stream: item i gets ~600/i events; odd ts → sealed half
+    rows = [
+        (f"item{i:02d}", 1_000_000 + j * 1000 + (i % 2))
+        for i in range(1, 40)
+        for j in range(600 // i)
+    ]
+    sealed = [(n, t) for n, t in rows if t % 2 == 1]
+    unsealed = [(n, t) for n, t in rows if t % 2 == 0]
+
+    # round-robin repartition interleaves the item blocks so each Arrow
+    # batch sees more distinct items than capacity — forcing real prune
+    # cuts on the sealed side
+    sealed_df = spark.createDataFrame(
+        sealed, "item string, ts_ms long"
+    ).repartition(2)
+    sealed_summaries = mg_summaries(sealed_df, "item", capacity=16)
+
+    src = str(tmp_path / "unsealed")
+    spark.createDataFrame(unsealed, "item string, ts_ms long").select(
+        F.col("item"), F.timestamp_millis("ts_ms").alias("ts")
+    ).coalesce(2).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema("item string, ts timestamp").parquet(src)
+    q = (
+        streaming_freq_counts(stream, item_col="item")
+        .writeStream.format("memory")
+        .queryName("freq_unsealed")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    unsealed_counts = spark.sql("SELECT item, cnt FROM freq_unsealed")
+
+    merged = merge_topk(
+        sealed_summaries.unionByName(unsealed_counts), k=15
+    ).collect()
+    assert merged
+    true = pd.Series([n for n, _ in rows]).value_counts()
+    err = merged[0]["err_bound"]
+    n_sealed = len(sealed)
+    assert 0 < err <= n_sealed // 17 + 1, err  # cuts only from the sealed side
+    for r in merged:
+        t = int(true[r["item"]])
+        assert r["est_count"] <= t <= r["est_count"] + err, r
+    heavy = {i for i, c in true.items() if c > err}
+    got = {r["item"] for r in merged}
+    # the true top items all clear the bound and must be reported
+    top_heavy = set(true.index[:10]) & heavy
+    assert top_heavy <= got, top_heavy - got
