@@ -107,6 +107,7 @@ HEADLINE = [
     "trace_summary",
     "ts_downsample",
     "slo_burn",
+    "ts_correlation",
 ]
 
 

@@ -384,6 +384,90 @@ SELECT step_ts, name, value, zscore FROM scored WHERE ABS(zscore) >= 2.5
 """
 
 
+def ts_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Related-metrics finder: Pearson correlation between every pair of
+    hourly count series over co-occurring steps ("what moves with this
+    metric" — the panel the reference's tag/metric catalogs feed). One
+    step-keyed self-join of the tiny series table (name_a < name_b),
+    then correlation from exact integer sums (n, Σx, Σy, Σxy, Σx², Σy²)
+    so no engine's accumulation order can drift — the double formula
+    runs on identical exact values in both engines."""
+    expr = BaseExpr(
+        filter=Filter(k=S.NAME, op=S.EXISTS),
+        chart=ChartOptions(aggregation="count"),
+    )
+    series = QueryEngine(spark, step_ms=HOUR).run(expr, load_telemetry(spark, sf_dir))
+    a = series.select(
+        S.STEP_TS, F.col(S.NAME).alias("name_a"), F.col(S.VALUE).cast("long").alias("x")
+    )
+    b = series.select(
+        S.STEP_TS, F.col(S.NAME).alias("name_b"), F.col(S.VALUE).cast("long").alias("y")
+    )
+    j = a.join(b, S.STEP_TS).filter(F.col("name_a") < F.col("name_b"))
+    agg = j.groupBy("name_a", "name_b").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    cov = F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col(
+        "sy"
+    ).cast("double") / nd
+    vx = F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col(
+        "sx"
+    ).cast("double") / nd
+    vy = F.col("syy").cast("double") - F.col("sy").cast("double") * F.col(
+        "sy"
+    ).cast("double") / nd
+    # constant series have zero variance → NaN corr; the vx·vy > 0 gate
+    # matches the oracle's WHERE exactly (NaN is not NULL in Spark)
+    return (
+        agg.filter((F.col("n") >= 3) & (vx * vy > 0))
+        .select(
+            "name_a",
+            "name_b",
+            "n",
+            F.round(cov / F.sqrt(vx * vy), 6).alias("corr"),
+        )
+    )
+
+
+TS_CORRELATION_SQL = f"""
+WITH series AS (
+  SELECT timestamp_ms - timestamp_ms % {HOUR} AS step_ts, name,
+         CAST(count(value) AS BIGINT) AS v
+  FROM {_T} WHERE name IS NOT NULL GROUP BY 1, 2
+), j AS (
+  SELECT a.name AS name_a, b.name AS name_b, a.v AS x, b.v AS y
+  FROM series a JOIN series b
+    ON a.step_ts = b.step_ts AND a.name < b.name
+), agg AS (
+  SELECT name_a, name_b, COUNT(*) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM j GROUP BY 1, 2
+)
+SELECT name_a, name_b, n,
+       ROUND((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+                  / CAST(n AS DOUBLE))
+             / SQRT((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                         / CAST(n AS DOUBLE))
+                    * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+                           / CAST(n AS DOUBLE))), 6) AS corr
+FROM agg
+WHERE n >= 3
+  AND (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+           / CAST(n AS DOUBLE))
+      * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+             / CAST(n AS DOUBLE)) > 0
+"""
+
+
 def ts_step_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-series changepoint via CUSUM: the step whose cumulative
     deviation from the series mean is largest in magnitude, with the
@@ -4040,6 +4124,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_knn_mislabel": embedding_knn_mislabel,
     "trace_summary": trace_summary,
     "slo_burn": slo_burn,
+    "ts_correlation": ts_correlation,
     # --- driver-green round 4 (CORRECTNESS_r04: 50/50)
     "ts_percentile": ts_percentile,
     "tpch_q6": tpch_q6,
@@ -4137,6 +4222,7 @@ ORACLES: dict[str, str] = {
     "embedding_knn_mislabel": EMBEDDING_KNN_MISLABEL_SQL,
     "trace_summary": TRACE_SUMMARY_SQL,
     "slo_burn": SLO_BURN_SQL,
+    "ts_correlation": TS_CORRELATION_SQL,
     "embedding_label_outliers": EMBEDDING_LABEL_OUTLIERS_SQL,
     "corpus_curate": CORPUS_CURATE_SQL,
     # dedup_simhash, ann_lsh, ema_smooth: genuinely non-SQL-expressible /
