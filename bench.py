@@ -108,6 +108,7 @@ HEADLINE = [
     "ts_downsample",
     "slo_burn",
     "ts_correlation",
+    "ts_histogram_quantile",
 ]
 
 

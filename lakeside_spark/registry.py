@@ -3759,6 +3759,76 @@ FROM {_T} WHERE name = 'view' GROUP BY 1, 2
 """
 
 
+def ts_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL-style histogram_quantile: p95 per step estimated from the
+    fixed-width bucket counts of ts_histogram by linear interpolation
+    inside the target bucket — how a histogram MetricType serves
+    quantile panels without raw values. The bucket table is
+    steps × buckets (tiny); the cumulative/pick windows run on it, and
+    the arithmetic is exact-integer-fed so both engines interpolate
+    identically."""
+    from pyspark.sql import Window
+
+    q, width = 0.95, 50
+    tele = load_telemetry(spark, sf_dir)
+    buckets = (
+        tele.filter(F.col(S.NAME) == "view")
+        .groupBy(
+            (F.col(S.TIMESTAMP) - F.col(S.TIMESTAMP) % F.lit(DAY)).alias(S.STEP_TS),
+            (F.floor(F.col(S.VALUE) / width) * width).cast("long").alias("bucket_lo"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    cum_w = (
+        Window.partitionBy(S.STEP_TS)
+        .orderBy("bucket_lo")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot_w = Window.partitionBy(S.STEP_TS)
+    scored = buckets.select(
+        S.STEP_TS,
+        "bucket_lo",
+        "cnt",
+        F.sum("cnt").over(cum_w).alias("cum"),
+        (F.lit(q) * F.sum("cnt").over(tot_w)).alias("target"),
+    )
+    pick_w = Window.partitionBy(S.STEP_TS).orderBy("bucket_lo")
+    picked = (
+        scored.filter(F.col("cum") >= F.col("target"))
+        .withColumn("rn", F.row_number().over(pick_w))
+        .filter(F.col("rn") == 1)
+    )
+    est = F.col("bucket_lo") + F.lit(width) * (
+        F.col("target") - (F.col("cum") - F.col("cnt"))
+    ) / F.col("cnt")
+    return picked.select(
+        S.STEP_TS, F.round(est, 6).alias("p95_est")
+    )
+
+
+TS_HISTOGRAM_QUANTILE_SQL = f"""
+WITH buckets AS (
+  SELECT timestamp_ms - timestamp_ms % {DAY} AS step_ts,
+         CAST(FLOOR(value / 50) * 50 AS BIGINT) AS bucket_lo,
+         COUNT(*) AS cnt
+  FROM {_T} WHERE name = 'view' GROUP BY 1, 2
+), scored AS (
+  SELECT step_ts, bucket_lo, cnt,
+         SUM(cnt) OVER (PARTITION BY step_ts ORDER BY bucket_lo
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         0.95 * SUM(cnt) OVER (PARTITION BY step_ts) AS target
+  FROM buckets
+), picked AS (
+  SELECT step_ts, bucket_lo, cnt, cum, target,
+         ROW_NUMBER() OVER (PARTITION BY step_ts ORDER BY bucket_lo) AS rn
+  FROM scored WHERE cum >= target
+)
+SELECT step_ts,
+       ROUND(bucket_lo + 50 * (target - (cum - cnt)) / cnt, 6) AS p95_est
+FROM picked WHERE rn = 1
+"""
+
+
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs → duplicate clusters via min-label connected
     components; oracle: DuckDB recursive-CTE transitive closure."""
@@ -4125,6 +4195,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "trace_summary": trace_summary,
     "slo_burn": slo_burn,
     "ts_correlation": ts_correlation,
+    "ts_histogram_quantile": ts_histogram_quantile,
     # --- driver-green round 4 (CORRECTNESS_r04: 50/50)
     "ts_percentile": ts_percentile,
     "tpch_q6": tpch_q6,
@@ -4223,6 +4294,7 @@ ORACLES: dict[str, str] = {
     "trace_summary": TRACE_SUMMARY_SQL,
     "slo_burn": SLO_BURN_SQL,
     "ts_correlation": TS_CORRELATION_SQL,
+    "ts_histogram_quantile": TS_HISTOGRAM_QUANTILE_SQL,
     "embedding_label_outliers": EMBEDDING_LABEL_OUTLIERS_SQL,
     "corpus_curate": CORPUS_CURATE_SQL,
     # dedup_simhash, ann_lsh, ema_smooth: genuinely non-SQL-expressible /
