@@ -43,11 +43,25 @@ def funnel(
     user_col: str = "user_id",
     ts_col: str = "timestamp_ms",
     name_col: str = "name",
+    strategy: str = "join",
 ) -> DataFrame:
     """(step, step_name, users): distinct users completing each funnel
-    step in order, each step within ``window_ms`` of the previous one."""
+    step in order, each step within ``window_ms`` of the previous one.
+
+    strategy="join" (default): one name-filtered scan + distinct-user
+    min-agg per step, chained by user-key equi-joins — best when the
+    step predicates are selective (each scan reads only its step's rows
+    via parquet pushdown). strategy="fold": ONE scan of the step-
+    relevant rows + ONE user-keyed applyInPandas fold computing every
+    step completion in a single event-time pass (the batch twin of
+    streaming.stateful.streaming_funnel) — best when steps are many or
+    unselective, where k scans would re-read the fact table k times.
+    Both strategies implement the identical min-ts-chaining semantics
+    (property-tested equal)."""
     if not steps:
         raise ValueError("funnel needs at least one step")
+    if strategy == "fold":
+        return _funnel_fold(events, steps, window_ms, user_col, ts_col, name_col)
     per_step: list[DataFrame] = []
     cur = (
         events.filter(F.col(name_col) == steps[0])
@@ -79,6 +93,56 @@ def funnel(
         reduce(DataFrame.unionAll, labeled)
         .groupBy("step", "step_name")
         .agg(F.count("*").alias("users"))
+    )
+
+
+def _funnel_fold(
+    events: DataFrame,
+    steps: list[str],
+    window_ms: int,
+    user_col: str,
+    ts_col: str,
+    name_col: str,
+) -> DataFrame:
+    """One-scan funnel: filter to step-relevant rows, fold per user in
+    event-time order (greedy advance == min-ts chaining when events are
+    processed in time order — the same argument the streaming twin's
+    equivalence test pins)."""
+    step_of = {s: i + 1 for i, s in enumerate(steps)}
+    k = len(steps)
+    src = events.filter(F.col(name_col).isin(list(steps))).select(
+        user_col, ts_col, name_col
+    )
+
+    def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        pdf = pdf.sort_values(ts_col)
+        cur, cur_t = 0, 0
+        for name, ts in zip(pdf[name_col], pdf[ts_col]):
+            if step_of.get(name) != cur + 1:
+                continue
+            ts = int(ts)
+            if cur == 0 or (cur_t < ts <= cur_t + window_ms):
+                cur, cur_t = cur + 1, ts
+                if cur == k:
+                    break
+        return pd.DataFrame({"max_step": [cur]})
+
+    per_user = src.groupBy(user_col).applyInPandas(fold, schema="max_step long")
+    names = F.array(*[F.lit(s) for s in steps])
+    return (
+        per_user.filter(F.col("max_step") > 0)
+        .select(
+            F.explode(F.sequence(F.lit(1), F.col("max_step"))).alias("step")
+        )
+        .groupBy(F.col("step").cast("bigint").alias("step"))
+        .agg(F.count("*").alias("users"))
+        .select(
+            "step",
+            F.element_at(names, F.col("step").cast("int")).alias("step_name"),
+            "users",
+        )
     )
 
 

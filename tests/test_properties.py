@@ -194,6 +194,12 @@ def test_funnel_matches_model(spark, rows, window):
         k: v for k, v in _model_funnel_exact(rows, ["a", "b", "c"], window).items() if v
     }
     assert got == exp
+    # the one-scan fold strategy implements the identical semantics
+    fold = funnel(
+        df, ["a", "b", "c"], window_ms=window,
+        user_col="user_id", ts_col="ts", name_col="name", strategy="fold",
+    )
+    assert {r["step"]: r["users"] for r in fold.collect()} == exp
 
 
 def _model_step_change(series):
