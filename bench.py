@@ -109,6 +109,7 @@ HEADLINE = [
     "slo_burn",
     "ts_correlation",
     "ts_histogram_quantile",
+    "cohort_retention",
 ]
 
 

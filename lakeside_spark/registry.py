@@ -3430,6 +3430,49 @@ FROM s GROUP BY user_id, session_id
 """
 
 
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen day (the
+    cohort), counted by how many distinct days later they return —
+    (cohort_day, age_days, users). The product-analytics companion to
+    user_retention's adjacent-day pairs. Two aggregations over
+    user-day-distinct rows plus a user-keyed join of the
+    distinct-user-sized cohort table; all counts exact."""
+    tele = load_telemetry(spark, sf_dir)
+    days = (
+        tele.select(
+            "user_id",
+            (F.col(S.TIMESTAMP) - F.col(S.TIMESTAMP) % F.lit(DAY)).alias("day"),
+        )
+        .distinct()
+    )
+    cohort = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        days.join(cohort, "user_id")
+        .groupBy(
+            "cohort_day",
+            ((F.col("day") - F.col("cohort_day")) / F.lit(DAY))
+            .cast("bigint")
+            .alias("age_days"),
+        )
+        .agg(F.count("*").alias("users"))
+    )
+
+
+COHORT_RETENTION_SQL = f"""
+WITH days AS (
+  SELECT DISTINCT user_id, timestamp_ms - timestamp_ms % {DAY} AS day
+  FROM {_T}
+), cohort AS (
+  SELECT user_id, MIN(day) AS cohort_day FROM days GROUP BY 1
+)
+SELECT c.cohort_day,
+       CAST((d.day - c.cohort_day) / {DAY} AS BIGINT) AS age_days,
+       COUNT(*) AS users
+FROM days d JOIN cohort c ON d.user_id = c.user_id
+GROUP BY 1, 2
+"""
+
+
 _SLO_BUDGET = 0.25  # error-ratio objective: alert when burn > 1 in BOTH windows
 
 
@@ -4196,6 +4239,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "slo_burn": slo_burn,
     "ts_correlation": ts_correlation,
     "ts_histogram_quantile": ts_histogram_quantile,
+    "cohort_retention": cohort_retention,
     # --- driver-green round 4 (CORRECTNESS_r04: 50/50)
     "ts_percentile": ts_percentile,
     "tpch_q6": tpch_q6,
@@ -4295,6 +4339,7 @@ ORACLES: dict[str, str] = {
     "slo_burn": SLO_BURN_SQL,
     "ts_correlation": TS_CORRELATION_SQL,
     "ts_histogram_quantile": TS_HISTOGRAM_QUANTILE_SQL,
+    "cohort_retention": COHORT_RETENTION_SQL,
     "embedding_label_outliers": EMBEDDING_LABEL_OUTLIERS_SQL,
     "corpus_curate": CORPUS_CURATE_SQL,
     # dedup_simhash, ann_lsh, ema_smooth: genuinely non-SQL-expressible /
