@@ -110,6 +110,8 @@ HEADLINE = [
     "ts_correlation",
     "ts_histogram_quantile",
     "cohort_retention",
+    "ts_topk_per_step",
+    "stickiness_dau_mau",
 ]
 
 

@@ -3430,6 +3430,99 @@ FROM s GROUP BY user_id, session_id
 """
 
 
+def ts_topk_per_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 users by event count within EACH day step (the per-panel
+    "top talkers" table; global top_k_series ranks whole series — this
+    ranks inside every step). One step+user aggregation, then a
+    step-partitioned rank window over the aggregate — the window input
+    is groups-sized, never the fact table; deterministic (count desc,
+    user asc) ties."""
+    from pyspark.sql import Window
+
+    tele = load_telemetry(spark, sf_dir)
+    counts = tele.groupBy(
+        (F.col(S.TIMESTAMP) - F.col(S.TIMESTAMP) % F.lit(DAY)).alias(S.STEP_TS),
+        "user_id",
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy(S.STEP_TS).orderBy(F.desc("n"), F.asc("user_id"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 3)
+        .select(S.STEP_TS, "rank", "user_id", "n")
+    )
+
+
+TS_TOPK_PER_STEP_SQL = f"""
+WITH counts AS (
+  SELECT timestamp_ms - timestamp_ms % {DAY} AS step_ts, user_id,
+         COUNT(*) AS n
+  FROM {_T} GROUP BY 1, 2
+)
+SELECT step_ts,
+       CAST(ROW_NUMBER() OVER (PARTITION BY step_ts
+                               ORDER BY n DESC, user_id ASC) AS BIGINT)
+           AS rank,
+       user_id, n
+FROM counts QUALIFY rank <= 3
+"""
+
+
+def stickiness_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product stickiness: daily active users over trailing-30-day
+    active users (DAU/MAU) per day. The user-day distinct table feeds
+    one exact DAU aggregation; the trailing MAU is a windowed
+    count-distinct over the day-keyed (day, user) table via a
+    self-contained range join against the day spine — all tables
+    user-day-sized. Exact integer counts → bit-identical ratios."""
+    tele = load_telemetry(spark, sf_dir)
+    days = tele.select(
+        "user_id",
+        (F.col(S.TIMESTAMP) - F.col(S.TIMESTAMP) % F.lit(DAY)).alias("day"),
+    ).distinct()
+    dau = days.groupBy("day").agg(F.count("*").alias("dau"))
+    spine = dau.select(F.col("day").alias("asof_day"))
+    window_ms = 30 * DAY
+    mau = (
+        days.join(
+            spine,
+            (F.col("day") <= F.col("asof_day"))
+            & (F.col("day") > F.col("asof_day") - F.lit(window_ms)),
+        )
+        .groupBy("asof_day")
+        .agg(F.count_distinct("user_id").alias("mau"))
+    )
+    return (
+        dau.join(mau, dau["day"] == mau["asof_day"])
+        .select(
+            "day",
+            "dau",
+            "mau",
+            F.round(
+                F.col("dau").cast("double") / F.col("mau").cast("double"), 6
+            ).alias("stickiness"),
+        )
+    )
+
+
+STICKINESS_SQL = f"""
+WITH days AS (
+  SELECT DISTINCT user_id, timestamp_ms - timestamp_ms % {DAY} AS day
+  FROM {_T}
+), dau AS (
+  SELECT day, COUNT(*) AS dau FROM days GROUP BY 1
+), mau AS (
+  SELECT s.day AS asof_day, COUNT(DISTINCT d.user_id) AS mau
+  FROM dau s JOIN days d
+    ON d.day <= s.day AND d.day > s.day - {30 * DAY}
+  GROUP BY 1
+)
+SELECT dau.day, dau.dau, mau.mau,
+       ROUND(CAST(dau.dau AS DOUBLE) / CAST(mau.mau AS DOUBLE), 6)
+           AS stickiness
+FROM dau JOIN mau ON dau.day = mau.asof_day
+"""
+
+
 def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention matrix: users grouped by first-seen day (the
     cohort), counted by how many distinct days later they return —
@@ -4164,8 +4257,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # driver row from round 4 or is rows-only by design; all oracle-backed
     # keys are additionally hash-checked every pytest run by
     # tests/test_oracle_parity.py regardless of dict position.
-    # ROUND-6 ROTATION PLAN: promote the thirteen round-5 oracle additions
-    # past the fold (trace_service_graph … cohort_retention, below)
+    # ROUND-6 ROTATION PLAN: promote the fifteen round-5 oracle additions
+    # past the fold (trace_service_graph … stickiness_dau_mau, below)
     # plus any key that misses in CORRECTNESS_r05 into slots 1-50; keep
     # ~7 sentinels; everything else will then have ≥1 hard driver row.
     # --- sentinels: driver-green in round 4, kept to catch env breakage
@@ -4240,6 +4333,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ts_correlation": ts_correlation,
     "ts_histogram_quantile": ts_histogram_quantile,
     "cohort_retention": cohort_retention,
+    "ts_topk_per_step": ts_topk_per_step,
+    "stickiness_dau_mau": stickiness_dau_mau,
     # --- driver-green round 4 (CORRECTNESS_r04: 50/50)
     "ts_percentile": ts_percentile,
     "tpch_q6": tpch_q6,
@@ -4340,6 +4435,8 @@ ORACLES: dict[str, str] = {
     "ts_correlation": TS_CORRELATION_SQL,
     "ts_histogram_quantile": TS_HISTOGRAM_QUANTILE_SQL,
     "cohort_retention": COHORT_RETENTION_SQL,
+    "ts_topk_per_step": TS_TOPK_PER_STEP_SQL,
+    "stickiness_dau_mau": STICKINESS_SQL,
     "embedding_label_outliers": EMBEDDING_LABEL_OUTLIERS_SQL,
     "corpus_curate": CORPUS_CURATE_SQL,
     # dedup_simhash, ann_lsh, ema_smooth: genuinely non-SQL-expressible /
