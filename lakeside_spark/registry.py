@@ -4245,6 +4245,137 @@ GROUP BY name ORDER BY name
 """
 
 
+_APDEX_T = 50.0  # satisfied threshold; tolerating up to 4T
+
+
+def apdex_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apdex score per (step, name): (satisfied + tolerating/2) / total
+    with the standard T / 4T latency bands — the user-satisfaction panel
+    every APM product derives from the same telemetry the chart path
+    reads. One conditional aggregation over one scan (the same
+    single-shuffle budget as every chart agg); exact integer band counts
+    make the ratio bit-identical cross-engine."""
+    tele = load_telemetry(spark, sf_dir)
+    v = F.col(S.VALUE)
+    agg = (
+        tele.filter(F.col(S.NAME).isNotNull() & v.isNotNull())
+        .groupBy(
+            (F.col(S.TIMESTAMP) - F.col(S.TIMESTAMP) % F.lit(HOUR)).alias(S.STEP_TS),
+            S.NAME,
+        )
+        .agg(
+            F.sum(F.when(v <= _APDEX_T, 1).otherwise(0)).alias("satisfied"),
+            F.sum(
+                F.when((v > _APDEX_T) & (v <= 4 * _APDEX_T), 1).otherwise(0)
+            ).alias("tolerating"),
+            F.count("*").alias("total"),
+        )
+    )
+    return agg.select(
+        S.STEP_TS,
+        S.NAME,
+        "satisfied",
+        "tolerating",
+        "total",
+        F.round(
+            (F.col("satisfied") + F.col("tolerating") / 2) / F.col("total"), 6
+        ).alias("apdex"),
+    )
+
+
+APDEX_SCORE_SQL = f"""
+SELECT timestamp_ms - timestamp_ms % {HOUR} AS step_ts, name,
+       CAST(SUM(CASE WHEN value <= {_APDEX_T} THEN 1 ELSE 0 END) AS BIGINT)
+           AS satisfied,
+       CAST(SUM(CASE WHEN value > {_APDEX_T} AND value <= {4 * _APDEX_T}
+                THEN 1 ELSE 0 END) AS BIGINT) AS tolerating,
+       COUNT(*) AS total,
+       ROUND((SUM(CASE WHEN value <= {_APDEX_T} THEN 1 ELSE 0 END)
+              + SUM(CASE WHEN value > {_APDEX_T} AND value <= {4 * _APDEX_T}
+                    THEN 1 ELSE 0 END) / 2.0) / COUNT(*), 6) AS apdex
+FROM {_T} WHERE name IS NOT NULL AND value IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+def metric_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-range value-distribution summary per metric: min, p25, p50,
+    p90, p99, max, avg — the metric-detail panel's distribution strip
+    (metric_metadata's range columns, deepened to quantiles). Exact
+    `percentile` for the oracle gate; `percentile_approx`/KLL is the
+    documented 100 TB swap (same contract as ts_percentile). One
+    metric-keyed aggregation — the result is metric-vocabulary-sized."""
+    tele = load_telemetry(spark, sf_dir)
+    v = F.col(S.VALUE)
+    return (
+        tele.filter(F.col(S.NAME).isNotNull() & v.isNotNull())
+        .groupBy(S.NAME)
+        .agg(
+            F.count("*").alias("n"),
+            F.min(v).alias("min_value"),
+            F.round(F.expr(f"percentile({S.VALUE}, 0.25)"), 6).alias("p25"),
+            F.round(F.expr(f"percentile({S.VALUE}, 0.5)"), 6).alias("p50"),
+            F.round(F.expr(f"percentile({S.VALUE}, 0.9)"), 6).alias("p90"),
+            F.round(F.expr(f"percentile({S.VALUE}, 0.99)"), 6).alias("p99"),
+            F.max(v).alias("max_value"),
+            F.round(F.avg(v), 6).alias("avg_value"),
+        )
+    )
+
+
+METRIC_DISTRIBUTION_SQL = f"""
+SELECT name, COUNT(*) AS n, MIN(value) AS min_value,
+       ROUND(quantile_cont(value, 0.25), 6) AS p25,
+       ROUND(quantile_cont(value, 0.5), 6) AS p50,
+       ROUND(quantile_cont(value, 0.9), 6) AS p90,
+       ROUND(quantile_cont(value, 0.99), 6) AS p99,
+       MAX(value) AS max_value, ROUND(AVG(value), 6) AS avg_value
+FROM {_T} WHERE name IS NOT NULL AND value IS NOT NULL
+GROUP BY 1
+"""
+
+
+def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023): score every document by
+    hashed-unigram importance weights against the lang='en' target
+    subset, keep the top 100 (deterministic doc_id tie-break). Two
+    bucket-sized aggregations + a broadcast weight join + one doc-keyed
+    sum — no corpus-sized shuffle beyond the score agg
+    (operators/dsir.py has the full 100 TB shape note)."""
+    from lakeside_spark.operators.dsir import dsir_select as _dsir
+
+    docs = load_table(spark, sf_dir, "documents")
+    return _dsir(docs, F.col("lang") == "en", k=100)
+
+
+DSIR_SELECT_SQL = f"""
+WITH wds AS (
+  SELECT doc_id, lang = 'en' AS tgt,
+         unnest(string_split({_NORM}, ' ')) AS w
+  FROM documents
+), wb AS (
+  SELECT doc_id, tgt,
+         CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) % 256 AS b
+  FROM wds WHERE w <> ''
+), dist AS (
+  SELECT b, count(*) AS rc, SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS tc
+  FROM wb GROUP BY 1
+), tot AS (SELECT sum(rc) AS rt, sum(tc) AS tt FROM dist),
+wt AS (
+  SELECT b, CAST(round((ln((tc + 1) / (tt + 256))
+                        - ln((rc + 1) / (rt + 256))) * 1000000000, 0)
+                 AS BIGINT) AS lr9
+  FROM dist, tot
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       ROUND(sum(lr9) / 1000000000.0, 6) AS dsir_score
+FROM wb JOIN wt USING (b)
+GROUP BY doc_id
+ORDER BY dsir_score DESC, doc_id
+LIMIT 100
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # The driver judges the first 50 entries of this dict, so ordering is a
     # coverage decision. ROUND-5 ROTATION (per VERDICT r4 #1): round 4 went
@@ -4335,6 +4466,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cohort_retention": cohort_retention,
     "ts_topk_per_step": ts_topk_per_step,
     "stickiness_dau_mau": stickiness_dau_mau,
+    "apdex_score": apdex_score,
+    "metric_distribution": metric_distribution,
+    "dsir_select": dsir_select,
     # --- driver-green round 4 (CORRECTNESS_r04: 50/50)
     "ts_percentile": ts_percentile,
     "tpch_q6": tpch_q6,
@@ -4437,6 +4571,9 @@ ORACLES: dict[str, str] = {
     "cohort_retention": COHORT_RETENTION_SQL,
     "ts_topk_per_step": TS_TOPK_PER_STEP_SQL,
     "stickiness_dau_mau": STICKINESS_SQL,
+    "apdex_score": APDEX_SCORE_SQL,
+    "metric_distribution": METRIC_DISTRIBUTION_SQL,
+    "dsir_select": DSIR_SELECT_SQL,
     "embedding_label_outliers": EMBEDDING_LABEL_OUTLIERS_SQL,
     "corpus_curate": CORPUS_CURATE_SQL,
     # dedup_simhash, ann_lsh, ema_smooth: genuinely non-SQL-expressible /

@@ -41,6 +41,8 @@ for key in [
     "traces_span_stats", "trace_service_graph", "funnel_conversion",
     "freq_topk_sketch", "embedding_dim_stats", "ts_step_change",
     "embedding_knn_mislabel",
+    # round-5 third wave: md5-bucketed importance weights
+    "dsir_select",
 ]:
     df = qs[key](spark, "%s")
     n = df.count()
