@@ -112,6 +112,12 @@ HEADLINE = [
     "cohort_retention",
     "ts_topk_per_step",
     "stickiness_dau_mau",
+    "apdex_score",
+    "metric_distribution",
+    "dsir_select",
+    "text_compression",
+    "ts_holt_winters",
+    "ann_sq8",
 ]
 
 

@@ -712,6 +712,113 @@ def ann_pq(
     )
 
 
+def ann_sq8(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    train_sample: int = 10_000,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Scalar-quantization ANN (the FAISS `SQ8` index): each unit vector
+    is stored as one byte per dimension — codes = round(255·(x−min)/
+    (max−min)) against per-dimension min/max learned from a bounded
+    sample — and queries score against the dequantized codes with the
+    same BLAS block kernel as cosine_topk.
+
+    Where it sits in the family: 8× compression vs float64 with much
+    higher fidelity than PQ's 32× (SQ8 recall is near-exact; PQ trades
+    recall for another 4×) and no k-means training at all — the
+    quantizer is two d-length arrays, learned in one bounded pass.
+
+    100 TB shape: quantizer arrays are broadcast (2·d floats), encode
+    and score are map-only Arrow kernels, each task emits only its local
+    top-(k+1) per query, and the global top-k window sees
+    tasks×queries×k rows — never the corpus. The byte codes travel as
+    BinaryType so the stored footprint really is d bytes/vector.
+    """
+    spark = corpus.sparkSession
+    empty = "q_id bigint, n_id bigint, cos_sq double, rank int"
+    sample = corpus.select(vec_col).limit(train_sample).collect()
+    if not sample:
+        return spark.createDataFrame([], schema=empty)
+    mat = np.array([r[0] for r in sample], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    unit = mat / norms
+    vmin = unit.min(axis=0)
+    span = unit.max(axis=0) - vmin
+    span[span == 0] = 1.0
+    bc_quant = spark.sparkContext.broadcast((vmin, span))
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        lo, sp = bc_quant.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.array(list(pdf[vec_col]), dtype=np.float64)
+            n = np.linalg.norm(m, axis=1, keepdims=True)
+            n[n == 0] = 1.0
+            u = m / n
+            codes = np.clip(np.rint((u - lo) / sp * 255.0), 0, 255).astype(
+                np.uint8
+            )
+            yield pd.DataFrame(
+                {
+                    "n_id": pdf[id_col].to_numpy(np.int64),
+                    "codes": [c.tobytes() for c in codes],
+                }
+            )
+
+    encoded = _parallelize(corpus.select(id_col, vec_col)).mapInPandas(
+        encode, schema="n_id bigint, codes binary"
+    )
+
+    q_ids, q_unit = _collect_unit_matrix(queries, vec_col, id_col)
+    if not len(q_ids):
+        return spark.createDataFrame([], schema=empty)
+    bc_q = spark.sparkContext.broadcast((q_ids, q_unit))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        lo, sp = bc_quant.value
+        ids_q, qm = bc_q.value
+        nq = len(ids_q)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            n_ids = pdf["n_id"].to_numpy(np.int64)
+            raw = np.frombuffer(
+                b"".join(pdf["codes"]), dtype=np.uint8
+            ).reshape(len(n_ids), -1)
+            deq = lo + raw.astype(np.float64) / 255.0 * sp
+            scores = qm @ deq.T  # [nq, n] — one BLAS matmul per batch
+            take = min(k + 1, len(n_ids))
+            part = np.argpartition(-scores, take - 1, axis=1)[:, :take]
+            rows_q, rows_n, rows_s = [], [], []
+            for qi in range(nq):
+                for ni in part[qi]:
+                    if ids_q[qi] == n_ids[ni]:
+                        continue
+                    rows_q.append(ids_q[qi])
+                    rows_n.append(n_ids[ni])
+                    rows_s.append(scores[qi, ni])
+            yield pd.DataFrame(
+                {
+                    "q_id": np.array(rows_q, dtype=np.int64),
+                    "n_id": np.array(rows_n, dtype=np.int64),
+                    "cos_sq": np.array(rows_s, dtype=np.float64),
+                }
+            )
+
+    scored = encoded.mapInPandas(score, schema="q_id bigint, n_id bigint, cos_sq double")
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sq").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", F.round("cos_sq", 6).alias("cos_sq"), "rank")
+    )
+
+
 def label_centroid_outliers(
     emb: DataFrame,
     threshold: float = 0.5,

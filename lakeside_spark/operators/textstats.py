@@ -194,3 +194,52 @@ def unigram_nll(
         F.round(nll, 6).alias("nll"),
         F.round(F.exp(F.round(nll, 6)), 6).alias("ppl"),
     )
+
+
+def compression_ratio(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """DEFLATE compression ratio as a text-quality signal: highly
+    repetitive or templated documents compress far below natural prose
+    (the RefinedWeb/MassiveText-family "compressibility" heuristic —
+    boilerplate and spam sit at the low-ratio tail, random noise near
+    1.0; a useful complement to the Gopher n-gram repetition fractions
+    which only see word-level structure).
+
+    Output: ``(doc_id, n_bytes, zlib_ratio)`` with ``zlib_ratio =
+    compressed_size / raw_size`` (level 6, raw UTF-8), rounded to 6.
+
+    Scale shape: an Arrow-batched ``mapInPandas`` kernel — zero
+    shuffles, embarrassingly parallel; zlib is C-speed so the kernel is
+    I/O-bound like the other map-only curation signals. No oracle:
+    DuckDB has no DEFLATE scalar, so correctness is pinned by pytest
+    invariants (determinism, bounds, repetitive < diverse ordering).
+    """
+    import zlib
+
+    from collections.abc import Iterator as _Iter
+
+    import pandas as pd
+
+    def _kernel(batches: _Iter["pd.DataFrame"]) -> _Iter["pd.DataFrame"]:
+        for pdf in batches:
+            raw = [
+                (t or "").encode("utf-8", errors="replace")
+                for t in pdf[text_col]
+            ]
+            n = [len(b) for b in raw]
+            ratio = [
+                round(len(zlib.compress(b, 6)) / len(b), 6) if len(b) else None
+                for b in raw
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "n_bytes": pd.Series(n, dtype="int64"),
+                    "zlib_ratio": pd.Series(ratio, dtype="float64"),
+                }
+            )
+
+    return docs.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        _kernel, schema="doc_id long, n_bytes long, zlib_ratio double"
+    )

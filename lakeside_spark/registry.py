@@ -4376,6 +4376,46 @@ LIMIT 100
 """
 
 
+def text_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rows-only: DEFLATE compression-ratio quality signal per document
+    (operators/textstats.compression_ratio — map-only Arrow kernel, zero
+    shuffles). DuckDB has no DEFLATE scalar, so no oracle; determinism,
+    bounds, and repetitive<diverse ordering are pytest-pinned."""
+    from lakeside_spark.operators.textstats import compression_ratio
+
+    return compression_ratio(load_table(spark, sf_dir, "documents"))
+
+
+def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rows-only: Holt linear smoothing per metric series — level+trend
+    recursions over the hourly count series, 3-step-ahead forecasts and
+    the in-sample one-step RMSE (the alert-band width). The recursion is
+    sequential per series (applyInPandas, one series-keyed shuffle over
+    the already-aggregated table); no SQL oracle is possible, so the
+    recursion is property-tested against an independent pure-Python
+    model (tests/test_properties.py)."""
+    from lakeside_spark.operators.holt import holt_forecast
+
+    expr = BaseExpr(
+        filter=Filter(k=S.NAME, op=S.EXISTS),
+        chart=ChartOptions(aggregation="count"),
+    )
+    series = QueryEngine(spark, step_ms=HOUR).run(expr, load_telemetry(spark, sf_dir))
+    return holt_forecast(series, key_col=S.NAME, ts_col=S.STEP_TS, value_col=S.VALUE)
+
+
+def ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rows-only: scalar-quantization ANN (FAISS SQ8) — byte codes per
+    dimension against sample-learned per-dim min/max, dequantized BLAS
+    scoring, 8× compression at near-exact recall (recall-vs-exact
+    pytest-pinned; the middle point between exact cosine_topk and PQ's
+    32×)."""
+    from lakeside_spark.operators.similarity import ann_sq8 as _sq8
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _sq8(emb, emb.filter(F.col("vec_id") < 5), k=5)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # The driver judges the first 50 entries of this dict, so ordering is a
     # coverage decision. ROUND-5 ROTATION (per VERDICT r4 #1): round 4 went
@@ -4527,6 +4567,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_pack": corpus_pack,
     "kmeans_names": kmeans_names,
     "ema_smooth": ema_smooth_series,
+    "text_compression": text_compression,
+    "ts_holt_winters": ts_holt_winters,
+    "ann_sq8": ann_sq8,
     "ts_cardinality_sketch": ts_cardinality_sketch,
     "ts_percentile_sketch": ts_percentile_sketch,
     "ts_percentile_ddsketch": ts_percentile_ddsketch,

@@ -957,3 +957,60 @@ class TestDownsample:
         one = sorted((r["step_ts"]) for r in lttb_downsample(df, n_out=10).collect())
         two = sorted((r["step_ts"]) for r in lttb_downsample(df, n_out=10).collect())
         assert one == two and len(one) == 10
+
+
+class TestCompressionRatio:
+    def test_bounds_and_ordering(self, spark):
+        from lakeside_spark.operators.textstats import compression_ratio
+
+        rows = [
+            (1, "spam " * 200),                      # highly repetitive
+            (2, " ".join(f"w{i}x{i * 7 % 97}" for i in range(200))),  # diverse
+            (3, ""),                                  # empty → null ratio
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r for r in compression_ratio(df).collect()}
+        assert out[1]["n_bytes"] == 1000 and out[2]["n_bytes"] > 0
+        assert 0 < out[1]["zlib_ratio"] < out[2]["zlib_ratio"] <= 1.1
+        assert out[3]["zlib_ratio"] is None and out[3]["n_bytes"] == 0
+
+    def test_deterministic(self, spark, sf_dir):
+        from lakeside_spark.operators.textstats import compression_ratio
+        from lakeside_spark.sources.tables import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        one = sorted(map(tuple, compression_ratio(docs).collect()))
+        two = sorted(map(tuple, compression_ratio(docs).collect()))
+        assert one == two and len(one) > 0
+
+
+class TestAnnSq8:
+    def test_recall_vs_exact(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+        from lakeside_spark.operators.similarity import ann_sq8, cosine_topk
+        from lakeside_spark.sources.tables import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        qs = emb.filter(F.col("vec_id") < 10)
+        exact = cosine_topk(emb, qs, k=5).collect()
+        approx = ann_sq8(emb, qs, k=5).collect()
+        want = {(r["q_id"], r["n_id"]) for r in exact}
+        got = {(r["q_id"], r["n_id"]) for r in approx}
+        assert len(got) == len(want)
+        # SQ8 is near-exact: ≥90% of the true top-5 sets survive
+        assert len(want & got) / len(want) >= 0.9
+        # scores dequantize close to the true cosine
+        exact_cos = {(r["q_id"], r["n_id"]): r["cos"] for r in exact}
+        for r in approx:
+            key = (r["q_id"], r["n_id"])
+            if key in exact_cos:
+                assert abs(r["cos_sq"] - exact_cos[key]) < 0.02
+
+    def test_empty_corpus(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+        from lakeside_spark.operators.similarity import ann_sq8
+        from lakeside_spark.sources.tables import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        out = ann_sq8(emb.filter("vec_id < 0"), emb.filter(F.col("vec_id") < 3))
+        assert out.count() == 0

@@ -271,3 +271,52 @@ def test_step_change_matches_model(spark, vals):
     assert round(row["mb"], 6) == mb_m
     got_ma = None if row["ma"] is None else round(row["ma"], 6)
     assert got_ma == ma_m
+
+
+def _model_holt(xs, alpha=0.5, beta=0.3):
+    level, trend = xs[0], xs[1] - xs[0]
+    sse = 0.0
+    for x in xs[1:]:
+        pred = level + trend
+        sse += (x - pred) ** 2
+        prev = level
+        level = alpha * x + (1 - alpha) * pred
+        trend = beta * (level - prev) + (1 - beta) * trend
+    return level, trend, (sse / (len(xs) - 1)) ** 0.5
+
+
+@given(
+    vals=st.lists(
+        st.floats(min_value=0.0, max_value=1000.0, allow_nan=False),
+        min_size=2,
+        max_size=30,
+    )
+)
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_holt_matches_model(spark, vals):
+    from lakeside_spark.operators.holt import holt_forecast
+
+    df = spark.createDataFrame(
+        [("m", i * 3_600_000, float(v)) for i, v in enumerate(vals)],
+        "name string, step_ts long, value double",
+    ).coalesce(1)
+    row = holt_forecast(df).collect()[0]
+    level, trend, rmse = _model_holt(vals)
+    assert row["n_points"] == len(vals)
+    assert row["level"] == round(level, 6)
+    assert row["trend"] == round(trend, 6)
+    assert row["forecast_1"] == round(level + trend, 6)
+    assert row["forecast_3"] == round(level + 3 * trend, 6)
+    assert row["rmse"] == round(rmse, 6)
+
+
+def test_holt_drops_single_point_series(spark):
+    from lakeside_spark.operators.holt import holt_forecast
+
+    df = spark.createDataFrame(
+        [("solo", 0, 5.0), ("pair", 0, 1.0), ("pair", 3_600_000, 2.0)],
+        "name string, step_ts long, value double",
+    )
+    out = {r["name"]: r for r in holt_forecast(df).collect()}
+    assert set(out) == {"pair"}
+    assert out["pair"]["trend"] == 1.0 and out["pair"]["forecast_1"] == 3.0
