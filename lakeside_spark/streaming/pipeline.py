@@ -177,3 +177,50 @@ def streaming_freq_counts(
         .agg(F.count(F.lit(1)).alias("cnt"))
         .select("item", "cnt")
     )
+
+
+def streaming_interval_join(
+    points: DataFrame,
+    spans: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    span_ts_col: str = "span_start",
+    span_ms: int = 3_600_000,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream interval join: each point event pairs with the span
+    events of the same key whose [start, start+span_ms) window contains
+    it — the streaming twin of the batch range_join operator (a span
+    stream here is e.g. deploy/incident markers; points are telemetry).
+
+    Spark executes this as a watermarked stream-stream join: BOTH sides
+    buffer in state, and the time-bound join condition (point.ts between
+    span start and end) lets the engine evict state once the watermark
+    passes the window end — without the range condition the state would
+    grow forever (Structured Streaming requires exactly this shape for
+    stream-stream joins; unbounded-state joins are rejected). State per
+    key is bounded by watermark + span_ms regardless of stream length —
+    the 100 TB/day contract.
+    """
+    pts = points.withWatermark(ts_col, watermark).select(
+        F.col(key).alias("p_key"),
+        F.col(ts_col).alias("p_ts"),
+        F.col("event_id").alias("point_id"),
+    )
+    sp = spans.withWatermark(span_ts_col, watermark).select(
+        F.col(key).alias("s_key"),
+        F.col(span_ts_col).alias("s_start"),
+        F.col("event_id").alias("span_id"),
+    )
+    cond = (
+        (F.col("p_key") == F.col("s_key"))
+        & (F.col("p_ts") >= F.col("s_start"))
+        & (F.col("p_ts") < F.col("s_start") + F.expr(f"INTERVAL {span_ms // 1000} SECONDS"))
+    )
+    return pts.join(sp, cond, "inner").select(
+        F.col("p_key").alias(key),
+        "point_id",
+        "span_id",
+        F.unix_millis("p_ts").alias("point_ts_ms"),
+        F.unix_millis("s_start").alias("span_start_ms"),
+    )

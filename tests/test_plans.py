@@ -302,3 +302,28 @@ def test_embedding_dim_stats_single_shuffle_partial_agg(spark, sf_dir):
     plan = _plan(spark, sf_dir, "embedding_dim_stats")
     assert plan.count("Exchange") == 1, plan[:1500]
     assert "partial_sum" in plan
+
+
+def test_apdex_single_shuffle_pushed_nulls(spark, sf_dir):
+    """apdex is a chart-family agg: exactly one Exchange (the step+name
+    keys) with partial map-side band counts, and the NOT NULL gates
+    pushed to the scan."""
+    plan = _plan(spark, sf_dir, "apdex_score")
+    assert plan.count("Exchange") == 1, plan[:1500]
+    assert "partial_sum" in plan or "partial_count" in plan
+    scan = next(l for l in plan.splitlines() if "FileScan" in l)
+    assert "IsNotNull" in scan, scan
+
+
+def test_dsir_weight_table_broadcasts(spark, sf_dir):
+    """dsir_select's bucket-weight table (≤256 rows) must ride to the
+    word stream as a BroadcastHashJoin — a shuffled join here would
+    re-exchange the entire exploded corpus; the only corpus-sized
+    Exchange allowed is the final doc_id score agg (plus the top-k
+    rangepartitioning)."""
+    plan = _plan(spark, sf_dir, "dsir_select")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # corpus-sized exchanges: doc agg + final orderBy; the two bucket
+    # aggs exchange only 256-row tables
+    assert plan.count("Exchange hashpartitioning") <= 3, plan[:2000]

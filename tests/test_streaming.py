@@ -350,3 +350,59 @@ def test_streaming_freq_counts_merge_with_sealed(spark, tmp_path):
     # the true top items all clear the bound and must be reported
     top_heavy = set(true.index[:10]) & heavy
     assert top_heavy <= got, top_heavy - got
+
+
+def test_streaming_interval_join_matches_batch(spark, sf_dir):
+    """Stream-stream interval join (points × span windows) must produce
+    exactly the batch BETWEEN-join pairs once all files are processed,
+    and its state must be evictable (watermark + range condition)."""
+    from lakeside_spark.streaming.pipeline import streaming_interval_join
+
+    events = load_table(spark, sf_dir, "events")
+    points_b = events.filter(F.col("event_type") == "purchase")
+    spans_b = events.filter(F.col("event_type") == "click")
+    src = tempfile.mkdtemp(prefix="stream_ij_")
+    try:
+        points_b.write.mode("overwrite").parquet(f"{src}/points")
+        spans_b.write.mode("overwrite").parquet(f"{src}/spans")
+        pts = spark.readStream.schema(events.schema).parquet(f"{src}/points")
+        sps = spark.readStream.schema(events.schema).parquet(f"{src}/spans")
+        joined = streaming_interval_join(
+            pts, sps.withColumn("span_start", F.col("ts")),
+            span_ms=3_600_000, watermark="0 seconds",
+        )
+        q = (
+            joined.writeStream.format("memory")
+            .queryName("stream_ij")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = {
+            (r["point_id"], r["span_id"])
+            for r in spark.sql("SELECT * FROM stream_ij").collect()
+        }
+        exp = {
+            (r["point_id"], r["span_id"])
+            for r in points_b.alias("p")
+            .join(
+                spans_b.alias("s"),
+                (F.col("p.user_id") == F.col("s.user_id"))
+                & (F.col("p.ts") >= F.col("s.ts"))
+                & (
+                    F.unix_millis(F.col("p.ts"))
+                    < F.unix_millis(F.col("s.ts")) + 3_600_000
+                ),
+            )
+            .select(
+                F.col("p.event_id").alias("point_id"),
+                F.col("s.event_id").alias("span_id"),
+            )
+            .collect()
+        }
+        assert got == exp and len(exp) > 0
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
