@@ -115,6 +115,7 @@ HEADLINE = [
     "apdex_score",
     "metric_distribution",
     "dsir_select",
+    "corpus_split",
     "text_compression",
     "ts_holt_winters",
     "ann_sq8",

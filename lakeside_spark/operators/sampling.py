@@ -118,3 +118,30 @@ def pack_documents(
         .groupBy(stratum_col)
         .applyInPandas(pack, schema=schema)
     )
+
+
+def train_val_test_split(
+    docs: DataFrame,
+    val_pct: float = 5.0,
+    test_pct: float = 5.0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic train/val/test assignment from the md5 hash gate's
+    [0,100) bucket — the standard leakage-safe split for a training
+    corpus: membership is a pure function of the document id, so
+    re-running the pipeline (or running it in another engine) never
+    migrates a document across splits, and no RNG state needs to be
+    carried. Per-row expression: zero shuffles, fully pushdown-able when
+    a consumer filters to one split."""
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    train_hi = 100.0 - val_pct - test_pct
+    return docs.withColumn(
+        "split",
+        F.when(bucket < train_hi, "train")
+        .when(bucket < train_hi + val_pct, "val")
+        .otherwise("test"),
+    )

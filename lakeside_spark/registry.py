@@ -4376,6 +4376,28 @@ LIMIT 100
 """
 
 
+def corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (90/5/5) via the md5 hash
+    gate's bucket — leakage-safe: split membership is a pure function of
+    doc_id, identical across engines and re-runs
+    (operators/sampling.train_val_test_split; zero shuffles)."""
+    from lakeside_spark.operators.sampling import train_val_test_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return train_val_test_split(docs).select("doc_id", "lang", "split")
+
+
+CORPUS_SPLIT_SQL = """
+SELECT doc_id, lang,
+       CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                      AS BIGINT) % 100 < 90.0 THEN 'train'
+            WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                      AS BIGINT) % 100 < 95.0 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
 def text_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rows-only: DEFLATE compression-ratio quality signal per document
     (operators/textstats.compression_ratio — map-only Arrow kernel, zero
@@ -4509,6 +4531,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "apdex_score": apdex_score,
     "metric_distribution": metric_distribution,
     "dsir_select": dsir_select,
+    "corpus_split": corpus_split,
     # --- driver-green round 4 (CORRECTNESS_r04: 50/50)
     "ts_percentile": ts_percentile,
     "tpch_q6": tpch_q6,
@@ -4617,6 +4640,7 @@ ORACLES: dict[str, str] = {
     "apdex_score": APDEX_SCORE_SQL,
     "metric_distribution": METRIC_DISTRIBUTION_SQL,
     "dsir_select": DSIR_SELECT_SQL,
+    "corpus_split": CORPUS_SPLIT_SQL,
     "embedding_label_outliers": EMBEDDING_LABEL_OUTLIERS_SQL,
     "corpus_curate": CORPUS_CURATE_SQL,
     # dedup_simhash, ann_lsh, ema_smooth: genuinely non-SQL-expressible /
