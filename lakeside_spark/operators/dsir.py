@@ -61,11 +61,22 @@ def dsir_scores(
         .filter(F.col("w") != "")
         .select("doc_id", "__tgt", _bucket("w", n_buckets).alias("b"))
     )
-    # one pass builds BOTH distributions: raw = all words, target = the
-    # flagged subset (bucket-sized result, map-side combined)
-    dist = wds.groupBy("b").agg(
-        F.count("*").alias("rc"),
-        F.sum(F.when(F.col("__tgt"), 1).otherwise(0)).alias("tc"),
+    # Collapse the word stream to per-doc bucket COUNTS first: md5 runs
+    # once per word occurrence, the shuffle moves ≤min(words, n_buckets)
+    # rows per doc instead of every word (map-side combined), and both
+    # the distribution build and the scoring read this compact table —
+    # persisted because it feeds two branches (100x probe: recomputing
+    # the explode+md5 for each branch doubled the dominant cost).
+    per_doc = (
+        wds.groupBy("doc_id", "__tgt", "b")
+        .agg(F.count("*").alias("cnt"))
+        .persist()
+    )
+    # both distributions from the compact table: raw = all docs, target =
+    # the flagged subset (bucket-sized result)
+    dist = per_doc.groupBy("b").agg(
+        F.sum("cnt").alias("rc"),
+        F.sum(F.when(F.col("__tgt"), F.col("cnt")).otherwise(0)).alias("tc"),
     )
     totals = dist.agg(
         F.sum("rc").alias("__rt"), F.sum("tc").alias("__tt")
@@ -78,11 +89,11 @@ def dsir_scores(
         "b", F.round(lr9).cast("long").alias("lr9")
     )
     return (
-        wds.join(F.broadcast(weights), "b")
+        per_doc.join(F.broadcast(weights), "b")
         .groupBy("doc_id")
         .agg(
-            F.count("*").cast("long").alias("n_words"),
-            F.sum("lr9").alias("__s9"),
+            F.sum("cnt").cast("long").alias("n_words"),
+            F.sum(F.col("cnt") * F.col("lr9")).alias("__s9"),
         )
         .select(
             "doc_id",
