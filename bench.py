@@ -119,6 +119,7 @@ HEADLINE = [
     "text_compression",
     "ts_holt_winters",
     "ann_sq8",
+    "embedding_cluster_stats",
 ]
 
 

@@ -874,6 +874,88 @@ def label_centroid_outliers(
     )
 
 
+def embedding_cluster_stats(
+    emb: DataFrame,
+    n_cells: int = 16,
+    target_per_cell: int = 50,
+    train_sample: int = 10_000,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Cluster-balanced sampling plan over the embedding space: sampled
+    spherical-kmeans cells (the same quantizer as ann_ivf/semdedup), per
+    cell the population, cohesion (mean/min cosine to the centroid), and
+    the keep-rate ``min(1, target_per_cell/count)`` that equalizes the
+    mixture across semantic clusters — the curation move that stops a
+    crawl's dominant topic from flooding the training mix (cluster-
+    balanced selection à la SSL-curation/DoReMi-style reweighting, on
+    the same machinery SemDeDup already trains).
+
+    100 TB shape: assignment is the map-only broadcast-centroid kernel;
+    the stats agg is ONE shuffle to n_cells keys (map-side combined);
+    output is cell-count-sized. The rate column composes with the
+    hash-gate sampler (operators/sampling.hash_gate) for the actual
+    keep pass. rows-only: the quantizer is not SQL-expressible;
+    invariants (cell partition, rate bounds, cohesion ordering) are
+    pytest-pinned."""
+    spark = emb.sparkSession
+    out_schema = (
+        "cell int, n_vectors bigint, mean_cos double, min_cos double, "
+        "keep_rate double"
+    )
+    sample = emb.select(vec_col).limit(train_sample).collect()
+    if not sample:
+        return spark.createDataFrame([], schema=out_schema)
+    mat = np.array([r[0] for r in sample], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    cents = _spherical_kmeans(mat / norms, n_cells)
+    bc = spark.sparkContext.broadcast(cents)
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.array(list(pdf[vec_col]), dtype=np.float64)
+            n = np.linalg.norm(m, axis=1, keepdims=True)
+            n[n == 0] = 1.0
+            sims = (m / n) @ c.T
+            cell = sims.argmax(axis=1)
+            yield pd.DataFrame(
+                {
+                    "cell": cell.astype(np.int32),
+                    # cosine to own centroid, snapped to 1e-9 fixed-point
+                    # ints so the mean is summation-order-independent
+                    "cos9": np.rint(
+                        sims[np.arange(len(cell)), cell] * 1e9
+                    ).astype(np.int64),
+                }
+            )
+
+    assigned = _parallelize(emb.select(id_col, vec_col)).mapInPandas(
+        assign, schema="cell int, cos9 bigint"
+    )
+    return (
+        assigned.groupBy("cell")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.round(F.sum("cos9") / (F.count("*") * 1e9), 6).alias("mean_cos"),
+            F.round(F.min("cos9") / 1e9, 6).alias("min_cos"),
+        )
+        .select(
+            "cell",
+            "n_vectors",
+            "mean_cos",
+            "min_cos",
+            F.round(
+                F.least(F.lit(1.0), F.lit(float(target_per_cell)) / F.col("n_vectors")),
+                6,
+            ).alias("keep_rate"),
+        )
+    )
+
+
 def semdedup(
     emb: DataFrame,
     threshold: float = 0.95,

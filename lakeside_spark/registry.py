@@ -4376,6 +4376,19 @@ LIMIT 100
 """
 
 
+def embedding_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rows-only: cluster-balanced sampling plan — spherical-kmeans
+    cells with population, centroid cohesion, and the keep-rate that
+    equalizes the mixture across semantic clusters
+    (operators/similarity.embedding_cluster_stats; quantizer not
+    SQL-expressible, invariants pytest-pinned)."""
+    from lakeside_spark.operators.similarity import (
+        embedding_cluster_stats as _stats,
+    )
+
+    return _stats(load_table(spark, sf_dir, "embeddings"))
+
+
 def corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test split (90/5/5) via the md5 hash
     gate's bucket — leakage-safe: split membership is a pure function of
@@ -4594,6 +4607,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_compression": text_compression,
     "ts_holt_winters": ts_holt_winters,
     "ann_sq8": ann_sq8,
+    "embedding_cluster_stats": embedding_cluster_stats,
     "ts_cardinality_sketch": ts_cardinality_sketch,
     "ts_percentile_sketch": ts_percentile_sketch,
     "ts_percentile_ddsketch": ts_percentile_ddsketch,

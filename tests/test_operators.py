@@ -1014,3 +1014,37 @@ class TestAnnSq8:
         emb = load_table(spark, sf_dir, "embeddings")
         out = ann_sq8(emb.filter("vec_id < 0"), emb.filter(F.col("vec_id") < 3))
         assert out.count() == 0
+
+
+class TestEmbeddingClusterStats:
+    def test_invariants(self, spark, sf_dir):
+        from lakeside_spark.operators.similarity import embedding_cluster_stats
+        from lakeside_spark.sources.tables import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        n_total = emb.count()
+        rows = embedding_cluster_stats(emb, n_cells=8, target_per_cell=10).collect()
+        # cells partition the corpus
+        assert sum(r["n_vectors"] for r in rows) == n_total
+        assert len(rows) <= 8 and len({r["cell"] for r in rows}) == len(rows)
+        for r in rows:
+            # cohesion bounds: every vector is at least as close to its own
+            # centroid as min_cos; means sit inside [min_cos, 1]
+            assert -1.0 <= r["min_cos"] <= r["mean_cos"] <= 1.0 + 1e-9
+            # balanced rate: exact for small cells, capped for large ones
+            if r["n_vectors"] <= 10:
+                assert r["keep_rate"] == 1.0
+            else:
+                assert abs(r["keep_rate"] - 10 / r["n_vectors"]) < 1e-6
+        # expected kept volume is ≤ target_per_cell per cell (+rounding)
+        kept = sum(r["keep_rate"] * r["n_vectors"] for r in rows)
+        assert kept <= 8 * 10 + 1
+
+    def test_deterministic(self, spark, sf_dir):
+        from lakeside_spark.operators.similarity import embedding_cluster_stats
+        from lakeside_spark.sources.tables import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        one = sorted(map(tuple, embedding_cluster_stats(emb).collect()))
+        two = sorted(map(tuple, embedding_cluster_stats(emb).collect()))
+        assert one == two and len(one) > 0
