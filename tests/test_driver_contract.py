@@ -41,8 +41,10 @@ for key in [
     "traces_span_stats", "trace_service_graph", "funnel_conversion",
     "freq_topk_sketch", "embedding_dim_stats", "ts_step_change",
     "embedding_knn_mislabel",
-    # round-5 third wave: md5-bucketed importance weights
-    "dsir_select",
+    # round-5 third wave: md5-bucketed importance weights, zlib kernel,
+    # Holt recursion, SQ8 byte codes, kmeans cell stats
+    "dsir_select", "text_compression", "ts_holt_winters", "ann_sq8",
+    "embedding_cluster_stats",
 ]:
     df = qs[key](spark, "%s")
     n = df.count()
