@@ -23,18 +23,25 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def hash_gate(id_col: str, rate_pct: F.Column | float) -> F.Column:
-    """Deterministic [0,100) bucket from md5(id): keep when < rate_pct.
+def hash_bucket(id_col: str) -> F.Column:
+    """Deterministic [0,100) bucket from md5(id) — the ONE expression
+    every deterministic sample/split gate shares (cross-engine leakage
+    safety depends on sample gates and split membership staying
+    bit-identical, so they must come from this helper, never a copy).
 
     Portable: CAST('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 8) AS
     BIGINT) % 100 in any engine with md5."""
-    bucket = (
+    return (
         F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
         .cast("bigint")
         % 100
     )
+
+
+def hash_gate(id_col: str, rate_pct: F.Column | float) -> F.Column:
+    """Keep when hash_bucket(id) < rate_pct."""
     rate = rate_pct if isinstance(rate_pct, F.Column) else F.lit(rate_pct)
-    return bucket < rate
+    return hash_bucket(id_col) < rate
 
 
 def source_cap(
@@ -132,12 +139,17 @@ def train_val_test_split(
     re-running the pipeline (or running it in another engine) never
     migrates a document across splits, and no RNG state needs to be
     carried. Per-row expression: zero shuffles, fully pushdown-able when
-    a consumer filters to one split."""
-    bucket = (
-        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
-        .cast("bigint")
-        % 100
-    )
+    a consumer filters to one split.
+
+    Percentages must be whole numbers: the shared bucket has 100 integer
+    levels, so a fractional boundary would silently starve a split
+    (val_pct=0.5 would make 'val' empty)."""
+    if val_pct != int(val_pct) or test_pct != int(test_pct):
+        raise ValueError(
+            f"val_pct/test_pct must be whole percentages (100-level hash "
+            f"bucket): got {val_pct}/{test_pct}"
+        )
+    bucket = hash_bucket(id_col)
     train_hi = 100.0 - val_pct - test_pct
     return docs.withColumn(
         "split",

@@ -4422,13 +4422,15 @@ def text_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """rows-only: Holt linear smoothing per metric series — level+trend
-    recursions over the hourly count series, 3-step-ahead forecasts and
-    the in-sample one-step RMSE (the alert-band width). The recursion is
-    sequential per series (applyInPandas, one series-keyed shuffle over
-    the already-aggregated table); no SQL oracle is possible, so the
-    recursion is property-tested against an independent pure-Python
-    model (tests/test_properties.py)."""
+    """rows-only: additive Holt-Winters smoothing per metric series —
+    level + trend + 24-step (hour-of-day) seasonal recursions over the
+    hourly count series, 3-step-ahead forecasts and the in-sample
+    one-step RMSE (the alert-band width); series shorter than two full
+    cycles fall back to Holt linear (the `seasonal` column flags which
+    model fitted). Sequential per series (applyInPandas, one
+    series-keyed shuffle over the already-aggregated table); no SQL
+    oracle is possible, so both recursions are property-tested against
+    an independent pure-Python model (tests/test_properties.py)."""
     from lakeside_spark.operators.holt import holt_forecast
 
     expr = BaseExpr(
@@ -4436,7 +4438,13 @@ def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         chart=ChartOptions(aggregation="count"),
     )
     series = QueryEngine(spark, step_ms=HOUR).run(expr, load_telemetry(spark, sf_dir))
-    return holt_forecast(series, key_col=S.NAME, ts_col=S.STEP_TS, value_col=S.VALUE)
+    return holt_forecast(
+        series,
+        key_col=S.NAME,
+        ts_col=S.STEP_TS,
+        value_col=S.VALUE,
+        season_length=24,
+    )
 
 
 def ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -187,6 +187,8 @@ def streaming_interval_join(
     span_ts_col: str = "span_start",
     span_ms: int = 3_600_000,
     watermark: str = "1 hour",
+    point_id_col: str = "event_id",
+    span_id_col: str = "event_id",
 ) -> DataFrame:
     """Stream-stream interval join: each point event pairs with the span
     events of the same key whose [start, start+span_ms) window contains
@@ -205,17 +207,22 @@ def streaming_interval_join(
     pts = points.withWatermark(ts_col, watermark).select(
         F.col(key).alias("p_key"),
         F.col(ts_col).alias("p_ts"),
-        F.col("event_id").alias("point_id"),
+        F.col(point_id_col).alias("point_id"),
     )
     sp = spans.withWatermark(span_ts_col, watermark).select(
         F.col(key).alias("s_key"),
         F.col(span_ts_col).alias("s_start"),
-        F.col("event_id").alias("span_id"),
+        F.col(span_id_col).alias("span_id"),
     )
     cond = (
         (F.col("p_key") == F.col("s_key"))
         & (F.col("p_ts") >= F.col("s_start"))
-        & (F.col("p_ts") < F.col("s_start") + F.expr(f"INTERVAL {span_ms // 1000} SECONDS"))
+        # millisecond interval: flooring to seconds would shrink (or for
+        # span_ms < 1000, zero out) the window vs the batch twin
+        & (
+            F.col("p_ts")
+            < F.col("s_start") + F.expr(f"INTERVAL {span_ms} MILLISECONDS")
+        )
     )
     return pts.join(sp, cond, "inner").select(
         F.col("p_key").alias(key),

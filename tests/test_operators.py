@@ -1048,3 +1048,34 @@ class TestEmbeddingClusterStats:
         one = sorted(map(tuple, embedding_cluster_stats(emb).collect()))
         two = sorted(map(tuple, embedding_cluster_stats(emb).collect()))
         assert one == two and len(one) > 0
+
+
+class TestDsirBucket:
+    def test_short_prefix_equals_full_prefix(self, spark, sf_dir):
+        """The 2-hex-digit shortcut must equal the canonical 8-digit
+        form for every word in the corpus (16^k ≡ 0 mod 256, k ≥ 2)."""
+        from pyspark.sql import functions as F
+        from lakeside_spark.functions.text import words
+        from lakeside_spark.operators.dsir import _bucket
+        from lakeside_spark.sources.tables import load_table
+
+        w = (
+            load_table(spark, sf_dir, "documents")
+            .select(F.explode(words("text")).alias("w"))
+            .filter(F.col("w") != "")
+        )
+        full = (
+            F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long") % 256
+        )
+        n_bad = w.select(
+            (_bucket("w", 256) != full).cast("int").alias("bad")
+        ).agg(F.sum("bad")).collect()[0][0]
+        assert n_bad == 0
+        # non-divisor bucket counts use the full prefix unchanged
+        full11 = (
+            F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long") % 11
+        )
+        n_bad11 = w.select(
+            (_bucket("w", 11) != full11).cast("int").alias("bad")
+        ).agg(F.sum("bad")).collect()[0][0]
+        assert n_bad11 == 0

@@ -320,3 +320,60 @@ def test_holt_drops_single_point_series(spark):
     out = {r["name"]: r for r in holt_forecast(df).collect()}
     assert set(out) == {"pair"}
     assert out["pair"]["trend"] == 1.0 and out["pair"]["forecast_1"] == 3.0
+
+
+def _model_holt_winters(xs, m, alpha=0.5, beta=0.3, gamma=0.3):
+    mean1 = sum(xs[:m]) / m
+    level = mean1
+    trend = (sum(xs[m:2 * m]) / m - mean1) / m
+    season = [x - mean1 for x in xs[:m]]
+    sse = 0.0
+    for t in range(m, len(xs)):
+        pred = level + trend + season[t % m]
+        sse += (xs[t] - pred) ** 2
+        prev = level
+        level = alpha * (xs[t] - season[t % m]) + (1 - alpha) * (level + trend)
+        trend = beta * (level - prev) + (1 - beta) * trend
+        season[t % m] = gamma * (xs[t] - level) + (1 - gamma) * season[t % m]
+    return level, trend, season, (sse / (len(xs) - m)) ** 0.5
+
+
+@given(
+    vals=st.lists(
+        st.floats(min_value=0.0, max_value=1000.0, allow_nan=False),
+        min_size=8,
+        max_size=30,
+    )
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_holt_winters_seasonal_matches_model(spark, vals):
+    from lakeside_spark.operators.holt import holt_forecast
+
+    m = 4
+    df = spark.createDataFrame(
+        [("m", i * 3_600_000, float(v)) for i, v in enumerate(vals)],
+        "name string, step_ts long, value double",
+    ).coalesce(1)
+    row = holt_forecast(df, season_length=m).collect()[0]
+    n = len(vals)
+    assert row["seasonal"] is True and n >= 2 * m
+    level, trend, season, rmse = _model_holt_winters(vals, m)
+    assert row["level"] == round(level, 6)
+    assert row["trend"] == round(trend, 6)
+    assert row["rmse"] == round(rmse, 6)
+    for h in (1, 2, 3):
+        assert row[f"forecast_{h}"] == round(
+            level + h * trend + season[(n + h - 1) % m], 6
+        )
+
+
+def test_holt_winters_short_series_falls_back_to_linear(spark):
+    from lakeside_spark.operators.holt import holt_forecast
+
+    df = spark.createDataFrame(
+        [("s", i * 3_600_000, float(i)) for i in range(5)],
+        "name string, step_ts long, value double",
+    )
+    row = holt_forecast(df, season_length=4).collect()[0]  # 5 < 2*4
+    assert row["seasonal"] is False
+    assert row["trend"] == 1.0 and row["forecast_1"] == 5.0

@@ -123,6 +123,9 @@ def build(n: int, out: str) -> None:
                 shutil.copytree(src, dst)
             else:
                 shutil.copy(src, dst)
+    # written LAST: an interrupted build must not look complete
+    with open(f"{out}/_BUILD_DONE", "w") as fh:
+        fh.write(f"n={n} src={SRC}\n")
     spark.stop()
 
 
@@ -131,7 +134,7 @@ def main() -> int:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 100
     keys = sys.argv[2:] or DEFAULT_KEYS
     out = f"/tmp/lakeside_probe_sf{n}x"
-    if not os.path.exists(f"{out}/lineitem.parquet"):
+    if not os.path.exists(f"{out}/_BUILD_DONE"):
         print(f"# building {n}x replica at {out}", flush=True)
         t0 = time.time()
         build(n, out)
