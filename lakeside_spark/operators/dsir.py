@@ -52,24 +52,14 @@ def _bucket(col: str | Column, n_buckets: int) -> Column:
     return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % n_buckets
 
 
-def dsir_scores(
+def _word_buckets(
     docs: DataFrame,
     target: Column,
-    n_buckets: int = 256,
-    text_col: str = "text",
-    id_col: str = "doc_id",
+    n_buckets: int,
+    text_col: str,
+    id_col: str,
 ) -> DataFrame:
-    """Per-document DSIR importance score against the ``target`` subset.
-
-    ``target`` is a boolean Column over ``docs`` marking the trusted
-    corpus (e.g. ``F.col("lang") == "en"``). Returns
-    ``(doc_id, n_words, dsir_score)`` for every doc with ≥1 word, where
-    ``dsir_score`` is the exact fixed-point sum of bucket log-ratios
-    divided by 1e9 (order-independent). Eager: the distribution pass
-    runs when called (like the ANN quantizer training passes); only
-    n_buckets longs ever reach the driver.
-    """
-    wb = (
+    return (
         docs.select(
             F.col(id_col).alias("doc_id"),
             target.alias("__tgt"),
@@ -78,9 +68,27 @@ def dsir_scores(
         .filter(F.col("w") != "")
         .select("doc_id", "__tgt", _bucket("w", n_buckets).alias("b"))
     )
-    # pass 1: both distributions in one bucket-keyed agg (map-side
-    # combined — ≤ n_buckets rows per task reach the shuffle), collected
-    # because the weight table is n_buckets longs, i.e. metadata-sized
+
+
+def dsir_fit(
+    docs: DataFrame,
+    target: Column,
+    n_buckets: int = 256,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> list[int]:
+    """ONE corpus pass fitting the importance weights: both feature
+    distributions in a single bucket-keyed agg (map-side combined —
+    ≤ n_buckets rows per task reach the shuffle), collected because the
+    weight table is n_buckets longs, i.e. metadata-sized. Returns the
+    1e-9 fixed-point log-ratio weight per bucket.
+
+    At 100 TB this is the pass to AMORTIZE: the weights are a pure
+    function of (corpus, target, n_buckets) — 256 numbers — so fit once,
+    store them, and score any number of shards/runs with
+    ``dsir_scores(..., weights=...)`` at one scan each (DSIR's published
+    recipe is exactly this fit-then-score split)."""
+    wb = _word_buckets(docs, target, n_buckets, text_col, id_col)
     dist = {
         r["b"]: (r["rc"], r["tc"])
         for r in wb.groupBy("b")
@@ -101,7 +109,37 @@ def dsir_scores(
             )
             * 1e9
         )
-    # pass 2: score through a literal lookup array — no join, no cache,
+    return lr9
+
+
+def dsir_scores(
+    docs: DataFrame,
+    target: Column,
+    n_buckets: int = 256,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    weights: list[int] | None = None,
+) -> DataFrame:
+    """Per-document DSIR importance score against the ``target`` subset.
+
+    ``target`` is a boolean Column over ``docs`` marking the trusted
+    corpus (e.g. ``F.col("lang") == "en"``). Returns
+    ``(doc_id, n_words, dsir_score)`` for every doc with ≥1 word, where
+    ``dsir_score`` is the exact fixed-point sum of bucket log-ratios
+    divided by 1e9 (order-independent). Without precomputed ``weights``
+    this calls ``dsir_fit`` eagerly (like the ANN quantizer training
+    passes) and then scores — two scans total, the operator's inherent
+    shape; pass ``weights`` (from an earlier fit) to score in ONE scan.
+    """
+    lr9 = weights if weights is not None else dsir_fit(
+        docs, target, n_buckets, text_col, id_col
+    )
+    if len(lr9) != n_buckets:
+        raise ValueError(
+            f"weights length {len(lr9)} != n_buckets {n_buckets}"
+        )
+    wb = _word_buckets(docs, target, n_buckets, text_col, id_col)
+    # scoring goes through a literal lookup array — no join, no cache,
     # pure codegen; the only corpus-sized shuffle is the doc_id agg
     lut = F.array(*[F.lit(v).cast("long") for v in lr9])
     return (

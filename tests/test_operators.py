@@ -1079,3 +1079,18 @@ class TestDsirBucket:
             (_bucket("w", 11) != full11).cast("int").alias("bad")
         ).agg(F.sum("bad")).collect()[0][0]
         assert n_bad11 == 0
+
+
+class TestDsirFitScoreSplit:
+    def test_precomputed_weights_match_inline_fit(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+        from lakeside_spark.operators.dsir import dsir_fit, dsir_scores
+        from lakeside_spark.sources.tables import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        tgt = F.col("lang") == "en"
+        w = dsir_fit(docs, tgt)
+        assert len(w) == 256 and any(v != 0 for v in w)
+        inline = sorted(map(tuple, dsir_scores(docs, tgt).collect()))
+        reused = sorted(map(tuple, dsir_scores(docs, tgt, weights=w).collect()))
+        assert inline == reused and len(inline) > 0
