@@ -385,8 +385,9 @@ class QueryEngine:
     def _run_exemplars(self, expr: BaseExpr, df: DataFrame) -> DataFrame:
         """Raw-row query (reference: BaseExpr.scala:237-239): ORDER BY
         timestamp [DESC] LIMIT n, leading with the dataset's canonical
-        projection (`SELECT $projectionSql, *` — logs lead with message,
-        traces with span.name/span.kind; BaseExpr.scala:210-214,238).
+        projection (`SELECT $projectionSql, *` — logs lead with
+        timestamp, value, name, message; traces swap in
+        span.name/span.kind; BaseExpr.scala:42-45,210-214,238).
         event_id breaks ties so limits are deterministic across engines."""
         order = [
             F.col(S.TIMESTAMP).desc() if expr.order == "DESC" else F.col(S.TIMESTAMP).asc()

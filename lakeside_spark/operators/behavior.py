@@ -57,11 +57,18 @@ def funnel(
     streaming.stateful.streaming_funnel) — best when steps are many or
     unselective, where k scans would re-read the fact table k times.
     Both strategies implement the identical min-ts-chaining semantics
-    (property-tested equal)."""
+    (property-tested equal). Every step emits a row even when zero
+    users complete it (users=0) — consumers and the oracle count k rows
+    for a k-step funnel. Step names must be distinct: a repeated name
+    is ambiguous under min-ts chaining (the fold's name→step map and
+    the join chain would silently disagree), so it is rejected."""
     if not steps:
         raise ValueError("funnel needs at least one step")
+    if len(set(steps)) != len(steps):
+        raise ValueError(f"funnel step names must be distinct: {steps}")
     if strategy == "fold":
-        return _funnel_fold(events, steps, window_ms, user_col, ts_col, name_col)
+        counts = _funnel_fold(events, steps, window_ms, user_col, ts_col, name_col)
+        return _zero_fill_steps(events.sparkSession, steps, counts)
     per_step: list[DataFrame] = []
     cur = (
         events.filter(F.col(name_col) == steps[0])
@@ -84,15 +91,31 @@ def funnel(
     labeled = [
         df.select(
             F.lit(i + 1).cast("bigint").alias("step"),
-            F.lit(steps[i]).alias("step_name"),
             F.col(user_col),
         )
         for i, df in enumerate(per_step)
     ]
-    return (
+    counts = (
         reduce(DataFrame.unionAll, labeled)
-        .groupBy("step", "step_name")
+        .groupBy("step")
         .agg(F.count("*").alias("users"))
+    )
+    return _zero_fill_steps(events.sparkSession, steps, counts)
+
+
+def _zero_fill_steps(spark, steps: list[str], counts: DataFrame) -> DataFrame:
+    """Left-join per-step user counts onto the literal step table so a
+    step nobody completes still emits (step, step_name, users=0) — the
+    funnel contract (and the oracle's UNION-of-scalars shape). The step
+    table is k rows; the join broadcasts trivially."""
+    base = spark.createDataFrame(
+        [(i + 1, s) for i, s in enumerate(steps)],
+        "step bigint, step_name string",
+    )
+    return base.join(counts.select("step", "users"), "step", "left").select(
+        "step",
+        "step_name",
+        F.coalesce(F.col("users"), F.lit(0)).cast("bigint").alias("users"),
     )
 
 
@@ -130,7 +153,6 @@ def _funnel_fold(
         return pd.DataFrame({"max_step": [cur]})
 
     per_user = src.groupBy(user_col).applyInPandas(fold, schema="max_step long")
-    names = F.array(*[F.lit(s) for s in steps])
     return (
         per_user.filter(F.col("max_step") > 0)
         .select(
@@ -138,11 +160,6 @@ def _funnel_fold(
         )
         .groupBy(F.col("step").cast("bigint").alias("step"))
         .agg(F.count("*").alias("users"))
-        .select(
-            "step",
-            F.element_at(names, F.col("step").cast("int")).alias("step_name"),
-            "users",
-        )
     )
 
 

@@ -27,6 +27,10 @@ from pyspark.sql import functions as F
 
 from lakeside_spark.functions.text import words
 
+# span_dedup's cached boilerplate table from the most recent call — kept
+# so the next call can evict it (at most ONE cached span table per session)
+_LAST_SPAN_CACHE: DataFrame | None = None
+
 
 def chunk_documents(
     docs: DataFrame,
@@ -124,6 +128,17 @@ def span_dedup(
         .select("span_hash")
         .persist()
     )
+    # bound the cache across calls: the table is boilerplate-sized, but
+    # repeated calls in one session would otherwise accumulate one cached
+    # entry each for the session lifetime — evict the previous call's
+    # (its consumer has either run or been abandoned by then)
+    global _LAST_SPAN_CACHE
+    if _LAST_SPAN_CACHE is not None:
+        try:
+            _LAST_SPAN_CACHE.unpersist(blocking=False)
+        except Exception:
+            pass
+    _LAST_SPAN_CACHE = span_df
     if span_df.count() <= broadcast_limit:
         span_df = span_df.hint("broadcast")
     kept = tiled.join(span_df, "span_hash", "left_anti")

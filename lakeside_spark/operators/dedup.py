@@ -57,12 +57,15 @@ MINHASH_AB = [
 
 
 def _parallelize(df: DataFrame) -> DataFrame:
-    """Spread rows across all cores before CPU-heavy per-doc work.
-
-    Needed when the upstream scan is coarse (single-row-group files → one
-    task); on a real cluster the scan is already parallel and this becomes a
-    cheap rebalance. Round-robin, no key skew."""
+    """Spread rows across all cores before CPU-heavy per-doc work —
+    ONLY when the input is under-parallel (same gate as
+    similarity._parallelize: an unconditional repartition is a
+    corpus-sized Exchange at 100 TB and would SHRINK a many-partition
+    scan down to cluster-core count; an already-parallel scan passes
+    through with no Exchange)."""
     sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() >= sc.defaultParallelism:
+        return df
     return df.repartition(sc.defaultParallelism)
 
 

@@ -28,8 +28,14 @@ from pyspark.sql import DataFrame
 def _lttb_one(ts: np.ndarray, vals: np.ndarray, n_out: int) -> np.ndarray:
     """Indices of the LTTB-selected points of one (sorted) series."""
     n = len(ts)
-    if n_out >= n or n_out < 3:
+    if n_out >= n:
         return np.arange(n)
+    if n_out < 3:
+        # honor the size cap below the triangle minimum: endpoints only
+        # (n_out=2) or the first point (n_out=1) — never the full series
+        if n_out <= 1:
+            return np.array([0], dtype=np.int64)
+        return np.array([0, n - 1], dtype=np.int64)
     # interior bucket boundaries: n_out-2 equal buckets over points 1..n-1
     edges = np.linspace(1, n - 1, n_out - 1).astype(np.int64)
     picked = np.empty(n_out, dtype=np.int64)

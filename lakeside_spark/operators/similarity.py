@@ -182,7 +182,7 @@ def self_knn(
     id_col: str = "vec_id",
     strategy: str = "auto",
     broadcast_limit: int = 100_000,
-    dim: int = 64,
+    dim: int | None = None,
 ) -> DataFrame:
     """(q_id, n_id, cos, rank): every vector's top-k neighbors in its own
     corpus (the feed for kNN label-noise / neighborhood-density scoring).
@@ -198,12 +198,19 @@ def self_knn(
     toward the densest (most informative) neighborhood.
     strategy="auto" gates on a count probe, the same pattern as
     embedding_dup_pairs."""
+    n = emb.count() if strategy in ("auto", "bucket") else 0
     if strategy == "auto":
-        strategy = "exact" if emb.count() <= broadcast_limit else "bucket"
+        strategy = "exact" if n <= broadcast_limit else "bucket"
     if strategy == "exact":
         return cosine_topk(emb, emb, k, vec_col, id_col)
 
-    n = emb.count()
+    if dim is None:
+        head = emb.select(vec_col).head()
+        if head is None:
+            return emb.sparkSession.createDataFrame(
+                [], schema="q_id bigint, n_id bigint, cos double, rank int"
+            )
+        dim = len(head[0])
     num_planes = max(8, int(np.ceil(np.log2(max(n, 2) / 256))))
     planes = _hyperplane_matrix(num_planes, dim)
     bc_planes = emb.sparkSession.sparkContext.broadcast(planes)

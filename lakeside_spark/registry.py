@@ -728,7 +728,8 @@ def exemplars(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EXEMPLARS_SQL = f"""
-SELECT * FROM {_T} WHERE name = 'error'
+SELECT timestamp_ms, value, name, message, user_id, event_id
+FROM {_T} WHERE name = 'error'
 ORDER BY timestamp_ms DESC, event_id DESC LIMIT 500
 """
 

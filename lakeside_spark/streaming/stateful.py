@@ -80,6 +80,8 @@ def streaming_funnel(
     whenever events arrive watermark-ordered (asserted by the
     equivalence test on sorted replays)."""
 
+    if len(set(steps)) != len(steps):
+        raise ValueError(f"funnel step names must be distinct: {steps}")
     output_schema = f"{user_col} long, step bigint, step_name string, ts long"
     state_schema = "step long, t long"
     step_of = {s: i + 1 for i, s in enumerate(steps)}

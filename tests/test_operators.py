@@ -1094,3 +1094,49 @@ class TestDsirFitScoreSplit:
         inline = sorted(map(tuple, dsir_scores(docs, tgt).collect()))
         reused = sorted(map(tuple, dsir_scores(docs, tgt, weights=w).collect()))
         assert inline == reused and len(inline) > 0
+
+
+class TestFunnelEdgeCases:
+    def test_empty_step_still_emits_zero_row(self, spark):
+        from lakeside_spark.operators.behavior import funnel
+
+        rows = [(1, 1000, "view"), (1, 2000, "click"), (2, 1000, "view")]
+        df = spark.createDataFrame(
+            rows, "user_id long, timestamp_ms long, name string"
+        )
+        for strategy in ("join", "fold"):
+            got = {
+                (r["step"], r["step_name"]): r["users"]
+                for r in funnel(
+                    df, ["view", "click", "purchase"], 10_000, strategy=strategy
+                ).collect()
+            }
+            assert got == {
+                (1, "view"): 2,
+                (2, "click"): 1,
+                (3, "purchase"): 0,
+            }, strategy
+
+    def test_duplicate_step_names_rejected(self, spark):
+        import pytest as _pytest
+
+        from lakeside_spark.operators.behavior import funnel
+
+        df = spark.createDataFrame(
+            [(1, 1000, "view")], "user_id long, timestamp_ms long, name string"
+        )
+        for strategy in ("join", "fold"):
+            with _pytest.raises(ValueError, match="distinct"):
+                funnel(df, ["view", "view", "purchase"], 10_000, strategy=strategy)
+
+
+class TestLttbTinyBudget:
+    def test_n_out_below_three_honors_cap(self, spark):
+        from lakeside_spark.operators.downsample import lttb_downsample
+
+        rows = [("a", t * 1000, float(t)) for t in range(50)]
+        df = spark.createDataFrame(rows, "name string, step_ts long, value double")
+        two = sorted(r["step_ts"] for r in lttb_downsample(df, n_out=2).collect())
+        assert two == [0, 49_000]
+        one = [r["step_ts"] for r in lttb_downsample(df, n_out=1).collect()]
+        assert one == [0]

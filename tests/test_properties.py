@@ -190,9 +190,8 @@ def test_funnel_matches_model(spark, rows, window):
         user_col="user_id", ts_col="ts", name_col="name",
     )
     got = {r["step"]: r["users"] for r in out.collect()}
-    exp = {
-        k: v for k, v in _model_funnel_exact(rows, ["a", "b", "c"], window).items() if v
-    }
+    # every step emits a row, zero-count steps included (the k-row contract)
+    exp = dict(_model_funnel_exact(rows, ["a", "b", "c"], window))
     assert got == exp
     # the one-scan fold strategy implements the identical semantics
     fold = funnel(
