@@ -117,3 +117,72 @@ def streaming_funnel(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_holt(
+    stream: DataFrame,
+    alpha: float = 0.5,
+    beta: float = 0.3,
+    key_col: str = "name",
+    ts_col: str = "step_ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Stateful Holt (level + trend) smoothing over a keyed stream — the
+    streaming twin of operators/holt.holt_forecast's linear path, for
+    live alert-threshold forecasting: each arriving series point emits
+    the updated level, trend, and one-step-ahead forecast.
+
+    State per series = (level, trend, n_seen) — three scalars regardless
+    of stream length, checkpointed in the state store. Initialization
+    matches the batch recursion exactly (level = x0, trend = x1 − x0,
+    with the first smoothed update starting at the second point), so a
+    watermark-ordered replay reproduces the batch operator's state
+    bit-for-bit (asserted by the equivalence test, the same contract as
+    streaming_funnel vs the batch funnel)."""
+
+    output_schema = (
+        f"{key_col} string, {ts_col} long, {value_col} double, "
+        "level double, trend double, forecast_1 double"
+    )
+    state_schema = "level double, trend double, n long"
+
+    def update(key, pdfs, state: GroupState):
+        level, trend, n = state.get if state.exists else (0.0, 0.0, 0)
+        rows = pd.concat(list(pdfs)).sort_values(ts_col)
+        out_l, out_t, out_f = [], [], []
+        for v in rows[value_col]:
+            v = float(v)
+            if n == 0:
+                level, trend = v, 0.0
+            else:
+                if n == 1:
+                    # batch init: trend = x1 − x0 is set just before the
+                    # recursion consumes x1 (operators/holt._holt_fit)
+                    trend = v - level
+                pred = level + trend
+                prev = level
+                level = alpha * v + (1 - alpha) * pred
+                trend = beta * (level - prev) + (1 - beta) * trend
+            n += 1
+            out_l.append(level)
+            out_t.append(trend)
+            out_f.append(level + trend)
+        state.update((float(level), float(trend), int(n)))
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]] * len(rows),
+                ts_col: rows[ts_col].to_numpy(),
+                value_col: rows[value_col].to_numpy(),
+                "level": out_l,
+                "trend": out_t,
+                "forecast_1": out_f,
+            }
+        )
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=output_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

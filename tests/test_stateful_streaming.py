@@ -109,3 +109,54 @@ def test_streaming_funnel_matches_batch_on_ordered_replay(spark):
         assert streaming_counts == batch_counts == {1: 5, 2: 1, 3: 1}
     finally:
         shutil.rmtree(src, ignore_errors=True)
+
+
+def test_streaming_holt_matches_batch_on_ordered_replay(spark):
+    """The streaming Holt state after an ordered replay must equal the
+    batch holt_forecast fit over the same series, micro-batch boundaries
+    notwithstanding."""
+    from lakeside_spark.operators.holt import holt_forecast
+    from lakeside_spark.streaming.stateful import streaming_holt
+
+    src = tempfile.mkdtemp(prefix="holt_src_")
+    try:
+        schema = "name string, step_ts long, value double"
+        vals = [3.0, 7.0, 4.0, 9.0, 12.0, 6.0]
+        rows = [("m", i, v) for i, v in enumerate(vals)]
+        # split mid-series so state must survive a micro-batch boundary
+        spark.createDataFrame(rows[:3], schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/b0")
+        spark.createDataFrame(rows[3:], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(f"{src}/b1")
+        stream = (
+            spark.readStream.schema(schema)
+            .option("recursiveFileLookup", "true")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = (
+            streaming_holt(stream)
+            .writeStream.format("memory")
+            .queryName("holt_out")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        last = max(
+            spark.sql("SELECT * FROM holt_out").collect(),
+            key=lambda r: r["step_ts"],
+        )
+        batch = holt_forecast(
+            spark.createDataFrame(rows, schema)
+        ).collect()[0]
+        # batch output snaps to 6 decimals; compare at that precision
+        assert round(last["level"], 6) == batch["level"]
+        assert round(last["trend"], 6) == batch["trend"]
+        assert round(last["forecast_1"], 6) == batch["forecast_1"]
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
