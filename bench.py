@@ -120,6 +120,7 @@ HEADLINE = [
     "ts_holt_winters",
     "ann_sq8",
     "embedding_cluster_stats",
+    "embedding_whitening",
 ]
 
 

@@ -4403,6 +4403,19 @@ def embedding_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _stats(load_table(spark, sf_dir, "embeddings"))
 
 
+def embedding_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rows-only: ZCA whitening of the embedding column — one
+    map-combine covariance pass (d²-sized partials), driver
+    eigendecomposition, broadcast map-only transform
+    (operators/similarity.embedding_whitening; whitened-covariance≈I
+    invariant pytest-pinned)."""
+    from lakeside_spark.operators.similarity import (
+        embedding_whitening as _whiten,
+    )
+
+    return _whiten(load_table(spark, sf_dir, "embeddings"))
+
+
 def corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test split (90/5/5) via the md5 hash
     gate's bucket — leakage-safe: split membership is a pure function of
@@ -4630,6 +4643,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ts_holt_winters": ts_holt_winters,
     "ann_sq8": ann_sq8,
     "embedding_cluster_stats": embedding_cluster_stats,
+    "embedding_whitening": embedding_whitening,
     "ts_cardinality_sketch": ts_cardinality_sketch,
     "ts_percentile_sketch": ts_percentile_sketch,
     "ts_percentile_ddsketch": ts_percentile_ddsketch,

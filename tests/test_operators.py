@@ -1140,3 +1140,29 @@ class TestLttbTinyBudget:
         assert two == [0, 49_000]
         one = [r["step_ts"] for r in lttb_downsample(df, n_out=1).collect()]
         assert one == [0]
+
+
+class TestEmbeddingWhitening:
+    def test_whitened_covariance_is_identity(self, spark, sf_dir):
+        import numpy as np
+
+        from lakeside_spark.operators.similarity import embedding_whitening
+        from lakeside_spark.sources.tables import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        out = embedding_whitening(emb).collect()
+        assert len(out) == emb.count()
+        m = np.array([r["embedding"] for r in out])
+        cov = np.cov(m, rowvar=False, bias=True)
+        d = cov.shape[0]
+        # decorrelated and unit-variance (eps loosens exactness slightly)
+        assert np.abs(cov - np.eye(d)).max() < 0.05
+        # mean removed
+        assert np.abs(m.mean(axis=0)).max() < 1e-9
+
+    def test_empty_input(self, spark, sf_dir):
+        from lakeside_spark.operators.similarity import embedding_whitening
+        from lakeside_spark.sources.tables import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings").filter("vec_id < 0")
+        assert embedding_whitening(emb).count() == 0
