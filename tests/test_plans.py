@@ -329,3 +329,29 @@ def test_dsir_weight_table_broadcasts(spark, sf_dir):
     assert "InMemoryRelation" not in plan
     assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
     assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_whitening_apply_is_map_only(spark, sf_dir):
+    """embedding_whitening's returned plan is the broadcast-transform
+    APPLY pass: scan → Arrow kernel, zero Exchanges (the covariance
+    reduce ran eagerly at build time on d²-sized partials)."""
+    plan = _plan(spark, sf_dir, "embedding_whitening")
+    assert "Exchange" not in plan, plan[:1500]
+    assert "FileScan" in plan
+
+
+def test_cluster_stats_single_cell_shuffle(spark, sf_dir):
+    """embedding_cluster_stats: map-only assign kernel, then ONE
+    exchange to the n_cells keys with map-side partials."""
+    plan = _plan(spark, sf_dir, "embedding_cluster_stats")
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:1500]
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_holt_series_keyed_shuffles_only(spark, sf_dir):
+    """ts_holt_winters runs on the aggregated series table: the chart
+    agg's step shuffle plus the series-keyed applyInPandas shuffle —
+    no corpus-sized exchange beyond those two."""
+    plan = _plan(spark, sf_dir, "ts_holt_winters")
+    assert plan.count("Exchange hashpartitioning") <= 2, plan[:1500]
+    assert "FlatMapGroupsInPandas" in plan or "ApplyInPandas" in plan
