@@ -121,6 +121,7 @@ HEADLINE = [
     "ann_sq8",
     "embedding_cluster_stats",
     "embedding_whitening",
+    "vocab_pmi",
 ]
 
 

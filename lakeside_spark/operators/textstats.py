@@ -243,3 +243,69 @@ def compression_ratio(
     return docs.select(F.col(id_col), F.col(text_col)).mapInPandas(
         _kernel, schema="doc_id long, n_bytes long, zlib_ratio double"
     )
+
+
+def collocations(
+    docs: DataFrame,
+    min_count: int = 5,
+    k: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k word collocations by pointwise mutual information:
+    PMI(a,b) = ln(c_ab · N / (c_a · c_b)) over adjacent word pairs —
+    the standard phrase-mining signal (Church & Hanks 1990; word2vec's
+    phrase pass uses the same count ratio) for building tokenizer merge
+    seeds and phrase vocabularies from a corpus.
+
+    Scale shape: one bigram-keyed aggregation (map-side combined,
+    bigram-vocabulary-sized result) + a unigram aggregation, joined
+    bigram-table-to-broadcast-unigrams; every count is an exact integer
+    and each PMI is a single ln of an exact rational rounded to 6, so
+    the oracle compare is safe (no float summation anywhere).
+
+    Output: (a, b, c_ab, pmi) — the k highest-PMI pairs with
+    c_ab ≥ min_count, ties broken lexicographically.
+    """
+    w = words(text_col)
+    # guard docs under 2 words: Spark's sequence(1, 0) DESCENDS instead
+    # of being empty, which would index element_at(w, 0) and throw
+    pairs = F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 1),
+            lambda i: F.struct(
+                F.element_at(w, i).alias("a"), F.element_at(w, i + 1).alias("b")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    bg = (
+        docs.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .filter((F.col("a") != "") & (F.col("b") != ""))
+    )
+    bg_counts = bg.groupBy("a", "b").agg(F.count("*").alias("c_ab"))
+    uni = (
+        docs.select(F.explode(w).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    n_bg = bg.count()  # exact scalar; bigram total is the PMI normalizer
+    scored = (
+        bg_counts.filter(F.col("c_ab") >= min_count)
+        .join(F.broadcast(uni.select(F.col("w").alias("a"), F.col("c").alias("c_a"))), "a")
+        .join(F.broadcast(uni.select(F.col("w").alias("b"), F.col("c").alias("c_b"))), "b")
+        .select(
+            "a",
+            "b",
+            "c_ab",
+            F.round(
+                F.log(
+                    F.col("c_ab") * F.lit(float(n_bg)) / (F.col("c_a") * F.col("c_b"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.col("pmi").desc(), "a", "b").limit(k)

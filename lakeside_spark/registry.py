@@ -4403,6 +4403,42 @@ def embedding_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _stats(load_table(spark, sf_dir, "embeddings"))
 
 
+def vocab_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 word collocations by pointwise mutual information
+    (operators/textstats.collocations — phrase-mining seed list; one
+    bigram-keyed agg + broadcast unigram joins, every PMI a single ln of
+    exact integer counts)."""
+    from lakeside_spark.operators.textstats import collocations
+
+    return collocations(load_table(spark, sf_dir, "documents"), min_count=5, k=100)
+
+
+VOCAB_PMI_SQL = f"""
+WITH wl AS (
+  SELECT string_split({_NORM}, ' ') AS ws FROM documents
+), bg AS (
+  SELECT unnest(ws[1:len(ws)-1]) AS a, unnest(ws[2:len(ws)]) AS b
+  FROM wl WHERE len(ws) >= 2
+), bgf AS (
+  SELECT a, b FROM bg WHERE a <> '' AND b <> ''
+), bgc AS (
+  SELECT a, b, COUNT(*) AS c_ab FROM bgf GROUP BY 1, 2
+), nbg AS (SELECT COUNT(*) AS n FROM bgf),
+uni AS (
+  SELECT w, COUNT(*) AS c
+  FROM (SELECT unnest(string_split({_NORM}, ' ')) AS w FROM documents)
+  WHERE w <> '' GROUP BY 1
+)
+SELECT bgc.a, bgc.b, bgc.c_ab,
+       ROUND(ln(bgc.c_ab * (SELECT n FROM nbg) * 1.0
+                / (ua.c * ub.c)), 6) AS pmi
+FROM bgc JOIN uni ua ON bgc.a = ua.w JOIN uni ub ON bgc.b = ub.w
+WHERE bgc.c_ab >= 5
+ORDER BY pmi DESC, bgc.a, bgc.b
+LIMIT 100
+"""
+
+
 def embedding_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rows-only: ZCA whitening of the embedding column — one
     map-combine covariance pass (d²-sized partials), driver
@@ -4581,6 +4617,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "metric_distribution": metric_distribution,
     "dsir_select": dsir_select,
     "corpus_split": corpus_split,
+    "vocab_pmi": vocab_pmi,
     # --- driver-green round 4 (CORRECTNESS_r04: 50/50)
     "ts_percentile": ts_percentile,
     "tpch_q6": tpch_q6,
@@ -4692,6 +4729,7 @@ ORACLES: dict[str, str] = {
     "metric_distribution": METRIC_DISTRIBUTION_SQL,
     "dsir_select": DSIR_SELECT_SQL,
     "corpus_split": CORPUS_SPLIT_SQL,
+    "vocab_pmi": VOCAB_PMI_SQL,
     "embedding_label_outliers": EMBEDDING_LABEL_OUTLIERS_SQL,
     "corpus_curate": CORPUS_CURATE_SQL,
     # dedup_simhash, ann_lsh, ema_smooth: genuinely non-SQL-expressible /

@@ -1166,3 +1166,26 @@ class TestEmbeddingWhitening:
 
         emb = load_table(spark, sf_dir, "embeddings").filter("vec_id < 0")
         assert embedding_whitening(emb).count() == 0
+
+
+class TestCollocations:
+    def test_short_docs_and_pmi_ordering(self, spark):
+        from lakeside_spark.operators.textstats import collocations
+
+        rows = [
+            (1, "san francisco is big"),
+            (2, "san francisco is far"),
+            (3, "big far big"),
+            (4, "solo"),          # <2 words: no pairs, must not error
+            (5, ""),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = collocations(df, min_count=2, k=10).collect()
+        pairs = [(r["a"], r["b"]) for r in out]
+        assert ("san", "francisco") in pairs and ("francisco", "is") in pairs
+        # both have c_ab=2, c_a=2, c_b=2 -> equal (maximal) PMI; ties
+        # break lexicographically, so "francisco is" leads
+        assert pairs[:2] == [("francisco", "is"), ("san", "francisco")]
+        assert out[0]["c_ab"] == 2 and out[0]["pmi"] == out[1]["pmi"]
+        pmis = [r["pmi"] for r in out]
+        assert pmis == sorted(pmis, reverse=True)
