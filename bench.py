@@ -122,6 +122,7 @@ HEADLINE = [
     "embedding_cluster_stats",
     "embedding_whitening",
     "vocab_pmi",
+    "ann_recall_report",
 ]
 
 

@@ -4452,6 +4452,52 @@ def embedding_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _whiten(load_table(spark, sf_dir, "embeddings"))
 
 
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rows-only: the ANN index-selection report — recall@5 and mean
+    |cos error| vs the exact baseline for every approximate index the
+    engine ships (lsh / ivf / pq / sq8), over a 20-query panel. The
+    one-key answer to "which index do I build for this corpus?"; each
+    variant's own scale contract is documented at its operator. Exact
+    top-k is the ground truth, so this is self-validating (no oracle —
+    the comparison IS against the in-engine exact path)."""
+    from lakeside_spark.operators.similarity import (
+        ann_ivf as _ivf,
+        ann_lsh as _lsh,
+        ann_pq as _pq,
+        ann_sq8 as _sq8,
+        cosine_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 20)
+    exact = {
+        (r["q_id"], r["n_id"]): r["cos"]
+        for r in cosine_topk(emb, qs, k=5).collect()
+    }
+    variants = {
+        "lsh": _lsh(emb, qs, k=5),
+        "ivf": _ivf(emb, qs, k=5),
+        "pq": _pq(emb, qs, k=5, cache_key=f"{sf_dir}:embeddings"),
+        "sq8": _sq8(emb, qs, k=5),
+    }
+    rows = []
+    for method, df in sorted(variants.items()):
+        got = df.collect()
+        score_col = next(
+            c for c in df.columns if c.startswith("cos")
+        )
+        hits = [r for r in got if (r["q_id"], r["n_id"]) in exact]
+        recall = len(hits) / max(len(exact), 1)
+        err = (
+            sum(abs(r[score_col] - exact[(r["q_id"], r["n_id"])]) for r in hits)
+            / max(len(hits), 1)
+        )
+        rows.append((method, len(got), round(recall, 6), round(err, 6)))
+    return spark.createDataFrame(
+        rows, "method string, n_pairs long, recall_at_5 double, mean_cos_err double"
+    )
+
+
 def corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test split (90/5/5) via the md5 hash
     gate's bucket — leakage-safe: split membership is a pure function of
@@ -4681,6 +4727,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_sq8": ann_sq8,
     "embedding_cluster_stats": embedding_cluster_stats,
     "embedding_whitening": embedding_whitening,
+    "ann_recall_report": ann_recall_report,
     "ts_cardinality_sketch": ts_cardinality_sketch,
     "ts_percentile_sketch": ts_percentile_sketch,
     "ts_percentile_ddsketch": ts_percentile_ddsketch,

@@ -1189,3 +1189,23 @@ class TestCollocations:
         assert out[0]["c_ab"] == 2 and out[0]["pmi"] == out[1]["pmi"]
         pmis = [r["pmi"] for r in out]
         assert pmis == sorted(pmis, reverse=True)
+
+
+class TestAnnRecallReport:
+    def test_report_shape_and_known_ordering(self, spark):
+        from lakeside_spark.registry import QUERIES
+
+        rows = {
+            r["method"]: r
+            for r in QUERIES["ann_recall_report"](
+                spark, "/root/testdata/sf0.001"
+            ).collect()
+        }
+        assert set(rows) == {"lsh", "ivf", "pq", "sq8"}
+        for r in rows.values():
+            assert 0.0 <= r["recall_at_5"] <= 1.0
+            assert r["mean_cos_err"] >= 0.0
+        # SQ8 dequantizes near-exactly; PQ trades recall for compression —
+        # the ordering the report exists to surface
+        assert rows["sq8"]["recall_at_5"] >= rows["pq"]["recall_at_5"]
+        assert rows["sq8"]["mean_cos_err"] < 0.01
