@@ -4580,11 +4580,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # driver row from round 4 or is rows-only by design; all oracle-backed
     # keys are additionally hash-checked every pytest run by
     # tests/test_oracle_parity.py regardless of dict position.
-    # ROUND-6 ROTATION PLAN: promote the nineteen round-5 oracle additions
+    # ROUND-6 ROTATION PLAN: promote the twenty round-5 oracle additions
     # past the fold (trace_service_graph … stickiness_dau_mau, apdex_score,
-    # metric_distribution, dsir_select, corpus_split — all below) plus any
-    # key that misses in CORRECTNESS_r05 into slots 1-50; keep ~7
-    # sentinels; everything else will then have ≥1 hard driver row.
+    # metric_distribution, dsir_select, corpus_split, vocab_pmi — all
+    # below) plus any key that misses in CORRECTNESS_r05 into slots 1-50;
+    # keep ~7 sentinels; everything else will then have ≥1 hard driver row.
     # --- sentinels: driver-green in round 4, kept to catch env breakage
     "ts_count": ts_count,
     "formula_ratio": formula_ratio,
