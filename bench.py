@@ -123,6 +123,7 @@ HEADLINE = [
     "embedding_whitening",
     "vocab_pmi",
     "ann_recall_report",
+    "tag_cardinality_budget",
 ]
 
 

@@ -4452,6 +4452,56 @@ def embedding_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _whiten(load_table(spark, sf_dir, "embeddings"))
 
 
+def tag_cardinality_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tag-key cardinality budget: distinct values, row coverage,
+    and the distinct-per-row ratio for every tag column — the
+    "which label is exploding my series count" panel that drives tag
+    denoising/compression decisions (the cost model behind
+    NoisyTagsDropper and the cardinality endpoint). ONE scan computing
+    all per-column count_distincts (exact for the oracle gate;
+    `approx_count_distinct`/HLL is the 100 TB swap, same contract as
+    ts_cardinality)."""
+    tele = load_telemetry(spark, sf_dir)
+    keys = [S.NAME, "user_id", "event_id"]
+    aggs = []
+    for c in keys:
+        aggs += [
+            F.count_distinct(F.col(c)).alias(f"__d_{c}"),
+            F.count(F.col(c)).alias(f"__n_{c}"),
+        ]
+    row = tele.agg(*aggs)
+    per_key = [
+        row.select(
+            F.lit(c).alias("tag_name"),
+            F.col(f"__d_{c}").alias("distinct_values"),
+            F.col(f"__n_{c}").alias("rows_present"),
+            F.round(F.col(f"__d_{c}") / F.col(f"__n_{c}"), 6).alias(
+                "cardinality_ratio"
+            ),
+        )
+        for c in keys
+    ]
+    out = per_key[0]
+    for p in per_key[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+TAG_CARDINALITY_BUDGET_SQL = f"""
+WITH t AS (SELECT * FROM {_T})
+SELECT 'name' AS tag_name, COUNT(DISTINCT name) AS distinct_values,
+       COUNT(name) AS rows_present,
+       ROUND(COUNT(DISTINCT name) * 1.0 / COUNT(name), 6)
+           AS cardinality_ratio FROM t
+UNION ALL
+SELECT 'user_id', COUNT(DISTINCT user_id), COUNT(user_id),
+       ROUND(COUNT(DISTINCT user_id) * 1.0 / COUNT(user_id), 6) FROM t
+UNION ALL
+SELECT 'event_id', COUNT(DISTINCT event_id), COUNT(event_id),
+       ROUND(COUNT(DISTINCT event_id) * 1.0 / COUNT(event_id), 6) FROM t
+"""
+
+
 def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rows-only: the ANN index-selection report — recall@5 and mean
     |cos error| vs the exact baseline for every approximate index the
@@ -4664,6 +4714,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsir_select": dsir_select,
     "corpus_split": corpus_split,
     "vocab_pmi": vocab_pmi,
+    "tag_cardinality_budget": tag_cardinality_budget,
     # --- driver-green round 4 (CORRECTNESS_r04: 50/50)
     "ts_percentile": ts_percentile,
     "tpch_q6": tpch_q6,
@@ -4777,6 +4828,7 @@ ORACLES: dict[str, str] = {
     "dsir_select": DSIR_SELECT_SQL,
     "corpus_split": CORPUS_SPLIT_SQL,
     "vocab_pmi": VOCAB_PMI_SQL,
+    "tag_cardinality_budget": TAG_CARDINALITY_BUDGET_SQL,
     "embedding_label_outliers": EMBEDDING_LABEL_OUTLIERS_SQL,
     "corpus_curate": CORPUS_CURATE_SQL,
     # dedup_simhash, ann_lsh, ema_smooth: genuinely non-SQL-expressible /
