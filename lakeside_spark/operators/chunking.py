@@ -130,8 +130,12 @@ def span_dedup(
     )
     # bound the cache across calls: the table is boilerplate-sized, but
     # repeated calls in one session would otherwise accumulate one cached
-    # entry each for the session lifetime — evict the previous call's
-    # (its consumer has either run or been abandoned by then)
+    # entry each for the session lifetime — evict the previous call's.
+    # Caveat: interleaving two LAZY span_dedup pipelines makes the first
+    # recompute its span table when finally executed (results unchanged,
+    # one extra aggregation pass) — materialize pipeline A before
+    # constructing pipeline B to keep A's cache. Single-slot state is
+    # per-interpreter, not thread-safe for concurrent driver threads.
     global _LAST_SPAN_CACHE
     if _LAST_SPAN_CACHE is not None:
         try:

@@ -32,8 +32,11 @@ def _lttb_one(ts: np.ndarray, vals: np.ndarray, n_out: int) -> np.ndarray:
         return np.arange(n)
     if n_out < 3:
         # honor the size cap below the triangle minimum: endpoints only
-        # (n_out=2) or the first point (n_out=1) — never the full series
-        if n_out <= 1:
+        # (n_out=2), the first point (n_out=1), nothing for a
+        # nonsensical budget — never the full series
+        if n_out <= 0:
+            return np.array([], dtype=np.int64)
+        if n_out == 1:
             return np.array([0], dtype=np.int64)
         return np.array([0, n - 1], dtype=np.int64)
     # interior bucket boundaries: n_out-2 equal buckets over points 1..n-1

@@ -54,15 +54,18 @@ def _bucket(col: str | Column, n_buckets: int) -> Column:
 
 def _word_buckets(
     docs: DataFrame,
-    target: Column,
+    target: Column | None,
     n_buckets: int,
     text_col: str,
     id_col: str,
 ) -> DataFrame:
+    # target=None: scoring-only callers (precomputed weights) must not
+    # reference target columns the shard may not carry
+    tgt = F.lit(False) if target is None else target
     return (
         docs.select(
             F.col(id_col).alias("doc_id"),
-            target.alias("__tgt"),
+            tgt.alias("__tgt"),
             F.explode(words(text_col)).alias("w"),
         )
         .filter(F.col("w") != "")
@@ -100,15 +103,22 @@ def dsir_fit(
     }
     rt = sum(rc for rc, _ in dist.values())
     tt = sum(tc for _, tc in dist.values())
-    lr9 = [0] * n_buckets
-    for b, (rc, tc) in dist.items():
-        lr9[b] = round(
+
+    def weight(rc: int, tc: int) -> int:
+        return round(
             (
                 math.log((tc + 1) / (tt + n_buckets))
                 - math.log((rc + 1) / (rt + n_buckets))
             )
             * 1e9
         )
+
+    # buckets unseen in the FIT corpus still carry the add-one-smoothed
+    # log-ratio (rc=tc=0), not 0 — the fit-once/score-other-shards path
+    # probes them for words the fit corpus never hashed there
+    lr9 = [weight(0, 0)] * n_buckets
+    for b, (rc, tc) in dist.items():
+        lr9[b] = weight(rc, tc)
     return lr9
 
 
@@ -138,7 +148,12 @@ def dsir_scores(
         raise ValueError(
             f"weights length {len(lr9)} != n_buckets {n_buckets}"
         )
-    wb = _word_buckets(docs, target, n_buckets, text_col, id_col)
+    # with precomputed weights the target column is not consulted (and
+    # may not exist on the shard being scored)
+    wb = _word_buckets(
+        docs, None if weights is not None else target, n_buckets,
+        text_col, id_col,
+    )
     # scoring goes through a literal lookup array — no join, no cache,
     # pure codegen; the only corpus-sized shuffle is the doc_id agg
     lut = F.array(*[F.lit(v).cast("long") for v in lr9])

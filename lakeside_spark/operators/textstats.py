@@ -258,11 +258,15 @@ def collocations(
     phrase pass uses the same count ratio) for building tokenizer merge
     seeds and phrase vocabularies from a corpus.
 
-    Scale shape: one bigram-keyed aggregation (map-side combined,
-    bigram-vocabulary-sized result) + a unigram aggregation, joined
-    bigram-table-to-broadcast-unigrams; every count is an exact integer
-    and each PMI is a single ln of an exact rational rounded to 6, so
-    the oracle compare is safe (no float summation anywhere).
+    Scale shape: three corpus passes — the eager bigram total (runs at
+    build time, like the DSIR fit pass), the bigram-keyed aggregation
+    (map-side combined, bigram-vocabulary-sized result), and the
+    unigram aggregation — with the unigram tables broadcast into the
+    bigram table. Counts are exact integers; each PMI is a single ln
+    rounded to 6 (the c_a·c_b denominator multiplies in DOUBLE — at
+    ~1e11-count stopwords a long product would wrap), so the oracle
+    compare is safe (no float summation anywhere). Repeat callers at
+    scale should persist the bigram-count table to amortize the passes.
 
     Output: (a, b, c_ab, pmi) — the k highest-PMI pairs with
     c_ab ≥ min_count, ties broken lexicographically.
@@ -302,7 +306,9 @@ def collocations(
             "c_ab",
             F.round(
                 F.log(
-                    F.col("c_ab") * F.lit(float(n_bg)) / (F.col("c_a") * F.col("c_b"))
+                    F.col("c_ab")
+                    * F.lit(float(n_bg))
+                    / (F.col("c_a").cast("double") * F.col("c_b"))
                 ),
                 6,
             ).alias("pmi"),

@@ -4431,7 +4431,7 @@ uni AS (
 )
 SELECT bgc.a, bgc.b, bgc.c_ab,
        ROUND(ln(bgc.c_ab * (SELECT n FROM nbg) * 1.0
-                / (ua.c * ub.c)), 6) AS pmi
+                / (ua.c * 1.0 * ub.c)), 6) AS pmi
 FROM bgc JOIN uni ua ON bgc.a = ua.w JOIN uni ub ON bgc.b = ub.w
 WHERE bgc.c_ab >= 5
 ORDER BY pmi DESC, bgc.a, bgc.b
@@ -4469,22 +4469,24 @@ def tag_cardinality_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct(F.col(c)).alias(f"__d_{c}"),
             F.count(F.col(c)).alias(f"__n_{c}"),
         ]
-    row = tele.agg(*aggs)
-    per_key = [
-        row.select(
-            F.lit(c).alias("tag_name"),
-            F.col(f"__d_{c}").alias("distinct_values"),
-            F.col(f"__n_{c}").alias("rows_present"),
-            F.round(F.col(f"__d_{c}") / F.col(f"__n_{c}"), 6).alias(
-                "cardinality_ratio"
-            ),
-        )
-        for c in keys
-    ]
-    out = per_key[0]
-    for p in per_key[1:]:
-        out = out.unionAll(p)
-    return out
+    # ONE scan for real: collect the single agg row and unpivot on the
+    # driver — a union of per-key selects over the agg would embed the
+    # full-scan subtree once per branch (exchange reuse does not
+    # reliably dedupe across union branches; see run_graph's fusion note)
+    row = tele.agg(*aggs).collect()[0]
+    rows = [(c, row[f"__d_{c}"], row[f"__n_{c}"]) for c in keys]
+    # the ratio rounds through F.round (HALF_UP, matching SQL ROUND) —
+    # python's round() is banker's and could diverge on .5 boundaries
+    return spark.createDataFrame(
+        rows, "tag_name string, distinct_values bigint, rows_present bigint"
+    ).select(
+        "tag_name",
+        "distinct_values",
+        "rows_present",
+        F.round(
+            F.col("distinct_values") / F.col("rows_present"), 6
+        ).alias("cardinality_ratio"),
+    )
 
 
 TAG_CARDINALITY_BUDGET_SQL = f"""
@@ -4538,11 +4540,21 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         hits = [r for r in got if (r["q_id"], r["n_id"]) in exact]
         recall = len(hits) / max(len(exact), 1)
+        # no overlapping pairs → no error estimate (a 0.0 here would rank
+        # a zero-recall index as best-possible on the error column)
         err = (
-            sum(abs(r[score_col] - exact[(r["q_id"], r["n_id"])]) for r in hits)
-            / max(len(hits), 1)
+            round(
+                sum(
+                    abs(r[score_col] - exact[(r["q_id"], r["n_id"])])
+                    for r in hits
+                )
+                / len(hits),
+                6,
+            )
+            if hits
+            else None
         )
-        rows.append((method, len(got), round(recall, 6), round(err, 6)))
+        rows.append((method, len(got), round(recall, 6), err))
     return spark.createDataFrame(
         rows, "method string, n_pairs long, recall_at_5 double, mean_cos_err double"
     )

@@ -1209,3 +1209,31 @@ class TestAnnRecallReport:
         # the ordering the report exists to surface
         assert rows["sq8"]["recall_at_5"] >= rows["pq"]["recall_at_5"]
         assert rows["sq8"]["mean_cos_err"] < 0.01
+
+
+class TestDsirCrossShard:
+    def test_score_unlabeled_shard_with_prefit_weights(self, spark, sf_dir):
+        """The amortization recipe: fit on shard A, score shard B that
+        (a) lacks the target column entirely and (b) contains words
+        hashing to buckets A never saw — both must work, with unseen
+        buckets carrying the smoothed base weight, not 0."""
+        from pyspark.sql import functions as F
+        from lakeside_spark.operators.dsir import dsir_fit, dsir_scores
+        from lakeside_spark.sources.tables import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        w = dsir_fit(docs, F.col("lang") == "en", n_buckets=256)
+        # unseen buckets share one smoothed base weight; with a target
+        # subset smaller than the corpus it must be nonzero
+        from collections import Counter
+
+        base = Counter(w).most_common(1)[0][0]
+        assert base != 0
+        # shard with no lang column and out-of-vocab words
+        shard = spark.createDataFrame(
+            [(10_001, "zzqx wvut zzqx unseenword")], "doc_id long, text string"
+        )
+        out = dsir_scores(shard, None, weights=w).collect()
+        assert len(out) == 1 and out[0]["n_words"] == 4
+        # all-novel words -> the score is n_words x base / 1e9
+        assert out[0]["dsir_score"] == round(4 * base / 1e9, 6)

@@ -376,3 +376,29 @@ def test_holt_winters_short_series_falls_back_to_linear(spark):
     row = holt_forecast(df, season_length=4).collect()[0]  # 5 < 2*4
     assert row["seasonal"] is False
     assert row["trend"] == 1.0 and row["forecast_1"] == 5.0
+
+
+def test_holt_winters_hand_computed_constants(spark):
+    """Guard against a shared bug in model+implementation (the generative
+    property test reuses the same recursion): these expected values were
+    derived BY HAND for m=2, xs=[1,3,2,4], alpha=.5, beta=.3, gamma=.3.
+
+    init: mean1=2 -> level=2, trend=(3-2)/2=0.5, season=[-1,1]
+    t=2 (x=2,s=-1): pred=1.5, level=2.75, trend=0.575, season0=-0.925
+    t=3 (x=4,s=1):  pred=4.325, level=3.1625, trend=0.52625, season1=0.95125
+    SSE = 0.25 + 0.105625 = 0.355625 over 2 fitted points
+    """
+    from lakeside_spark.operators.holt import holt_forecast
+
+    df = spark.createDataFrame(
+        [("m", i * 1000, v) for i, v in enumerate([1.0, 3.0, 2.0, 4.0])],
+        "name string, step_ts long, value double",
+    ).coalesce(1)
+    row = holt_forecast(df, season_length=2).collect()[0]
+    assert row["seasonal"] is True
+    assert row["level"] == 3.1625
+    assert row["trend"] == 0.52625
+    # forecast_1: level + trend + season[(4+0) % 2] = ... + season[0]
+    assert row["forecast_1"] == round(3.1625 + 0.52625 - 0.925, 6)
+    assert row["forecast_2"] == round(3.1625 + 2 * 0.52625 + 0.95125, 6)
+    assert row["rmse"] == round((0.355625 / 2) ** 0.5, 6)
