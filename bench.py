@@ -124,6 +124,7 @@ HEADLINE = [
     "vocab_pmi",
     "ann_recall_report",
     "tag_cardinality_budget",
+    "ts_week_over_week",
 ]
 
 

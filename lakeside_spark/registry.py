@@ -4452,6 +4452,61 @@ def embedding_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _whiten(load_table(spark, sf_dir, "embeddings"))
 
 
+def ts_week_over_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week change per series: hourly count vs the same hour
+    one week earlier (lag 168 on the step grid) with the percent delta —
+    the WoW comparison strip on every metrics dashboard. One chart-agg
+    shuffle + a keyed window over the series table; exact integer counts
+    keep the ratio bit-identical cross-engine."""
+    from pyspark.sql import Window
+
+    tele = load_telemetry(spark, sf_dir)
+    series = (
+        tele.filter(F.col(S.NAME).isNotNull())
+        .groupBy(
+            (F.col(S.TIMESTAMP) - F.col(S.TIMESTAMP) % F.lit(HOUR)).alias(S.STEP_TS),
+            S.NAME,
+        )
+        .agg(F.count("*").alias("value"))
+    )
+    w = Window.partitionBy(S.NAME).orderBy(S.STEP_TS)
+    prev = F.lag("value", 168).over(w)
+    prev_ts = F.lag(S.STEP_TS, 168).over(w)
+    return (
+        series.select(
+            S.STEP_TS,
+            S.NAME,
+            "value",
+            prev.alias("value_prev_week"),
+            prev_ts.alias("__pts"),
+            F.round((F.col("value") - prev) / prev, 6).alias("wow_change"),
+        )
+        # a lag of 168 ROWS is only "one week" when the grid is dense;
+        # guard on the actual timestamp so gaps never mislabel the delta
+        .filter(F.col("__pts") == F.col(S.STEP_TS) - 168 * HOUR)
+        .drop("__pts")
+    )
+
+
+TS_WEEK_OVER_WEEK_SQL = f"""
+WITH series AS (
+  SELECT timestamp_ms - timestamp_ms % {HOUR} AS step_ts, name,
+         COUNT(*) AS value
+  FROM {_T} WHERE name IS NOT NULL GROUP BY 1, 2
+), lagged AS (
+  SELECT step_ts, name, value,
+         LAG(value, 168) OVER w AS value_prev_week,
+         LAG(step_ts, 168) OVER w AS pts
+  FROM series
+  WINDOW w AS (PARTITION BY name ORDER BY step_ts)
+)
+SELECT step_ts, name, value, value_prev_week,
+       ROUND((value - value_prev_week) * 1.0 / value_prev_week, 6)
+           AS wow_change
+FROM lagged WHERE pts = step_ts - 168 * {HOUR}
+"""
+
+
 def tag_cardinality_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-tag-key cardinality budget: distinct values, row coverage,
     and the distinct-per-row ratio for every tag column — the
@@ -4727,6 +4782,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_split": corpus_split,
     "vocab_pmi": vocab_pmi,
     "tag_cardinality_budget": tag_cardinality_budget,
+    "ts_week_over_week": ts_week_over_week,
     # --- driver-green round 4 (CORRECTNESS_r04: 50/50)
     "ts_percentile": ts_percentile,
     "tpch_q6": tpch_q6,
@@ -4841,6 +4897,7 @@ ORACLES: dict[str, str] = {
     "corpus_split": CORPUS_SPLIT_SQL,
     "vocab_pmi": VOCAB_PMI_SQL,
     "tag_cardinality_budget": TAG_CARDINALITY_BUDGET_SQL,
+    "ts_week_over_week": TS_WEEK_OVER_WEEK_SQL,
     "embedding_label_outliers": EMBEDDING_LABEL_OUTLIERS_SQL,
     "corpus_curate": CORPUS_CURATE_SQL,
     # dedup_simhash, ann_lsh, ema_smooth: genuinely non-SQL-expressible /
