@@ -245,6 +245,65 @@ def compression_ratio(
     )
 
 
+def _pmi_count_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """The lazy (a, b, c) unigram/bigram count table behind collocations —
+    split out so plan tests can assert its physical shape (Arrow kernel fed
+    by ≥defaultParallelism partitions, no interpreted transform() lambda).
+
+    Row kinds after the single groupBy: (w, NULL, c_w) unigrams,
+    (a, b, c_ab) bigrams, (NULL, NULL, N) the total-bigram sentinel."""
+    import re
+    from collections import Counter
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from lakeside_spark.operators.dedup import _parallelize
+
+    ws_re = re.compile(r"[ \t\n\x0b\f\r]+")  # Java/RE2 \s, not unicode \s
+    src = _parallelize(docs.select(F.col(text_col).alias("text")))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # matches functions/text.words(): trim → lower → collapse-ws → split.
+        # After collapse, a non-empty doc has no "" tokens, so the w <> ''
+        # filter reduces to skipping empty docs; Counter.update over the
+        # token list / zipped pairs stays in C. ONE partial per task (not
+        # per Arrow batch): the counters are vocabulary-sized, and a single
+        # yield keeps the shuffle input at tasks·vocab rows.
+        uni: Counter = Counter()
+        bg: Counter = Counter()
+        for pdf in batches:
+            for text in pdf["text"]:
+                ws = ws_re.sub(" ", (text or "").strip().lower()).split(" ")
+                if ws[0] == "" and len(ws) == 1:
+                    continue
+                uni.update(ws)
+                bg.update(zip(ws, ws[1:]))
+        if uni:
+            ua = list(uni.keys())
+            bk = list(bg.keys())
+            # sentinel (NULL, NULL, Σ bigrams): groupBy merges the per-task
+            # partials into the exact corpus N — no separate agg job
+            yield pd.DataFrame(
+                {
+                    "a": ua + [p[0] for p in bk] + [None],
+                    "b": [None] * len(ua) + [p[1] for p in bk] + [None],
+                    "c": np.fromiter(
+                        list(uni.values()) + list(bg.values()) + [sum(bg.values())],
+                        dtype=np.int64,
+                        count=len(ua) + len(bk) + 1,
+                    ),
+                }
+            )
+
+    return (
+        src.mapInPandas(kernel, schema="a string, b string, c long")
+        .groupBy("a", "b")
+        .agg(F.sum("c").alias("c"))
+    )
+
+
 def collocations(
     docs: DataFrame,
     min_count: int = 5,
@@ -258,60 +317,59 @@ def collocations(
     phrase pass uses the same count ratio) for building tokenizer merge
     seeds and phrase vocabularies from a corpus.
 
-    Scale shape: three corpus passes — the eager bigram total (runs at
-    build time, like the DSIR fit pass), the bigram-keyed aggregation
-    (map-side combined, bigram-vocabulary-sized result), and the
-    unigram aggregation — with the unigram tables broadcast into the
-    bigram table. Counts are exact integers; each PMI is a single ln
-    rounded to 6 (the c_a·c_b denominator multiplies in DOUBLE — at
-    ~1e11-count stopwords a long product would wrap), so the oracle
-    compare is safe (no float summation anywhere). Repeat callers at
-    scale should persist the bigram-count table to amortize the passes.
+    Scale shape: ONE corpus pass — an Arrow kernel (modeled on
+    dedup._shingled_rows; the round-5 interpreted-HOF transform() bigram
+    explode was a 65× outlier) counts unigrams AND bigrams per batch and
+    emits pre-aggregated (a, b, c) partials — unigram rows carry b=NULL —
+    so the single shuffle moves batch-vocabulary-sized partials, not one
+    row per token. The merged count table is persisted (it is
+    vocabulary-sized, not corpus-sized), N derives from sum(c_ab) over
+    the unfiltered bigram counts (no extra corpus pass), and the final
+    top-k (k rows) is localized so the cache can be unpersisted before
+    returning — no cache handle escapes. Counts are exact integers; each
+    PMI is a single ln rounded to 6 (the c_a·c_b denominator multiplies
+    in DOUBLE — at ~1e11-count stopwords a long product would wrap), so
+    the oracle compare is safe (no float summation anywhere).
 
     Output: (a, b, c_ab, pmi) — the k highest-PMI pairs with
     c_ab ≥ min_count, ties broken lexicographically.
     """
-    w = words(text_col)
-    # guard docs under 2 words: Spark's sequence(1, 0) DESCENDS instead
-    # of being empty, which would index element_at(w, 0) and throw
-    pairs = F.when(
-        F.size(w) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(w) - 1),
-            lambda i: F.struct(
-                F.element_at(w, i).alias("a"), F.element_at(w, i + 1).alias("b")
-            ),
-        ),
-    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
-    bg = (
-        docs.select(F.explode(pairs).alias("p"))
-        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-        .filter((F.col("a") != "") & (F.col("b") != ""))
-    )
-    bg_counts = bg.groupBy("a", "b").agg(F.count("*").alias("c_ab"))
-    uni = (
-        docs.select(F.explode(w).alias("w"))
-        .filter(F.col("w") != "")
-        .groupBy("w")
-        .agg(F.count("*").alias("c"))
-    )
-    n_bg = bg.count()  # exact scalar; bigram total is the PMI normalizer
-    scored = (
-        bg_counts.filter(F.col("c_ab") >= min_count)
-        .join(F.broadcast(uni.select(F.col("w").alias("a"), F.col("c").alias("c_a"))), "a")
-        .join(F.broadcast(uni.select(F.col("w").alias("b"), F.col("c").alias("c_b"))), "b")
-        .select(
-            "a",
-            "b",
-            "c_ab",
-            F.round(
-                F.log(
-                    F.col("c_ab")
-                    * F.lit(float(n_bg))
-                    / (F.col("c_a").cast("double") * F.col("c_b"))
-                ),
-                6,
-            ).alias("pmi"),
+    counts = _pmi_count_table(docs, text_col).persist()
+    try:
+        # materializes the cache; N = total bigrams (unfiltered, the PMI
+        # normalizer the old plan spent a third corpus pass on) arrives as
+        # the merged sentinel row — a filter-collect, no extra agg stage
+        srow = counts.filter(F.col("a").isNull()).collect()
+        n_bg = srow[0]["c"] if srow else 0
+        uni = counts.filter(F.col("b").isNull() & F.col("a").isNotNull()).select(
+            "a", "c"
         )
+        scored = (
+            counts.filter(F.col("b").isNotNull() & (F.col("c") >= min_count))
+            .withColumnRenamed("c", "c_ab")
+            .join(F.broadcast(uni.select(F.col("a"), F.col("c").alias("c_a"))), "a")
+            .join(
+                F.broadcast(uni.select(F.col("a").alias("b"), F.col("c").alias("c_b"))),
+                "b",
+            )
+            .select(
+                "a",
+                "b",
+                "c_ab",
+                F.round(
+                    F.log(
+                        F.col("c_ab")
+                        * F.lit(float(n_bg))
+                        / (F.col("c_a").cast("double") * F.col("c_b"))
+                    ),
+                    6,
+                ).alias("pmi"),
+            )
+        )
+        top = scored.orderBy(F.col("pmi").desc(), "a", "b").limit(k).collect()
+    finally:
+        counts.unpersist()
+    spark = docs.sparkSession
+    return spark.createDataFrame(
+        top, schema="a string, b string, c_ab bigint, pmi double"
     )
-    return scored.orderBy(F.col("pmi").desc(), "a", "b").limit(k)

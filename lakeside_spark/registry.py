@@ -4405,9 +4405,10 @@ def embedding_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def vocab_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-100 word collocations by pointwise mutual information
-    (operators/textstats.collocations — phrase-mining seed list; one
-    bigram-keyed agg + broadcast unigram joins, every PMI a single ln of
-    exact integer counts)."""
+    (operators/textstats.collocations — phrase-mining seed list; ONE
+    Arrow-kernel corpus pass emitting pre-aggregated unigram+bigram
+    partials with a sentinel N row, one shuffle, broadcast unigram
+    joins; every PMI a single ln of exact integer counts)."""
     from lakeside_spark.operators.textstats import collocations
 
     return collocations(load_table(spark, sf_dir, "documents"), min_count=5, k=100)

@@ -355,3 +355,20 @@ def test_holt_series_keyed_shuffles_only(spark, sf_dir):
     plan = _plan(spark, sf_dir, "ts_holt_winters")
     assert plan.count("Exchange hashpartitioning") <= 2, plan[:1500]
     assert "FlatMapGroupsInPandas" in plan or "ApplyInPandas" in plan
+
+
+def test_vocab_pmi_arrow_kernel_parallel_no_hof(spark, sf_dir):
+    """vocab_pmi's count table (the corpus-sized pass): an Arrow
+    mapInPandas kernel — NOT the round-5 interpreted transform() lambda
+    bigram explode — fed by ≥defaultParallelism partitions even though
+    the documents parquet arrives as a single split."""
+    from lakeside_spark.operators.textstats import _pmi_count_table
+    from lakeside_spark.sources.tables import load_table
+
+    counts = _pmi_count_table(load_table(spark, sf_dir, "documents"))
+    plan = counts._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan, plan[:1500]
+    assert "transform(" not in plan and "lambdafunction" not in plan, plan[:1500]
+    # the single-split scan must be spread before the kernel
+    dp = spark.sparkContext.defaultParallelism
+    assert f"RoundRobinPartitioning({dp}" in plan or counts.rdd.getNumPartitions() >= dp, plan[:1500]
