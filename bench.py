@@ -205,6 +205,40 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    # perf tripwire (the check that would have caught vocab_pmi's 65x
+    # round-5 outlier before it shipped): flag any oracle key that is BOTH
+    # >5x the DuckDB oracle AND >1s absolute, plus any key that regressed
+    # >2x (and >1s) vs the newest recorded BENCH_r*.json. The round gate
+    # treats a non-empty list like errors.
+    import glob
+
+    regressions: list[dict] = []
+    for name in oracle_subset:
+        s, d = per_query.get(name), duck_query.get(name)
+        if s and d and s > 1.0 and s / max(d, 1e-9) > 5.0:
+            regressions.append(
+                {"query": name, "kind": "vs_oracle", "spark": s, "duckdb": d,
+                 "ratio": round(s / max(d, 1e-9), 2)}
+            )
+    prior_files = sorted(glob.glob(os.path.join(os.path.dirname(__file__), "BENCH_r*.json")))
+    if prior_files:
+        try:
+            with open(prior_files[-1]) as fh:
+                prev_rec = json.load(fh)
+            prev = prev_rec.get("queries", {}) if prev_rec.get("sf") == sf else {}
+            for name, s in per_query.items():
+                p = prev.get(name)
+                if p and s > 1.0 and s / p > 2.0:
+                    regressions.append(
+                        {"query": name, "kind": "vs_prev_round", "spark": s,
+                         "prev": p, "ratio": round(s / p, 2),
+                         "prev_file": os.path.basename(prior_files[-1])}
+                    )
+        except Exception as exc:  # a malformed prior record must not kill bench
+            print(f"# prev-round diff failed: {exc}", file=sys.stderr)
+    for r in regressions:
+        print(f"# REGRESSION {r}", file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -220,6 +254,8 @@ def main() -> None:
                 "duckdb_queries": duck_query,
                 "errors": errors,
                 "error_count": len(errors),
+                "regressions": regressions,
+                "regression_count": len(regressions),
             }
         )
     )

@@ -22,14 +22,31 @@ oracle (string_split on the same normalization) agrees byte-for-byte.
 
 from __future__ import annotations
 
+import threading
+from collections import OrderedDict
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from lakeside_spark.functions.text import words
 
-# span_dedup's cached boilerplate table from the most recent call — kept
-# so the next call can evict it (at most ONE cached span table per session)
-_LAST_SPAN_CACHE: DataFrame | None = None
+# span_dedup's cached boilerplate tables, keyed by (input plan, params) in
+# a small LRU: repeated calls over the same corpus REUSE the persisted span
+# table instead of re-aggregating, interleaved lazy pipelines over different
+# corpora no longer evict each other (the round-5 single global slot forced
+# a silent recompute there), and the lock makes concurrent driver threads
+# safe. Each entry is boilerplate-sized; capacity bounds session memory.
+_SPAN_CACHE: OrderedDict[tuple, DataFrame] = OrderedDict()
+_SPAN_CACHE_LOCK = threading.Lock()
+_SPAN_CACHE_SLOTS = 4
+
+
+def _span_cache_key(docs: DataFrame, span_words: int, max_df: int) -> tuple:
+    try:
+        h = docs._jdf.queryExecution().analyzed().semanticHash()
+    except Exception:
+        h = hash(docs._jdf.queryExecution().analyzed().toString())
+    return (h, span_words, max_df)
 
 
 def chunk_documents(
@@ -121,28 +138,32 @@ def span_dedup(
     # global document-frequency per span hash: one map-side-combined
     # aggregation; the result is boilerplate-sized (distinct spans), far
     # smaller than the corpus, and joins back on the hash
-    span_df = (
-        tiled.groupBy("span_hash")
-        .agg(F.count_distinct("doc_id").alias("df"))
-        .filter(F.col("df") > max_df)
-        .select("span_hash")
-        .persist()
-    )
-    # bound the cache across calls: the table is boilerplate-sized, but
-    # repeated calls in one session would otherwise accumulate one cached
-    # entry each for the session lifetime — evict the previous call's.
-    # Caveat: interleaving two LAZY span_dedup pipelines makes the first
-    # recompute its span table when finally executed (results unchanged,
-    # one extra aggregation pass) — materialize pipeline A before
-    # constructing pipeline B to keep A's cache. Single-slot state is
-    # per-interpreter, not thread-safe for concurrent driver threads.
-    global _LAST_SPAN_CACHE
-    if _LAST_SPAN_CACHE is not None:
-        try:
-            _LAST_SPAN_CACHE.unpersist(blocking=False)
-        except Exception:
-            pass
-    _LAST_SPAN_CACHE = span_df
+    # (input plan, params)-keyed LRU: a repeat call over the same corpus
+    # reuses the persisted table (no re-aggregation); distinct pipelines
+    # each keep their own entry until capacity evicts the least recent.
+    # Caveat (bounded): a pipeline left lazy past _SPAN_CACHE_SLOTS newer
+    # distinct calls recomputes its span table when finally executed —
+    # results unchanged, one extra aggregation pass.
+    key = _span_cache_key(docs, span_words, max_df)
+    with _SPAN_CACHE_LOCK:
+        if key in _SPAN_CACHE:
+            _SPAN_CACHE.move_to_end(key)
+            span_df = _SPAN_CACHE[key]
+        else:
+            span_df = (
+                tiled.groupBy("span_hash")
+                .agg(F.count_distinct("doc_id").alias("df"))
+                .filter(F.col("df") > max_df)
+                .select("span_hash")
+                .persist()
+            )
+            _SPAN_CACHE[key] = span_df
+            while len(_SPAN_CACHE) > _SPAN_CACHE_SLOTS:
+                _, evicted = _SPAN_CACHE.popitem(last=False)
+                try:
+                    evicted.unpersist(blocking=False)
+                except Exception:
+                    pass
     if span_df.count() <= broadcast_limit:
         span_df = span_df.hint("broadcast")
     kept = tiled.join(span_df, "span_hash", "left_anti")

@@ -105,13 +105,14 @@ def dsir_fit(
     tt = sum(tc for _, tc in dist.values())
 
     def weight(rc: int, tc: int) -> int:
-        return round(
-            (
-                math.log((tc + 1) / (tt + n_buckets))
-                - math.log((rc + 1) / (rt + n_buckets))
-            )
-            * 1e9
-        )
+        # half-AWAY-from-zero to match DuckDB/Spark ROUND() — Python's
+        # round() banker-rounds, which can flip a 1e-9 weight by 1 on an
+        # exact .5 boundary and reorder a dsir_select top-k tie
+        x = (
+            math.log((tc + 1) / (tt + n_buckets))
+            - math.log((rc + 1) / (rt + n_buckets))
+        ) * 1e9
+        return int(math.floor(x + 0.5)) if x >= 0 else -int(math.floor(-x + 0.5))
 
     # buckets unseen in the FIT corpus still carry the add-one-smoothed
     # log-ratio (rc=tc=0), not 0 — the fit-once/score-other-shards path

@@ -909,50 +909,60 @@ def embedding_whitening(
     spark = emb.sparkSession
 
     def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # accumulate across ALL batches and yield exactly ONE partial per
+        # task: [n, Σx (d), XᵀX (d²)] packed into one double array. The
+        # round-5 per-batch version made the downstream reduce grow with
+        # corpus size (~1e7 batch partials at 1e11 rows) — per-task
+        # accumulation keeps it at tasks-count, and n packs as a double
+        # exactly (counts < 2^53).
+        acc_n = 0
+        acc_s: np.ndarray | None = None
+        acc_g: np.ndarray | None = None
         for pdf in batches:
             if not len(pdf):
                 continue
             m = np.array(list(pdf[vec_col]), dtype=np.float64)
+            acc_n += len(m)
+            if acc_s is None:
+                acc_s = m.sum(axis=0)
+                acc_g = m.T @ m
+            else:
+                acc_s += m.sum(axis=0)
+                acc_g += m.T @ m
+        if acc_s is not None:
             yield pd.DataFrame(
-                {
-                    "n": [len(m)],
-                    "s": [m.sum(axis=0)],
-                    "g": [(m.T @ m).ravel()],
-                }
+                {"p": [np.concatenate(([float(acc_n)], acc_s, acc_g.ravel()))]}
             )
 
-    # reduce the per-batch partials with zip_with folds (JVM-side; the
-    # collected list is tasks-count rows of d+d² doubles, never corpus-sized)
+    # element-wise distributed reduce: posexplode the packed moment vector
+    # and sum per index — map-side partial aggregation combines each task's
+    # (1+d+d²) rows before the shuffle, so no single task ever materializes
+    # a tasks-count list (the r5 collect_list fold did)
     red = (
         _parallelize(emb.select(vec_col))
-        .mapInPandas(partials, schema="n long, s array<double>, g array<double>")
-        .agg(
-            F.sum("n").alias("n"),
-            F.aggregate(
-                F.collect_list("s"),
-                F.expr("cast(null as array<double>)"),
-                lambda acc, x: F.when(acc.isNull(), x).otherwise(
-                    F.zip_with(acc, x, lambda a, b: a + b)
-                ),
-            ).alias("s"),
-            F.aggregate(
-                F.collect_list("g"),
-                F.expr("cast(null as array<double>)"),
-                lambda acc, x: F.when(acc.isNull(), x).otherwise(
-                    F.zip_with(acc, x, lambda a, b: a + b)
-                ),
-            ).alias("g"),
-        )
+        .mapInPandas(partials, schema="p array<double>")
+        .select(F.posexplode("p").alias("i", "v"))
+        .groupBy("i")
+        .agg(F.sum("v").alias("v"))
         .collect()
     )
-    if not red or red[0]["n"] is None or red[0]["n"] == 0:
+    if not red:
         return spark.createDataFrame(
             [], schema=f"{id_col} bigint, {vec_col} array<double>"
         )
-    n = red[0]["n"]
-    s = np.array(red[0]["s"], dtype=np.float64)
-    d = len(s)
-    g = np.array(red[0]["g"], dtype=np.float64).reshape(d, d)
+    packed = np.zeros(len(red), dtype=np.float64)
+    for r in red:
+        packed[r["i"]] = r["v"]
+    # L = 1 + d + d²  →  d = (√(4L−3) − 1) / 2
+    d = int((np.sqrt(4 * len(packed) - 3) - 1) // 2)
+    assert 1 + d + d * d == len(packed), len(packed)
+    n = int(packed[0])
+    if n == 0:
+        return spark.createDataFrame(
+            [], schema=f"{id_col} bigint, {vec_col} array<double>"
+        )
+    s = packed[1 : 1 + d]
+    g = packed[1 + d :].reshape(d, d)
     mu = s / n
     cov = g / n - np.outer(mu, mu)
     # ZCA: W = U diag(1/sqrt(λ+eps)) Uᵀ — symmetric, stays near the

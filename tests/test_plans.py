@@ -372,3 +372,12 @@ def test_vocab_pmi_arrow_kernel_parallel_no_hof(spark, sf_dir):
     # the single-split scan must be spread before the kernel
     dp = spark.sparkContext.defaultParallelism
     assert f"RoundRobinPartitioning({dp}" in plan or counts.rdd.getNumPartitions() >= dp, plan[:1500]
+
+
+def test_stickiness_no_nested_loop_join(spark, sf_dir):
+    """stickiness_dau_mau's trailing-30d MAU: explode(sequence) equi-join
+    shape — no BroadcastNestedLoopJoin scanning the day spine per row."""
+    plan = _plan(spark, sf_dir, "stickiness_dau_mau")
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
+    assert "CartesianProduct" not in plan, plan[:1500]
+    assert "Generate explode" in plan, plan[:1500]

@@ -99,11 +99,15 @@ def build(n: int, out: str) -> None:
     )
 
     li = load_table(spark, SRC, "lineitem")
+    # shift by observed max key + 1, not a constant: TPC-H orderkeys pass
+    # 10M around source SF ~1.7, where a fixed shift would silently
+    # collide replica join/group keys and flatten the probe's growth curve
+    okey_shift = li.agg(F.max("l_orderkey")).collect()[0][0] + 1
     (
         li.crossJoin(rep)
         .select(
             *[
-                (F.col("l_orderkey") + F.col("__rep") * 10_000_000).alias(
+                (F.col("l_orderkey") + F.col("__rep") * okey_shift).alias(
                     "l_orderkey"
                 )
                 if c == "l_orderkey"
