@@ -2468,7 +2468,9 @@ FROM ranked WHERE rank <= 10 GROUP BY 1, 2
 
 
 def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """rows-only: hyperplane-LSH ANN (the 100 TB fan-out-bounded path)."""
+    """rows-only: multi-table multi-probe hyperplane-LSH ANN (the 100 TB
+    fan-out-bounded path; 4 tables × 1-bit probing, ~0.4 recall@5 on the
+    isotropic panel vs 0.03 for round-5's single exact-bucket table)."""
     from lakeside_spark.operators.similarity import ann_lsh as _ann_lsh
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -2488,8 +2490,9 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """rows-only: product-quantization ANN (16 sub-quantizers × 64 codes —
-    the FAISS PQ compressed-domain 100 TB path; ~32× vector compression)."""
+    """rows-only: product-quantization ANN (16 sub-quantizers × 64 codes
+    with ADC shortlist + exact refine — the FAISS PQ compressed-domain
+    100 TB path; ~32× vector compression, refined cos is exact)."""
     from lakeside_spark.operators.similarity import ann_pq as _ann_pq
 
     emb = load_table(spark, sf_dir, "embeddings")
