@@ -235,17 +235,20 @@ def test_corpus_curate_single_scan_gates(spark, sf_dir):
 
 
 def test_funnel_no_cartesian_and_pushed_step_filters(spark, sf_dir):
-    """Every funnel step must be a name-filtered scan (predicate pushed
-    to parquet) chained by user-key equi-joins — at 100 TB a funnel that
-    materializes the unfiltered fact table per step, or theta-joins
+    """The default "agg" funnel is ONE name-IN-filtered scan (predicate
+    pushed to parquet) + one user-keyed aggregation — at 100 TB a funnel
+    that materializes the unfiltered fact table per step, or theta-joins
     steps, does not survive."""
     plan = _plan(spark, sf_dir, "funnel_conversion")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     scans = [l for l in plan.splitlines() if "FileScan" in l and "events" in l]
-    # one scan per step, each with its step's name equality pushed down
-    assert any("purchase" in l for l in scans), scans
-    assert any("view" in l for l in scans), scans
+    # single scan with the step-name IN-list pushed down
+    assert len(scans) == 1, scans
+    assert "purchase" in scans[0] and "view" in scans[0], scans
+    # one user-keyed exchange feeds the chain; the k-counter rollup is a
+    # single-row agg, not another corpus shuffle
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:1500]
 
 
 def test_trace_service_graph_single_window_shuffle(spark, sf_dir):

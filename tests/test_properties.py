@@ -193,12 +193,14 @@ def test_funnel_matches_model(spark, rows, window):
     # every step emits a row, zero-count steps included (the k-row contract)
     exp = dict(_model_funnel_exact(rows, ["a", "b", "c"], window))
     assert got == exp
-    # the one-scan fold strategy implements the identical semantics
-    fold = funnel(
-        df, ["a", "b", "c"], window_ms=window,
-        user_col="user_id", ts_col="ts", name_col="name", strategy="fold",
-    )
-    assert {r["step"]: r["users"] for r in fold.collect()} == exp
+    # all three strategies implement the identical semantics (the default
+    # "agg" single-pass, the per-step "join" chain, the one-scan "fold")
+    for strat in ("join", "fold"):
+        alt = funnel(
+            df, ["a", "b", "c"], window_ms=window,
+            user_col="user_id", ts_col="ts", name_col="name", strategy=strat,
+        )
+        assert {r["step"]: r["users"] for r in alt.collect()} == exp, strat
 
 
 def _model_step_change(series):
