@@ -186,3 +186,53 @@ def streaming_holt(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_service_edges(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "timestamp_ms",
+    name_col: str = "name",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Streaming twin of operators/behavior.next_event_edges — the live
+    path of the span-adjacency service-dependency graph panel
+    (trace_service_graph): as spans arrive, each trace emits its
+    (previous span → span, gap) transition edge.
+
+    State per trace = (last span name, its ts) — two scalars regardless
+    of trace length, checkpointed in the state store; the first span of
+    a trace ever seen emits nothing and primes the state, so an edge
+    crossing a micro-batch boundary is emitted exactly once. Rows inside
+    a micro-batch are processed in (ts, tiebreak) order — the same
+    ordering as the batch operator's keyed window — so a watermark-
+    ordered replay reproduces the batch edge multiset exactly (pinned by
+    the equivalence test). The (src, dst, n, avg_gap) rollup is a plain
+    downstream streaming aggregation over the emitted edges; keeping it
+    out of this operator leaves the stateful stage append-mode."""
+
+    output_schema = "src string, dst string, gap_ms long"
+    state_schema = "last_name string, last_ts long"
+
+    def update(key, pdfs, state: GroupState):
+        last_name, last_ts = state.get if state.exists else (None, None)
+        rows = pd.concat(list(pdfs)).sort_values([ts_col, tiebreak_col])
+        srcs, dsts, gaps = [], [], []
+        for name, ts in zip(rows[name_col], rows[ts_col]):
+            ts = int(ts)
+            if last_name is not None:
+                srcs.append(last_name)
+                dsts.append(name)
+                gaps.append(ts - last_ts)
+            last_name, last_ts = name, ts
+        state.update((last_name, int(last_ts)))
+        if srcs:
+            yield pd.DataFrame({"src": srcs, "dst": dsts, "gap_ms": gaps})
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=output_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -160,3 +160,73 @@ def test_streaming_holt_matches_batch_on_ordered_replay(spark):
         assert round(last["forecast_1"], 6) == batch["forecast_1"]
     finally:
         shutil.rmtree(src, ignore_errors=True)
+
+
+def test_streaming_service_edges_matches_batch_across_batches(spark):
+    """Replaying spans watermark-ordered across micro-batches, the
+    stateful edge stream aggregates to exactly the batch service graph
+    (operators/behavior.next_event_edges) — including the edge that
+    crosses the micro-batch boundary, which state must bridge."""
+    from lakeside_spark.operators.behavior import next_event_edges
+    from lakeside_spark.streaming.stateful import streaming_service_edges
+
+    schema = "user_id long, timestamp_ms long, name string, event_id long"
+    rows = [
+        # trace 1: gateway -> auth -> db, with the db span in batch 2
+        (1, 100, "gateway", 1), (1, 150, "auth", 2), (1, 400, "db", 3),
+        # trace 2: gateway -> cache twice (repeat edge, same batch split)
+        (2, 100, "gateway", 4), (2, 120, "cache", 5),
+        (2, 300, "gateway", 6), (2, 320, "cache", 7),
+        # trace 3: single span — no edge
+        (3, 100, "gateway", 8),
+        # trace 4: same-ts spans ordered by the tiebreak
+        (4, 100, "a", 10), (4, 100, "b", 9),
+    ]
+    src = tempfile.mkdtemp(prefix="svc_src_")
+    try:
+        first = [r for r in rows if r[1] <= 200]
+        second = [r for r in rows if r[1] > 200]
+        spark.createDataFrame(first, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/b0")
+        spark.createDataFrame(second, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(f"{src}/b1")
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("recursiveFileLookup", "true")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = (
+            streaming_service_edges(stream)
+            .writeStream.format("memory")
+            .queryName("svc_out")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = {
+            (r["src"], r["dst"]): (r["n"], r["avg_gap"])
+            for r in spark.sql(
+                "SELECT src, dst, count(*) AS n, avg(gap_ms) AS avg_gap"
+                " FROM svc_out GROUP BY src, dst"
+            ).collect()
+        }
+        batch = {
+            (r["src"], r["dst"]): (r["n"], r["avg_gap_ms"])
+            for r in next_event_edges(
+                spark.createDataFrame(rows, schema)
+            ).collect()
+        }
+        assert got == batch
+        # the cross-batch edge (auth -> db) survived the boundary, and the
+        # tiebreak ordered trace 4 as b -> a
+        assert got[("auth", "db")] == (1, 250.0)
+        assert got[("b", "a")] == (1, 0.0)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
