@@ -82,6 +82,22 @@ FROM {_T} WHERE name IS NOT NULL GROUP BY 1, 2
 """
 
 
+def ts_count_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ts_count through the two-phase SALTED chart aggregation
+    (engine.py salt_partitions=8): partial aggregates spread each hot
+    (step_ts, name) key over 8 reducers before the step-keyed merge —
+    the hot-key skew plan, kept in the bench HEADLINE so the salted
+    path stays green under the same DuckDB oracle as the unsalted
+    ts_count (identical results, different physical shape)."""
+    expr = BaseExpr(
+        filter=Filter(k=S.NAME, op=S.EXISTS),
+        chart=ChartOptions(aggregation="count"),
+    )
+    return QueryEngine(spark, step_ms=HOUR, salt_partitions=8).run(
+        expr, load_telemetry(spark, sf_dir)
+    )
+
+
 def ts_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY §2C ts_multi_agg: sum/avg/min/max per (step, name) computed in
     ONE groupBy — one fact-table pass instead of four (reference getChartSql
@@ -4743,6 +4759,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ts_downsample": ts_downsample,
     # --- sentinels: driver-green r4/r5, spread across subsystems (39-50)
     "ts_count": ts_count,
+    "ts_count_salted": ts_count_salted,
     "formula_ratio": formula_ratio,
     "graph_request": graph_request,
     "tpch_q1": tpch_q1,
@@ -4896,6 +4913,7 @@ ORACLES: dict[str, str] = {
     # dedup_simhash, ann_lsh, ema_smooth: genuinely non-SQL-expressible /
     # approximate — rows-only check by design
     "ts_count": TS_COUNT_SQL,
+    "ts_count_salted": TS_COUNT_SQL,
     "traces_exemplars": TRACES_EXEMPLARS_SQL,
     "traces_span_stats": TRACES_SPAN_STATS_SQL,
     "ts_multi_agg": TS_MULTI_AGG_SQL,
