@@ -4715,7 +4715,9 @@ def ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ROUND-6 ROTATION: slots 1-50 = the 38 keys with no driver
     # CORRECTNESS row through r5 (22 oracle-backed, then 16 rows-only
-    # for hard err=None execution rows) + 12 driver-green sentinels.
+    # for hard err=None execution rows) + the new oracle-backed
+    # ts_count_salted (inserted after ts_count) + 11 driver-green
+    # sentinels (corpus_chunk slid just past the fold to make room).
     # After this round every oracle key has >=1 hard driver row.
     # --- never-judged, oracle-backed (1-22)
     "trace_service_graph": trace_service_graph,
