@@ -209,10 +209,14 @@ def main() -> None:
     # perf tripwire (the check that would have caught vocab_pmi's 65x
     # round-5 outlier before it shipped): flag any oracle key that is BOTH
     # >5x the DuckDB oracle AND >1s absolute, plus any key that regressed
-    # >2x (and >1s) vs the newest recorded BENCH_r*.json. The round gate
+    # >2x (and >1s) vs the last bench run at the same SF. The round gate
     # treats a non-empty list like errors.
-    import glob
-
+    #
+    # The prev-run source is bench's OWN history file (BENCH_PREV.json,
+    # written at the end of every run): the driver's BENCH_r*.json records
+    # truncate the JSON line to a 2000-char tail with parsed=null, so
+    # per-query times are unrecoverable from them (verified r1-r5).
+    prev_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_PREV.json")
     regressions: list[dict] = []
     for name in oracle_subset:
         s, d = per_query.get(name), duck_query.get(name)
@@ -221,28 +225,25 @@ def main() -> None:
                 {"query": name, "kind": "vs_oracle", "spark": s, "duckdb": d,
                  "ratio": round(s / max(d, 1e-9), 2)}
             )
-    prior_files = sorted(glob.glob(os.path.join(os.path.dirname(__file__), "BENCH_r*.json")))
-    if prior_files:
-        try:
-            with open(prior_files[-1]) as fh:
-                prev_rec = json.load(fh)
-            prev = prev_rec.get("queries", {}) if prev_rec.get("sf") == sf else {}
-            for name, s in per_query.items():
-                p = prev.get(name)
-                if p and s > 1.0 and s / p > 2.0:
-                    regressions.append(
-                        {"query": name, "kind": "vs_prev_round", "spark": s,
-                         "prev": p, "ratio": round(s / p, 2),
-                         "prev_file": os.path.basename(prior_files[-1])}
-                    )
-        except Exception as exc:  # a malformed prior record must not kill bench
-            print(f"# prev-round diff failed: {exc}", file=sys.stderr)
+    try:
+        with open(prev_path) as fh:
+            prev_rec = json.load(fh)
+        prev = prev_rec.get("queries", {}) if prev_rec.get("sf") == sf else {}
+        for name, s in per_query.items():
+            p = prev.get(name)
+            if p and s > 1.0 and s / p > 2.0:
+                regressions.append(
+                    {"query": name, "kind": "vs_prev_run", "spark": s,
+                     "prev": p, "ratio": round(s / p, 2)}
+                )
+    except FileNotFoundError:
+        pass
+    except Exception as exc:  # a malformed history file must not kill bench
+        print(f"# prev-run diff failed: {exc}", file=sys.stderr)
     for r in regressions:
         print(f"# REGRESSION {r}", file=sys.stderr)
 
-    print(
-        json.dumps(
-            {
+    record = {
                 "metric": "headline_queries_total_wall_clock",
                 "value": round(total, 4),
                 "unit": "sec",
@@ -257,9 +258,15 @@ def main() -> None:
                 "error_count": len(errors),
                 "regressions": regressions,
                 "regression_count": len(regressions),
-            }
-        )
-    )
+    }
+    print(json.dumps(record))
+    # persist this run as the next run's regression baseline; best-effort
+    # (a read-only checkout must not fail the bench)
+    try:
+        with open(prev_path, "w") as fh:
+            json.dump(record, fh)
+    except OSError as exc:
+        print(f"# could not write {prev_path}: {exc}", file=sys.stderr)
 
 
 if __name__ == "__main__":

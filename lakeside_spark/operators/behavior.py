@@ -71,6 +71,13 @@ def funnel(
         raise ValueError("funnel needs at least one step")
     if len(set(steps)) != len(steps):
         raise ValueError(f"funnel step names must be distinct: {steps}")
+    if strategy not in ("agg", "join", "fold"):
+        raise ValueError(f"unknown funnel strategy: {strategy!r}")
+    # a NULL user id is not a user: groupBy would pool all NULL rows into
+    # one phantom "user" under agg/fold while the join chain drops them at
+    # the first equi-join — excluding them up front keeps the three
+    # strategies identical (and matches the distinct-users contract)
+    events = events.filter(F.col(user_col).isNotNull())
     if strategy == "fold":
         counts = _funnel_fold(events, steps, window_ms, user_col, ts_col, name_col)
         return _zero_fill_steps(events.sparkSession, steps, counts)

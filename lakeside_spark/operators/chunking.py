@@ -41,12 +41,17 @@ _SPAN_CACHE_LOCK = threading.Lock()
 _SPAN_CACHE_SLOTS = 4
 
 
-def _span_cache_key(docs: DataFrame, span_words: int, max_df: int) -> tuple:
+def _span_cache_key(
+    docs: DataFrame, span_words: int, max_df: int, text_col: str, id_col: str
+) -> tuple:
     try:
         h = docs._jdf.queryExecution().analyzed().semanticHash()
     except Exception:
         h = hash(docs._jdf.queryExecution().analyzed().toString())
-    return (h, span_words, max_df)
+    # applicationId scopes entries to the live SparkContext: a cached
+    # DataFrame from a stopped session must never be served to a new one
+    app = docs.sparkSession.sparkContext.applicationId
+    return (app, h, span_words, max_df, text_col, id_col)
 
 
 def chunk_documents(
@@ -144,7 +149,7 @@ def span_dedup(
     # Caveat (bounded): a pipeline left lazy past _SPAN_CACHE_SLOTS newer
     # distinct calls recomputes its span table when finally executed —
     # results unchanged, one extra aggregation pass.
-    key = _span_cache_key(docs, span_words, max_df)
+    key = _span_cache_key(docs, span_words, max_df, text_col, id_col)
     with _SPAN_CACHE_LOCK:
         if key in _SPAN_CACHE:
             _SPAN_CACHE.move_to_end(key)

@@ -113,7 +113,10 @@ def _shingled_rows(docs: DataFrame, text_col: str, id_col: str, n: int) -> DataF
             ids: list[int] = []
             shs: list[str] = []
             for did, text in zip(pdf["doc_id"], pdf["text"]):
-                words = ws_re.sub(" ", (text or "").strip().lower()).split(" ")
+                # .strip(" ") not .strip(): Spark trim / DuckDB trim strip
+                # ASCII SPACE only, while Python strip() also eats \t/\xa0/
+                # unicode WS and would diverge from functions/text.words()
+                words = ws_re.sub(" ", (text or "").strip(" ").lower()).split(" ")
                 sset = {" ".join(words[i : i + n]) for i in range(max(len(words) - n, 0) + 1)}
                 ids.extend([did] * len(sset))
                 shs.extend(sset)

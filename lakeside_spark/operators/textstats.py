@@ -265,21 +265,23 @@ def _pmi_count_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
     src = _parallelize(docs.select(F.col(text_col).alias("text")))
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # matches functions/text.words(): trim → lower → collapse-ws → split.
-        # After collapse, a non-empty doc has no "" tokens, so the w <> ''
-        # filter reduces to skipping empty docs; Counter.update over the
-        # token list / zipped pairs stays in C. ONE partial per task (not
-        # per Arrow batch): the counters are vocabulary-sized, and a single
-        # yield keeps the shuffle input at tasks·vocab rows.
+        # mirrors functions/text.words() EXACTLY: trim strips ASCII SPACE
+        # only (like Spark trim / DuckDB trim — so .strip(" "), NOT
+        # .strip(), which also eats \t/\xa0/  and would diverge from
+        # the oracle on e.g. tab-trailing docs), then lower, then collapse
+        # Java-\s runs. Edge whitespace can therefore leave "" tokens;
+        # they are excluded from unigram counts and from either side of a
+        # bigram — but positions stay adjacent, matching the oracle's
+        # unnest-then-filter. Counter.update stays in C. ONE partial per
+        # task (not per Arrow batch): the counters are vocabulary-sized,
+        # and a single yield keeps the shuffle input at tasks·vocab rows.
         uni: Counter = Counter()
         bg: Counter = Counter()
         for pdf in batches:
             for text in pdf["text"]:
-                ws = ws_re.sub(" ", (text or "").strip().lower()).split(" ")
-                if ws[0] == "" and len(ws) == 1:
-                    continue
-                uni.update(ws)
-                bg.update(zip(ws, ws[1:]))
+                ws = ws_re.sub(" ", (text or "").strip(" ").lower()).split(" ")
+                uni.update(w for w in ws if w)
+                bg.update(p for p in zip(ws, ws[1:]) if p[0] and p[1])
         if uni:
             ua = list(uni.keys())
             bk = list(bg.keys())

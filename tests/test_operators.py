@@ -1239,3 +1239,32 @@ class TestDsirCrossShard:
         assert len(out) == 1 and out[0]["n_words"] == 4
         # all-novel words -> the score is n_words x base / 1e9
         assert out[0]["dsir_score"] == round(4 * base / 1e9, 6)
+
+
+def test_funnel_null_users_excluded_all_strategies(spark):
+    """A NULL user id is not a user: without the up-front filter, agg/fold
+    pool NULL rows into one phantom group (completing steps) while the
+    join chain drops them at the first equi-join — the strategies would
+    silently disagree. All three must exclude NULLs and agree."""
+    from lakeside_spark.operators.behavior import funnel
+
+    rows = [
+        (None, 100, "view"), (None, 200, "click"), (None, 300, "purchase"),
+        (7, 100, "view"), (7, 150, "click"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts long, name string")
+    expected = {1: 1, 2: 1, 3: 0}
+    for strat in ("agg", "join", "fold"):
+        got = {
+            r["step"]: r["users"]
+            for r in funnel(
+                df, ["view", "click", "purchase"], window_ms=500,
+                user_col="user_id", ts_col="ts", name_col="name",
+                strategy=strat,
+            ).collect()
+        }
+        assert got == expected, strat
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown funnel strategy"):
+        funnel(df, ["view"], window_ms=1, strategy="aggs")
