@@ -113,6 +113,7 @@ HEADLINE = [
     "cohort_retention",
     "ts_topk_per_step",
     "stickiness_dau_mau",
+    "stickiness_dau_mau_sketch",
     "apdex_score",
     "metric_distribution",
     "dsir_select",

@@ -3563,6 +3563,55 @@ FROM dau JOIN mau ON dau.day = mau.asof_day
 """
 
 
+def stickiness_dau_mau_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rows-only (approximate by design): the 100 TB stickiness path.
+    The exact operator explodes every user-day row 30× before a
+    count_distinct (probe: 25× wall at 100× data — linear in user-days,
+    as exact trailing-distinct must be). Here the corpus collapses to
+    ONE per-day HLL sketch agg (day-count rows), and the trailing-30-day
+    MAU is an hll_union_agg over the 30-sketch window of the day-spine —
+    the same explode(sequence) equi-join, but fanning out day-count
+    rows, not user-day rows. DAU comes from the same sketches, so both
+    estimates share one scan. Accuracy vs the exact key is pytest-pinned
+    (HLL lgK=12: ~2-3% typical)."""
+    tele = load_telemetry(spark, sf_dir)
+    day_sk = (
+        tele.select(
+            "user_id",
+            (F.col(S.TIMESTAMP) - F.col(S.TIMESTAMP) % F.lit(DAY)).alias("day"),
+        )
+        .groupBy("day")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+    )
+    dau = day_sk.select(
+        "day", F.hll_sketch_estimate("sk").alias("dau_est")
+    )
+    mau = (
+        day_sk.select(
+            F.explode(
+                F.sequence(
+                    F.col("day"), F.col("day") + F.lit(29 * DAY), F.lit(DAY)
+                )
+            ).alias("asof_day"),
+            "sk",
+        )
+        .groupBy("asof_day")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("mau_est"))
+    )
+    return (
+        dau.join(mau, dau["day"] == mau["asof_day"])
+        .select(
+            "day",
+            "dau_est",
+            "mau_est",
+            F.round(
+                F.col("dau_est").cast("double") / F.col("mau_est").cast("double"),
+                6,
+            ).alias("stickiness_est"),
+        )
+    )
+
+
 def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention matrix: users grouped by first-seen day (the
     cohort), counted by how many distinct days later they return —
@@ -4867,6 +4916,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmeans_names": kmeans_names,
     "ema_smooth": ema_smooth_series,
     "ts_cardinality_sketch": ts_cardinality_sketch,
+    "stickiness_dau_mau_sketch": stickiness_dau_mau_sketch,
     "ts_percentile_sketch": ts_percentile_sketch,
     "user_retention_sketch": user_retention_sketch,
 }

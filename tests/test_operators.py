@@ -1268,3 +1268,22 @@ def test_funnel_null_users_excluded_all_strategies(spark):
 
     with _pytest.raises(ValueError, match="unknown funnel strategy"):
         funnel(df, ["view"], window_ms=1, strategy="aggs")
+
+
+def test_stickiness_sketch_tracks_exact(spark, sf_dir):
+    """The HLL sketch stickiness path (day-count-sized windowed merge)
+    must track the exact user-day x30 path within HLL error (<5%)."""
+    from lakeside_spark.registry import QUERIES
+
+    ex = {
+        r["day"]: (r["dau"], r["mau"])
+        for r in QUERIES["stickiness_dau_mau"](spark, sf_dir).collect()
+    }
+    est = {
+        r["day"]: (r["dau_est"], r["mau_est"])
+        for r in QUERIES["stickiness_dau_mau_sketch"](spark, sf_dir).collect()
+    }
+    assert set(ex) == set(est)
+    for d in ex:
+        assert abs(est[d][0] - ex[d][0]) / max(ex[d][0], 1) < 0.05, d
+        assert abs(est[d][1] - ex[d][1]) / max(ex[d][1], 1) < 0.05, d
