@@ -4662,6 +4662,12 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lsh": _lsh(emb, qs, k=5),
         "ivf": _ivf(emb, qs, k=5),
         "pq": _pq(emb, qs, k=5, cache_key=f"{sf_dir}:embeddings"),
+        # the OPQ pre-rotation variant, reported side-by-side so the
+        # rotation's (non-)benefit on this corpus is a measured row, not
+        # a docstring claim (isotropic panels: ±0.05; anisotropic: wins)
+        "pq_opq": _pq(
+            emb, qs, k=5, rotation="opq", cache_key=f"{sf_dir}:embeddings"
+        ),
         "sq8": _sq8(emb, qs, k=5),
     }
     rows = []

@@ -1201,7 +1201,7 @@ class TestAnnRecallReport:
                 spark, "/root/testdata/sf0.001"
             ).collect()
         }
-        assert set(rows) == {"lsh", "ivf", "pq", "sq8"}
+        assert set(rows) == {"lsh", "ivf", "pq", "pq_opq", "sq8"}
         for r in rows.values():
             assert 0.0 <= r["recall_at_5"] <= 1.0
             assert r["mean_cos_err"] >= 0.0
