@@ -226,10 +226,18 @@ def main() -> None:
                 {"query": name, "kind": "vs_oracle", "spark": s, "duckdb": d,
                  "ratio": round(s / max(d, 1e-9), 2)}
             )
+    # the history file keys records by SF, so a quick sf0.01 CLI check
+    # can never clobber the sf0.1 regression baseline (a flat record is
+    # migrated on read)
+    prev_by_sf: dict = {}
     try:
         with open(prev_path) as fh:
             prev_rec = json.load(fh)
-        prev = prev_rec.get("queries", {}) if prev_rec.get("sf") == sf else {}
+        if "queries" in prev_rec:  # pre-r6 flat record
+            prev_by_sf = {str(prev_rec.get("sf")): prev_rec}
+        else:
+            prev_by_sf = prev_rec
+        prev = prev_by_sf.get(str(sf), {}).get("queries", {})
         for name, s in per_query.items():
             p = prev.get(name)
             if p and s > 1.0 and s / p > 2.0:
@@ -261,11 +269,13 @@ def main() -> None:
                 "regression_count": len(regressions),
     }
     print(json.dumps(record))
-    # persist this run as the next run's regression baseline; best-effort
-    # (a read-only checkout must not fail the bench)
+    # persist this run as the next run's regression baseline for THIS SF,
+    # keeping other SFs' baselines; best-effort (a read-only checkout must
+    # not fail the bench)
     try:
+        prev_by_sf[str(sf)] = record
         with open(prev_path, "w") as fh:
-            json.dump(record, fh)
+            json.dump(prev_by_sf, fh)
     except OSError as exc:
         print(f"# could not write {prev_path}: {exc}", file=sys.stderr)
 
