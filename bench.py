@@ -233,7 +233,9 @@ def main() -> None:
     try:
         with open(prev_path) as fh:
             prev_rec = json.load(fh)
-        if "queries" in prev_rec:  # pre-r6 flat record
+        if not isinstance(prev_rec, dict):
+            prev_by_sf = {}  # corrupt history: start fresh, don't crash persist
+        elif "queries" in prev_rec:  # pre-r6 flat record
             prev_by_sf = {str(prev_rec.get("sf")): prev_rec}
         else:
             prev_by_sf = prev_rec
