@@ -245,6 +245,34 @@ def compression_ratio(
     )
 
 
+def _parallelize_sized(df: DataFrame, bytes_per_task: int = 4 << 20) -> DataFrame:
+    """Size-aware variant of dedup._parallelize: spread an under-parallel
+    scan to ~bytes_per_task-sized partitions, capped at defaultParallelism.
+    The unconditional spread-to-all-cores gate is right for CPU-heavy
+    per-doc kernels at real scale, but on a kilobyte-sized single-split
+    input it fans out defaultParallelism Python workers to do ~ms of work
+    each — pure scheduling overhead (measured ~0.3s of vocab_pmi's
+    sub-second floor at sf0.1). When the input's file sizes are unknowable
+    (non-file source) this degrades to the plain gate."""
+    sc = df.sparkSession.sparkContext
+    want = sc.defaultParallelism
+    try:
+        import os as _os
+
+        files = df.inputFiles()
+        if files:
+            total = sum(
+                _os.path.getsize(f[len("file:"):] if f.startswith("file:") else f)
+                for f in files
+            )
+            want = max(1, min(want, -(-total // bytes_per_task)))
+    except Exception:
+        pass
+    if df.rdd.getNumPartitions() >= want:
+        return df
+    return df.repartition(want)
+
+
 def _pmi_count_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """The lazy (a, b, c) unigram/bigram count table behind collocations —
     split out so plan tests can assert its physical shape (Arrow kernel fed
@@ -259,10 +287,8 @@ def _pmi_count_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    from lakeside_spark.operators.dedup import _parallelize
-
     ws_re = re.compile(r"[ \t\n\x0b\f\r]+")  # Java/RE2 \s, not unicode \s
-    src = _parallelize(docs.select(F.col(text_col).alias("text")))
+    src = _parallelize_sized(docs.select(F.col(text_col).alias("text")))
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # mirrors functions/text.words() EXACTLY: trim strips ASCII SPACE
@@ -336,42 +362,59 @@ def collocations(
     Output: (a, b, c_ab, pmi) — the k highest-PMI pairs with
     c_ab ≥ min_count, ties broken lexicographically.
     """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
     counts = _pmi_count_table(docs, text_col).persist()
+    spark = docs.sparkSession
     try:
-        # materializes the cache; N = total bigrams (unfiltered, the PMI
-        # normalizer the old plan spent a third corpus pass on) arrives as
-        # the merged sentinel row — a filter-collect, no extra agg stage
-        srow = counts.filter(F.col("a").isNull()).collect()
-        n_bg = srow[0]["c"] if srow else 0
-        uni = counts.filter(F.col("b").isNull() & F.col("a").isNotNull()).select(
-            "a", "c"
-        )
+        # ONE collect materializes the cache and returns BOTH the sentinel
+        # (N, the total-bigram normalizer the round-5 plan spent a third
+        # corpus pass on) and the unigram table — which the scoring kernel
+        # receives as a broadcast dict. Same size class as the previous
+        # F.broadcast(uni) joins (a broadcast hint materializes on the
+        # driver anyway), but two broadcast-exchange jobs cheaper: the key
+        # is exactly two jobs — materialize+collect-uni, then score+top-k.
+        uni_rows = counts.filter(F.col("b").isNull()).collect()
+        n_bg = 0
+        u: dict = {}
+        for r in uni_rows:
+            if r["a"] is None:
+                n_bg = r["c"]
+            else:
+                u[r["a"]] = r["c"]
+        if not u:
+            return spark.createDataFrame(
+                [], schema="a string, b string, c_ab bigint, pmi double"
+            )
+        bc = spark.sparkContext.broadcast((float(n_bg), u))
+
+        def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            n_, u_ = bc.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                ca = pdf["a"].map(u_).to_numpy(dtype=np.float64)
+                cb = pdf["b"].map(u_).to_numpy(dtype=np.float64)
+                cab = pdf["c"].to_numpy(dtype=np.float64)
+                # same expression shape (and IEEE op order) as the oracle:
+                # one ln of exact integer counts — rounding stays JVM-side
+                # (F.round below) so round-half semantics match exactly
+                pmi = np.log(cab * n_ / (ca * cb))
+                yield pd.DataFrame(
+                    {"a": pdf["a"], "b": pdf["b"], "c_ab": pdf["c"], "pmi": pmi}
+                )
+
         scored = (
             counts.filter(F.col("b").isNotNull() & (F.col("c") >= min_count))
-            .withColumnRenamed("c", "c_ab")
-            .join(F.broadcast(uni.select(F.col("a"), F.col("c").alias("c_a"))), "a")
-            .join(
-                F.broadcast(uni.select(F.col("a").alias("b"), F.col("c").alias("c_b"))),
-                "b",
-            )
-            .select(
-                "a",
-                "b",
-                "c_ab",
-                F.round(
-                    F.log(
-                        F.col("c_ab")
-                        * F.lit(float(n_bg))
-                        / (F.col("c_a").cast("double") * F.col("c_b"))
-                    ),
-                    6,
-                ).alias("pmi"),
-            )
+            .mapInPandas(score, schema="a string, b string, c_ab long, pmi double")
+            .withColumn("pmi", F.round("pmi", 6))
         )
         top = scored.orderBy(F.col("pmi").desc(), "a", "b").limit(k).collect()
     finally:
         counts.unpersist()
-    spark = docs.sparkSession
     return spark.createDataFrame(
         top, schema="a string, b string, c_ab bigint, pmi double"
     )

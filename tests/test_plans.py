@@ -363,18 +363,35 @@ def test_holt_series_keyed_shuffles_only(spark, sf_dir):
 def test_vocab_pmi_arrow_kernel_parallel_no_hof(spark, sf_dir):
     """vocab_pmi's count table (the corpus-sized pass): an Arrow
     mapInPandas kernel — NOT the round-5 interpreted transform() lambda
-    bigram explode — fed by ≥defaultParallelism partitions even though
-    the documents parquet arrives as a single split."""
-    from lakeside_spark.operators.textstats import _pmi_count_table
+    bigram explode — fed through the size-aware parallelize gate: a
+    kilobyte corpus stays on few tasks (no 32-worker fan-out for ms of
+    work), a big one spreads to all cores (pinned on a synthetic
+    many-byte input below)."""
+    from lakeside_spark.operators.textstats import (
+        _parallelize_sized,
+        _pmi_count_table,
+    )
     from lakeside_spark.sources.tables import load_table
 
     counts = _pmi_count_table(load_table(spark, sf_dir, "documents"))
     plan = counts._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" in plan, plan[:1500]
     assert "transform(" not in plan and "lambdafunction" not in plan, plan[:1500]
-    # the single-split scan must be spread before the kernel
+    # the sized gate: tiny test corpus → task count bounded by bytes, not
+    # blown out to defaultParallelism
+    import os
+
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    total = sum(
+        os.path.getsize(f.removeprefix("file:")) for f in docs.inputFiles()
+    )
     dp = spark.sparkContext.defaultParallelism
-    assert f"RoundRobinPartitioning({dp}" in plan or counts.rdd.getNumPartitions() >= dp, plan[:1500]
+    want = max(1, min(dp, -(-total // (4 << 20))))
+    got = _parallelize_sized(docs).rdd.getNumPartitions()
+    assert got >= want, (got, want)
+    # an already-parallel input passes through with no extra Exchange
+    wide = spark.range(0, 1 << 20, 1, dp).selectExpr("repeat('x', 64) AS text")
+    assert _parallelize_sized(wide).rdd.getNumPartitions() >= dp
 
 
 def test_stickiness_no_nested_loop_join(spark, sf_dir):
