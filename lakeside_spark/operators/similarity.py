@@ -1268,3 +1268,119 @@ def semdedup(
     return assigned.groupBy("cell").applyInPandas(
         dedup_cell, schema="vec_id bigint, cell int, max_kept_cos double"
     )
+
+
+def embedding_linear_probe(
+    emb: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    l2: float = 1e-3,
+) -> DataFrame:
+    """Closed-form ridge linear probe on the embedding column — the
+    standard representation-quality diagnostic (a linear probe that
+    predicts a label from frozen embeddings; Alain & Bengio 2016): how
+    linearly decodable is the metadata from the vectors?
+
+    100 TB shape, identical to embedding_whitening's covariance pass:
+    ONE moment pass accumulates per TASK the packed partial
+    [n, Σy, yᵀy, Xᵀy (d+1), XᵀX ((d+1)²)] over bias-augmented vectors,
+    reduced element-wise (posexplode + sum, map-side combined — nothing
+    grows with corpus size), the (d+1)² ridge system solves on the
+    driver in microseconds, and predictions broadcast back as a
+    map-only Arrow kernel. R²/SSE come from the SAME moments (SSE =
+    yᵀy − 2wᵀXᵀy + wᵀXᵀXw), so the metrics cost no extra pass.
+
+    Output: (vec_id, label, pred, resid) per vector; r2 is attached as
+    a constant column so a single report row carries the probe quality.
+    rows-only: a matrix solve is not SQL-expressible; the pytest pins
+    predictions against the numpy closed form and R² bounds."""
+    spark = emb.sparkSession
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = 0
+        sy = 0.0
+        yy = 0.0
+        xty: np.ndarray | None = None
+        xtx: np.ndarray | None = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.array(list(pdf[vec_col]), dtype=np.float64)
+            x = np.hstack([m, np.ones((len(m), 1))])
+            y = pdf[label_col].to_numpy(dtype=np.float64)
+            n += len(m)
+            sy += float(y.sum())
+            yy += float((y * y).sum())
+            if xty is None:
+                xty = x.T @ y
+                xtx = x.T @ x
+            else:
+                xty += x.T @ y
+                xtx += x.T @ x
+        if xty is not None:
+            yield pd.DataFrame(
+                {
+                    "p": [
+                        np.concatenate(
+                            ([float(n), sy, yy], xty, xtx.ravel())
+                        )
+                    ]
+                }
+            )
+
+    red = (
+        _parallelize(emb.select(vec_col, label_col))
+        .mapInPandas(partials, schema="p array<double>")
+        .select(F.posexplode("p").alias("i", "v"))
+        .groupBy("i")
+        .agg(F.sum("v").alias("v"))
+        .collect()
+    )
+    empty_schema = (
+        f"{id_col} bigint, {label_col} double, pred double, resid double, "
+        "r2 double"
+    )
+    if not red:
+        return spark.createDataFrame([], schema=empty_schema)
+    packed = np.zeros(len(red), dtype=np.float64)
+    for r in red:
+        packed[r["i"]] = r["v"]
+    # L = 3 + (d+1) + (d+1)²  →  d+1 = (√(4L−11) − 1) / 2
+    da = int((np.sqrt(4 * len(packed) - 11) - 1) // 2)
+    assert 3 + da + da * da == len(packed), len(packed)
+    n, sy, yy = packed[0], packed[1], packed[2]
+    if n == 0:
+        return spark.createDataFrame([], schema=empty_schema)
+    xty = packed[3 : 3 + da]
+    xtx = packed[3 + da :].reshape(da, da)
+    # ridge: don't penalize the bias term
+    reg = np.eye(da) * l2
+    reg[-1, -1] = 0.0
+    w = np.linalg.solve(xtx + reg, xty)
+    sse = float(yy - 2.0 * w @ xty + w @ xtx @ w)
+    sst = float(yy - sy * sy / n)
+    r2 = 1.0 - sse / sst if sst > 0 else 0.0
+    bc = spark.sparkContext.broadcast((w, r2))
+
+    def predict(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        w_, r2_ = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.array(list(pdf[vec_col]), dtype=np.float64)
+            pred = m @ w_[:-1] + w_[-1]
+            y = pdf[label_col].to_numpy(dtype=np.float64)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(np.int64),
+                    label_col: y,
+                    "pred": pred,
+                    "resid": y - pred,
+                    "r2": np.full(len(m), r2_),
+                }
+            )
+
+    return emb.select(id_col, vec_col, label_col).mapInPandas(
+        predict, schema=empty_schema
+    )

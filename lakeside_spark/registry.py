@@ -4529,6 +4529,21 @@ def embedding_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _whiten(load_table(spark, sf_dir, "embeddings"))
 
 
+def embedding_linear_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rows-only: closed-form ridge linear probe predicting the label
+    column from frozen embeddings (Alain & Bengio 2016 — the standard
+    representation-quality diagnostic). ONE packed moment pass
+    (per-task [n, Σy, yᵀy, Xᵀy, XᵀX] partials, element-wise reduce),
+    driver (d+1)² solve, broadcast map-only predictions with R² from
+    the same moments (operators/similarity.embedding_linear_probe;
+    closed-form-equality pytest-pinned)."""
+    from lakeside_spark.operators.similarity import (
+        embedding_linear_probe as _probe,
+    )
+
+    return _probe(load_table(spark, sf_dir, "embeddings"))
+
+
 def ts_week_over_week(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Week-over-week change per series: hourly count vs the same hour
     one week earlier (lag 168 on the step grid) with the percent delta —
@@ -4923,6 +4938,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ema_smooth": ema_smooth_series,
     "ts_cardinality_sketch": ts_cardinality_sketch,
     "stickiness_dau_mau_sketch": stickiness_dau_mau_sketch,
+    "embedding_linear_probe": embedding_linear_probe,
     "ts_percentile_sketch": ts_percentile_sketch,
     "user_retention_sketch": user_retention_sketch,
 }

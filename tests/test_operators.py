@@ -1287,3 +1287,37 @@ def test_stickiness_sketch_tracks_exact(spark, sf_dir):
     for d in ex:
         assert abs(est[d][0] - ex[d][0]) / max(ex[d][0], 1) < 0.05, d
         assert abs(est[d][1] - ex[d][1]) / max(ex[d][1], 1) < 0.05, d
+
+
+def test_linear_probe_matches_closed_form(spark, sf_dir):
+    """The distributed moment-pass ridge probe must equal the numpy
+    closed form computed on the collected data — coefficients enter via
+    predictions, R² via the constant column."""
+    import numpy as np
+
+    from lakeside_spark.operators.similarity import embedding_linear_probe
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = emb.select("vec_id", "embedding", "label").collect()
+    X = np.hstack(
+        [
+            np.array([r["embedding"] for r in rows], dtype=np.float64),
+            np.ones((len(rows), 1)),
+        ]
+    )
+    y = np.array([r["label"] for r in rows], dtype=np.float64)
+    reg = np.eye(X.shape[1]) * 1e-3
+    reg[-1, -1] = 0.0
+    w = np.linalg.solve(X.T @ X + reg, X.T @ y)
+    ref_pred = {r["vec_id"]: float(X[i] @ w) for i, r in enumerate(rows)}
+    sse = float(((y - X @ w) ** 2).sum())
+    sst = float(((y - y.mean()) ** 2).sum())
+    ref_r2 = 1.0 - sse / sst
+
+    got = embedding_linear_probe(emb).collect()
+    assert len(got) == len(rows)
+    for r in got:
+        assert abs(r["pred"] - ref_pred[r["vec_id"]]) < 1e-6, r["vec_id"]
+        assert abs(r["resid"] - (r["label"] - r["pred"])) < 1e-9
+        assert abs(r["r2"] - ref_r2) < 1e-6
+    assert 0.0 <= got[0]["r2"] <= 1.0
