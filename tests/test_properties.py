@@ -404,3 +404,67 @@ def test_holt_winters_hand_computed_constants(spark):
     assert row["forecast_1"] == round(3.1625 + 0.52625 - 0.925, 6)
     assert row["forecast_2"] == round(3.1625 + 2 * 0.52625 + 0.95125, 6)
     assert row["rmse"] == round((0.355625 / 2) ** 0.5, 6)
+
+
+WS_TEXTS = st.lists(
+    st.text(
+        # whitespace zoo: ASCII space, Java-\s members (\t \n \x0b \f \r),
+        # and NBSP (NOT whitespace to Spark trim / Java \s / the oracle)
+        alphabet="ab c\t\n\x0b\f\r\xa0.",
+        min_size=0,
+        max_size=40,
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=WS_TEXTS)
+def test_pmi_kernel_tokenization_matches_spark_words(spark, texts):
+    """The vocab_pmi Arrow kernel's Python tokenizer must produce exactly
+    the unigram/bigram counts the Spark words() expression does — incl.
+    the ASCII-space-only trim and ''-token filtering rules that round-6's
+    review found diverging (Python .strip() eats \\t/\\xa0 that Spark
+    trim keeps)."""
+    from pyspark.sql import functions as F
+
+    from lakeside_spark.functions.text import words
+    from lakeside_spark.operators.textstats import _pmi_count_table
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r["a"], r["b"]): r["c"]
+        for r in _pmi_count_table(df).collect()
+        if r["a"] is not None  # drop the sentinel N row
+    }
+    w = words("text")
+    uni = {
+        (r["w"], None): r["c"]
+        for r in df.select(F.explode(w).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    }
+    pairs = F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 1),
+            lambda i: F.struct(
+                F.element_at(w, i).alias("a"), F.element_at(w, i + 1).alias("b")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    bg = {
+        (r["a"], r["b"]): r["c"]
+        for r in df.select(F.explode(pairs).alias("p"))
+        .select("p.a", "p.b")
+        .filter((F.col("a") != "") & (F.col("b") != ""))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    }
+    assert got == {**uni, **bg}
