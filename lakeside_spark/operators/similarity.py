@@ -1384,3 +1384,90 @@ def embedding_linear_probe(
     return emb.select(id_col, vec_col, label_col).mapInPandas(
         predict, schema=empty_schema
     )
+
+
+def embedding_pca_reduce(
+    emb: DataFrame,
+    out_dim: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """PCA dimensionality reduction of the embedding column: x → Uₖᵀ(x−μ)
+    with Uₖ the top-``out_dim`` principal directions — the standard
+    store-smaller/search-faster pipeline step (64-dim float → 16-dim
+    keeps most variance at 4× less storage and 4× faster dot products;
+    pairs with ann_sq8 for a 32× end-to-end shrink).
+
+    100 TB shape: identical to embedding_whitening — one per-task packed
+    moment pass ([n, Σx, XᵀX]) reduced element-wise, driver eigh on the
+    d×d covariance, then a map-only broadcast projection. The explained
+    variance ratio rides along as a constant column so the caller sees
+    what the reduction kept. rows-only: eigendecomposition is not
+    SQL-expressible; orthogonality/variance-ordering/EVR invariants are
+    pytest-pinned."""
+    spark = emb.sparkSession
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = 0
+        s: np.ndarray | None = None
+        g: np.ndarray | None = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.array(list(pdf[vec_col]), dtype=np.float64)
+            n += len(m)
+            if s is None:
+                s = m.sum(axis=0)
+                g = m.T @ m
+            else:
+                s += m.sum(axis=0)
+                g += m.T @ m
+        if s is not None:
+            yield pd.DataFrame(
+                {"p": [np.concatenate(([float(n)], s, g.ravel()))]}
+            )
+
+    red = (
+        _parallelize(emb.select(vec_col))
+        .mapInPandas(partials, schema="p array<double>")
+        .select(F.posexplode("p").alias("i", "v"))
+        .groupBy("i")
+        .agg(F.sum("v").alias("v"))
+        .collect()
+    )
+    empty_schema = f"{id_col} bigint, {vec_col} array<double>, evr double"
+    if not red:
+        return spark.createDataFrame([], schema=empty_schema)
+    packed = np.zeros(len(red), dtype=np.float64)
+    for r in red:
+        packed[r["i"]] = r["v"]
+    d = int((np.sqrt(4 * len(packed) - 3) - 1) // 2)
+    assert 1 + d + d * d == len(packed), len(packed)
+    n = int(packed[0])
+    if n == 0:
+        return spark.createDataFrame([], schema=empty_schema)
+    mu = packed[1 : 1 + d] / n
+    cov = packed[1 + d :].reshape(d, d) / n - np.outer(mu, mu)
+    lam, u = np.linalg.eigh(cov)
+    order = np.argsort(-lam)
+    lam, u = lam[order], u[:, order]
+    k = min(out_dim, d)
+    evr = float(np.clip(lam[:k].sum() / max(lam.sum(), 1e-300), 0.0, 1.0))
+    bc = spark.sparkContext.broadcast((mu, u[:, :k], evr))
+
+    def project(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        mu_, uk, evr_ = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.array(list(pdf[vec_col]), dtype=np.float64)
+            out = (m - mu_) @ uk
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(np.int64),
+                    vec_col: list(out),
+                    "evr": np.full(len(m), evr_),
+                }
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(project, schema=empty_schema)

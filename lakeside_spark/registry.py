@@ -4544,6 +4544,20 @@ def embedding_linear_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _probe(load_table(spark, sf_dir, "embeddings"))
 
 
+def embedding_pca_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rows-only: PCA reduction of the embedding column to 16 dims
+    (store-smaller/search-faster; pairs with ann_sq8 for ~32x end-to-end
+    shrink). Same one-moment-pass + driver-eigh + map-only-projection
+    shape as embedding_whitening; explained-variance ratio rides along
+    (operators/similarity.embedding_pca_reduce; invariants
+    pytest-pinned)."""
+    from lakeside_spark.operators.similarity import (
+        embedding_pca_reduce as _pca,
+    )
+
+    return _pca(load_table(spark, sf_dir, "embeddings"))
+
+
 def ts_week_over_week(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Week-over-week change per series: hourly count vs the same hour
     one week earlier (lag 168 on the step grid) with the percent delta —
@@ -4939,6 +4953,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ts_cardinality_sketch": ts_cardinality_sketch,
     "stickiness_dau_mau_sketch": stickiness_dau_mau_sketch,
     "embedding_linear_probe": embedding_linear_probe,
+    "embedding_pca_reduce": embedding_pca_reduce,
     "ts_percentile_sketch": ts_percentile_sketch,
     "user_retention_sketch": user_retention_sketch,
 }

@@ -1321,3 +1321,42 @@ def test_linear_probe_matches_closed_form(spark, sf_dir):
         assert abs(r["resid"] - (r["label"] - r["pred"])) < 1e-9
         assert abs(r["r2"] - ref_r2) < 1e-6
     assert 0.0 <= got[0]["r2"] <= 1.0
+
+
+def test_pca_reduce_invariants(spark, sf_dir):
+    """PCA reduction: projections match the numpy closed form, the
+    explained-variance ratio is the top-k eigenvalue share, and reducing
+    to full dim preserves pairwise distances (orthogonal transform)."""
+    import numpy as np
+
+    from lakeside_spark.operators.similarity import embedding_pca_reduce
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = emb.select("vec_id", "embedding").collect()
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    mu = X.mean(axis=0)
+    lam, u = np.linalg.eigh(np.cov(X.T, bias=True))
+    order = np.argsort(-lam)
+    lam, u = lam[order], u[:, order]
+
+    got = {r["vec_id"]: r for r in embedding_pca_reduce(emb, out_dim=16).collect()}
+    assert len(got) == len(rows)
+    ref_evr = lam[:16].sum() / lam.sum()
+    ref = {r["vec_id"]: (np.array(r2["embedding"]) - mu) @ u[:, :16]
+           for r, r2 in zip(rows, rows)}
+    for r in rows:
+        g = np.array(got[r["vec_id"]]["embedding"])
+        assert len(g) == 16
+        # eigenvectors are sign-ambiguous: compare per-component magnitude
+        assert np.allclose(np.abs(g), np.abs(ref[r["vec_id"]]), atol=1e-8)
+        assert abs(got[r["vec_id"]]["evr"] - ref_evr) < 1e-9
+    # full-dim reduction is an isometry up to centering: distances preserved
+    full = {r["vec_id"]: np.array(r["embedding"])
+            for r in embedding_pca_reduce(emb, out_dim=64).collect()}
+    ids = [r["vec_id"] for r in rows[:10]]
+    orig = {r["vec_id"]: np.array(r["embedding"]) for r in rows}
+    for a in ids[:5]:
+        for b in ids[5:]:
+            d0 = np.linalg.norm(orig[a] - orig[b])
+            d1 = np.linalg.norm(full[a] - full[b])
+            assert abs(d0 - d1) < 1e-8
