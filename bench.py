@@ -123,6 +123,8 @@ HEADLINE = [
     "ann_sq8",
     "embedding_cluster_stats",
     "embedding_whitening",
+    "embedding_linear_probe",
+    "embedding_pca_reduce",
     "vocab_pmi",
     "ann_recall_report",
     "tag_cardinality_budget",
