@@ -1006,6 +1006,84 @@ def label_centroid_outliers(
     )
 
 
+def _moment_pass(
+    df: DataFrame, vec_col: str, label_col: str | None = None
+) -> tuple | None:
+    """ONE packed per-task moment pass over a vector column — the shared
+    engine behind embedding_whitening / embedding_pca_reduce /
+    embedding_linear_probe.
+
+    Each task accumulates across ALL its Arrow batches and yields exactly
+    ONE partial (the round-5 per-batch version made the reduce grow with
+    corpus size — ~1e7 batch partials at 1e11 rows; per-task keeps it at
+    tasks-count, and every count packs exactly as a double below 2^53).
+    Partials reduce element-wise (posexplode + sum, map-side combined), so
+    no single task ever materializes a tasks-count list.
+
+    Without ``label_col``: packed [n, Σx (d), XᵀX (d²)] →
+    returns (n, s, g) with g as the (d,d) Gram matrix.
+    With ``label_col``: packed [n, Σy, yᵀy, Xᵀy (d+1), XᵀX ((d+1)²)]
+    over bias-augmented rows [x, 1] → returns (n, sy, yy, xty, xtx).
+    Returns None for an empty input."""
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = 0
+        sy = 0.0
+        yy = 0.0
+        vec_acc: np.ndarray | None = None
+        mat_acc: np.ndarray | None = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.array(list(pdf[vec_col]), dtype=np.float64)
+            n += len(m)
+            if label_col is not None:
+                x = np.hstack([m, np.ones((len(m), 1))])
+                y = pdf[label_col].to_numpy(dtype=np.float64)
+                sy += float(y.sum())
+                yy += float((y * y).sum())
+                v, g = x.T @ y, x.T @ x
+            else:
+                v, g = m.sum(axis=0), m.T @ m
+            if vec_acc is None:
+                vec_acc, mat_acc = v, g
+            else:
+                vec_acc += v
+                mat_acc += g
+        if vec_acc is not None:
+            head = (
+                [float(n), sy, yy] if label_col is not None else [float(n)]
+            )
+            yield pd.DataFrame(
+                {"p": [np.concatenate((head, vec_acc, mat_acc.ravel()))]}
+            )
+
+    cols = [vec_col] if label_col is None else [vec_col, label_col]
+    red = (
+        _parallelize(df.select(*cols))
+        .mapInPandas(partials, schema="p array<double>")
+        .select(F.posexplode("p").alias("i", "v"))
+        .groupBy("i")
+        .agg(F.sum("v").alias("v"))
+        .collect()
+    )
+    if not red:
+        return None
+    packed = np.zeros(len(red), dtype=np.float64)
+    for r in red:
+        packed[r["i"]] = r["v"]
+    h = 1 if label_col is None else 3
+    # L = h + d + d²  →  d = (√(4(L−h)+1) − 1) / 2
+    d = int((np.sqrt(4 * (len(packed) - h) + 1) - 1) // 2)
+    assert h + d + d * d == len(packed), len(packed)
+    n = int(packed[0])
+    vec = packed[h : h + d]
+    mat = packed[h + d :].reshape(d, d)
+    if label_col is None:
+        return n, vec, mat
+    return n, float(packed[1]), float(packed[2]), vec, mat
+
+
 def embedding_whitening(
     emb: DataFrame,
     eps: float = 1e-6,
@@ -1032,62 +1110,12 @@ def embedding_whitening(
     Output: (vec_id, embedding) with the whitened array<double>.
     """
     spark = emb.sparkSession
-
-    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # accumulate across ALL batches and yield exactly ONE partial per
-        # task: [n, Σx (d), XᵀX (d²)] packed into one double array. The
-        # round-5 per-batch version made the downstream reduce grow with
-        # corpus size (~1e7 batch partials at 1e11 rows) — per-task
-        # accumulation keeps it at tasks-count, and n packs as a double
-        # exactly (counts < 2^53).
-        acc_n = 0
-        acc_s: np.ndarray | None = None
-        acc_g: np.ndarray | None = None
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            m = np.array(list(pdf[vec_col]), dtype=np.float64)
-            acc_n += len(m)
-            if acc_s is None:
-                acc_s = m.sum(axis=0)
-                acc_g = m.T @ m
-            else:
-                acc_s += m.sum(axis=0)
-                acc_g += m.T @ m
-        if acc_s is not None:
-            yield pd.DataFrame(
-                {"p": [np.concatenate(([float(acc_n)], acc_s, acc_g.ravel()))]}
-            )
-
-    # element-wise distributed reduce: posexplode the packed moment vector
-    # and sum per index — map-side partial aggregation combines each task's
-    # (1+d+d²) rows before the shuffle, so no single task ever materializes
-    # a tasks-count list (the r5 collect_list fold did)
-    red = (
-        _parallelize(emb.select(vec_col))
-        .mapInPandas(partials, schema="p array<double>")
-        .select(F.posexplode("p").alias("i", "v"))
-        .groupBy("i")
-        .agg(F.sum("v").alias("v"))
-        .collect()
-    )
-    if not red:
+    moments = _moment_pass(emb, vec_col)
+    if moments is None or moments[0] == 0:
         return spark.createDataFrame(
             [], schema=f"{id_col} bigint, {vec_col} array<double>"
         )
-    packed = np.zeros(len(red), dtype=np.float64)
-    for r in red:
-        packed[r["i"]] = r["v"]
-    # L = 1 + d + d²  →  d = (√(4L−3) − 1) / 2
-    d = int((np.sqrt(4 * len(packed) - 3) - 1) // 2)
-    assert 1 + d + d * d == len(packed), len(packed)
-    n = int(packed[0])
-    if n == 0:
-        return spark.createDataFrame(
-            [], schema=f"{id_col} bigint, {vec_col} array<double>"
-        )
-    s = packed[1 : 1 + d]
-    g = packed[1 + d :].reshape(d, d)
+    n, s, g = moments
     mu = s / n
     cov = g / n - np.outer(mu, mu)
     # ZCA: W = U diag(1/sqrt(λ+eps)) Uᵀ — symmetric, stays near the
@@ -1296,71 +1324,25 @@ def embedding_linear_probe(
     rows-only: a matrix solve is not SQL-expressible; the pytest pins
     predictions against the numpy closed form and R² bounds."""
     spark = emb.sparkSession
-
-    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        n = 0
-        sy = 0.0
-        yy = 0.0
-        xty: np.ndarray | None = None
-        xtx: np.ndarray | None = None
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            m = np.array(list(pdf[vec_col]), dtype=np.float64)
-            x = np.hstack([m, np.ones((len(m), 1))])
-            y = pdf[label_col].to_numpy(dtype=np.float64)
-            n += len(m)
-            sy += float(y.sum())
-            yy += float((y * y).sum())
-            if xty is None:
-                xty = x.T @ y
-                xtx = x.T @ x
-            else:
-                xty += x.T @ y
-                xtx += x.T @ x
-        if xty is not None:
-            yield pd.DataFrame(
-                {
-                    "p": [
-                        np.concatenate(
-                            ([float(n), sy, yy], xty, xtx.ravel())
-                        )
-                    ]
-                }
-            )
-
-    red = (
-        _parallelize(emb.select(vec_col, label_col))
-        .mapInPandas(partials, schema="p array<double>")
-        .select(F.posexplode("p").alias("i", "v"))
-        .groupBy("i")
-        .agg(F.sum("v").alias("v"))
-        .collect()
-    )
     empty_schema = (
         f"{id_col} bigint, {label_col} double, pred double, resid double, "
         "r2 double"
     )
-    if not red:
+    moments = _moment_pass(emb, vec_col, label_col)
+    if moments is None or moments[0] == 0:
         return spark.createDataFrame([], schema=empty_schema)
-    packed = np.zeros(len(red), dtype=np.float64)
-    for r in red:
-        packed[r["i"]] = r["v"]
-    # L = 3 + (d+1) + (d+1)²  →  d+1 = (√(4L−11) − 1) / 2
-    da = int((np.sqrt(4 * len(packed) - 11) - 1) // 2)
-    assert 3 + da + da * da == len(packed), len(packed)
-    n, sy, yy = packed[0], packed[1], packed[2]
-    if n == 0:
-        return spark.createDataFrame([], schema=empty_schema)
-    xty = packed[3 : 3 + da]
-    xtx = packed[3 + da :].reshape(da, da)
+    n, sy, yy, xty, xtx = moments
+    da = len(xty)
     # ridge: don't penalize the bias term
     reg = np.eye(da) * l2
     reg[-1, -1] = 0.0
     w = np.linalg.solve(xtx + reg, xty)
+    # SSE from moments is a difference of large numbers: cancellation on
+    # near-perfectly-linear labels can nudge it below 0 — clamp R² to its
+    # documented [0, 1] bound (same as pca_reduce's evr clamp)
     sse = float(yy - 2.0 * w @ xty + w @ xtx @ w)
     sst = float(yy - sy * sy / n)
-    r2 = 1.0 - sse / sst if sst > 0 else 0.0
+    r2 = float(np.clip(1.0 - sse / sst, 0.0, 1.0)) if sst > 0 else 0.0
     bc = spark.sparkContext.broadcast((w, r2))
 
     def predict(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1406,48 +1388,14 @@ def embedding_pca_reduce(
     SQL-expressible; orthogonality/variance-ordering/EVR invariants are
     pytest-pinned."""
     spark = emb.sparkSession
-
-    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        n = 0
-        s: np.ndarray | None = None
-        g: np.ndarray | None = None
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            m = np.array(list(pdf[vec_col]), dtype=np.float64)
-            n += len(m)
-            if s is None:
-                s = m.sum(axis=0)
-                g = m.T @ m
-            else:
-                s += m.sum(axis=0)
-                g += m.T @ m
-        if s is not None:
-            yield pd.DataFrame(
-                {"p": [np.concatenate(([float(n)], s, g.ravel()))]}
-            )
-
-    red = (
-        _parallelize(emb.select(vec_col))
-        .mapInPandas(partials, schema="p array<double>")
-        .select(F.posexplode("p").alias("i", "v"))
-        .groupBy("i")
-        .agg(F.sum("v").alias("v"))
-        .collect()
-    )
     empty_schema = f"{id_col} bigint, {vec_col} array<double>, evr double"
-    if not red:
+    moments = _moment_pass(emb, vec_col)
+    if moments is None or moments[0] == 0:
         return spark.createDataFrame([], schema=empty_schema)
-    packed = np.zeros(len(red), dtype=np.float64)
-    for r in red:
-        packed[r["i"]] = r["v"]
-    d = int((np.sqrt(4 * len(packed) - 3) - 1) // 2)
-    assert 1 + d + d * d == len(packed), len(packed)
-    n = int(packed[0])
-    if n == 0:
-        return spark.createDataFrame([], schema=empty_schema)
-    mu = packed[1 : 1 + d] / n
-    cov = packed[1 + d :].reshape(d, d) / n - np.outer(mu, mu)
+    n, s, g = moments
+    mu = s / n
+    cov = g / n - np.outer(mu, mu)
+    d = len(mu)
     lam, u = np.linalg.eigh(cov)
     order = np.argsort(-lam)
     lam, u = lam[order], u[:, order]

@@ -1342,17 +1342,20 @@ def test_pca_reduce_invariants(spark, sf_dir):
     got = {r["vec_id"]: r for r in embedding_pca_reduce(emb, out_dim=16).collect()}
     assert len(got) == len(rows)
     ref_evr = lam[:16].sum() / lam.sum()
-    ref = {r["vec_id"]: (np.array(r2["embedding"]) - mu) @ u[:, :16]
-           for r, r2 in zip(rows, rows)}
+    ref = {
+        r["vec_id"]: (np.array(r["embedding"]) - mu) @ u[:, :16] for r in rows
+    }
     for r in rows:
         g = np.array(got[r["vec_id"]]["embedding"])
         assert len(g) == 16
         # eigenvectors are sign-ambiguous: compare per-component magnitude
         assert np.allclose(np.abs(g), np.abs(ref[r["vec_id"]]), atol=1e-8)
         assert abs(got[r["vec_id"]]["evr"] - ref_evr) < 1e-9
-    # full-dim reduction is an isometry up to centering: distances preserved
+    # full-dim reduction is an isometry up to centering: distances
+    # preserved (out_dim derived from the fixture, not hardcoded)
+    d_full = len(rows[0]["embedding"])
     full = {r["vec_id"]: np.array(r["embedding"])
-            for r in embedding_pca_reduce(emb, out_dim=64).collect()}
+            for r in embedding_pca_reduce(emb, out_dim=d_full).collect()}
     ids = [r["vec_id"] for r in rows[:10]]
     orig = {r["vec_id"]: np.array(r["embedding"]) for r in rows}
     for a in ids[:5]:
