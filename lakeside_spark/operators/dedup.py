@@ -384,10 +384,16 @@ def connected_components(
     Near-dup graphs are tiny relative to the corpus (they only contain
     docs with at least one duplicate), so when the edge list fits the
     driver (≤ local_max_edges) a single collect + union-find answers in
-    one job instead of diameter-many join rounds. Past that, min-label
-    propagation: every node starts labeled with itself; each round joins
-    labels across edges and keeps the minimum; stops at the first round
-    with no label change (rounds = graph diameter; all DataFrame ops).
+    one job instead of multi-round joins. Past that, alternating
+    large-star / small-star rounds (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC 2014): each round rewires
+    every node's neighbors to the minimum of its closed neighborhood,
+    which contracts the graph toward per-component stars in O(log²)
+    rounds REGARDLESS of diameter — the property that matters at 100 TB,
+    where chain-shaped near-dup graphs (doc A ~ A' ~ A'' ~ …) make any
+    diameter-bound propagation scheme (label push, BFS) unboundedly
+    slow. Each round is two shuffle stages (groupBy min + re-emit), all
+    DataFrame ops, no driver state.
     Singletons are not emitted — absent ids are their own cluster.
     """
     # persisted: the size probe and the collect/edge-build below would
@@ -415,57 +421,103 @@ def connected_components(
         return pairs.sparkSession.createDataFrame(
             out or [(None, None)], schema="doc_id bigint, cluster_id bigint"
         ).filter("doc_id is not null")
+    # canonical (hi, lo) undirected edge list; self-pairs carry no
+    # connectivity information and would survive as self-loops
     edges = (
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
-        .distinct()
-        .persist()
-    )
-    edges.count()  # materialize so the pair pipeline runs exactly once
-    pairs.unpersist()
-    labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("label", F.col("id"))
-        .persist()
-    )
-    changed = 0
-    for _ in range(max_iter):
-        neighbor_min = (
-            edges.join(labels, edges["dst"] == labels["id"])
-            .groupBy("src")
-            .agg(F.min("label").alias("nlabel"))
+        pairs.filter(F.col("id_a") != F.col("id_b"))
+        .select(
+            F.greatest("id_a", "id_b").alias("hi"),
+            F.least("id_a", "id_b").alias("lo"),
         )
-        new_labels = (
-            labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
-            .select(
-                "id",
-                F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
-            )
+        .distinct()
+        .persist()
+    )
+    # order-insensitive signature (count, Σ xxhash64) detects the fixed
+    # point in one tiny agg job per round instead of an anti-join diff
+    def _sig(e: DataFrame):
+        r = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal accumulator: ANSI mode makes a long Σ of 64-bit
+            # hashes an overflow error, not a wrap
+            F.coalesce(
+                F.sum(F.xxhash64("hi", "lo").cast("decimal(38,0)")),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("h"),
+        ).collect()[0]
+        return (r["n"], r["h"])
+
+    sig = _sig(edges)  # also materializes: pair pipeline runs exactly once
+    pairs.unpersist()
+    converged = False
+    for _ in range(max_iter):
+        # large-star: for every node u, rewire each STRICTLY LARGER
+        # neighbor x to m(u) = min(closed neighborhood of u)
+        adj = edges.select(F.col("hi").alias("u"), F.col("lo").alias("x")).union(
+            edges.select(F.col("lo").alias("u"), F.col("hi").alias("x"))
+        )
+        mins = (
+            adj.groupBy("u")
+            .agg(F.min("x").alias("mn"))
+            .select("u", F.least("mn", "u").alias("m"))
+        )
+        large = (
+            adj.join(mins, "u")
+            .filter(F.col("x") > F.col("u"))
+            .select(F.col("x").alias("hi"), F.col("m").alias("lo"))
+            .distinct()
             .persist()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
+        large.count()
+        edges.unpersist()
+        # small-star: key by the larger endpoint; rewire u and all its
+        # smaller neighbors to the minimum among them
+        smins = (
+            large.groupBy("hi")
+            .agg(F.min("lo").alias("m"))
         )
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
+        joined = large.join(smins, "hi")
+        small = (
+            joined.select(F.col("lo").alias("hi"), F.col("m").alias("lo"))
+            .union(joined.select("hi", F.col("m").alias("lo")))
+            .filter(F.col("hi") != F.col("lo"))
+            .distinct()
+            # CRITICAL: truncate lineage every round. Each round's plan
+            # embeds ~12 copies of the previous round's tree (two adj
+            # unions + self-joins), so without a checkpoint the LOGICAL
+            # plan — and Catalyst analysis time — grows exponentially
+            # and kills the driver by round ~3. Eager localCheckpoint
+            # materializes to executor-local blocks and restarts the
+            # lineage; on a fault-tolerant cluster run, swap for
+            # .checkpoint() with a reliable checkpoint dir.
+            .localCheckpoint(eager=True)
+        )
+        new_sig = _sig(small)
+        large.unpersist()
+        edges = small
+        if new_sig == sig:
+            converged = True
             break
-    if changed > 0:
+        sig = new_sig
+    if not converged:
         import warnings
 
         warnings.warn(
-            f"connected_components: min-label propagation did not converge in "
-            f"{max_iter} rounds ({changed} labels still changing) — component "
-            f"diameter exceeds max_iter; cluster ids may be unmerged supersets",
+            f"connected_components: large-star/small-star did not reach a "
+            f"fixed point in {max_iter} rounds — cluster ids may be "
+            f"unmerged supersets",
             RuntimeWarning,
             stacklevel=2,
         )
-    edges.unpersist()
-    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
+    # at the fixed point every edge is (member, component_min); roots
+    # appear only on the lo side and are their own cluster
+    out = (
+        edges.select(F.col("hi").alias("doc_id"), F.col("lo").alias("cluster_id"))
+        .union(
+            edges.select(F.col("lo").alias("doc_id"), F.col("lo").alias("cluster_id"))
+        )
+        .distinct()
+    )
+    return out
 
 
 def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -4056,8 +4056,10 @@ FROM picked WHERE rn = 1
 
 
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs → duplicate clusters via min-label connected
-    components; oracle: DuckDB recursive-CTE transitive closure."""
+    """Near-dup pairs → duplicate clusters via connected components
+    (driver union-find when the edge list is small; alternating
+    large-star/small-star past 1M edges — O(log²) rounds, not
+    diameter-bound); oracle: DuckDB recursive-CTE transitive closure."""
     from lakeside_spark.operators.dedup import connected_components, ngram_jaccard_pairs
 
     pairs = ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.12)

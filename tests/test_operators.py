@@ -1363,3 +1363,41 @@ def test_pca_reduce_invariants(spark, sf_dir):
             d0 = np.linalg.norm(orig[a] - orig[b])
             d1 = np.linalg.norm(full[a] - full[b])
             assert abs(d0 - d1) < 1e-8
+
+
+def test_connected_components_star_fallback_matches_union_find(spark):
+    """The >local_max_edges distributed path (alternating large-star /
+    small-star, Kiveris et al. SoCC'14) must produce the identical
+    (doc_id, cluster_id) assignment as the driver union-find — including
+    on a 300-node chain, whose diameter (299) would defeat any
+    diameter-bound propagation within the default 25-round budget."""
+    import random
+
+    from lakeside_spark.operators.dedup import connected_components
+
+    rng = random.Random(6)
+    cases = []
+    # chain: 0-1-2-...-299 (single component, worst-case diameter)
+    cases.append([(i, i + 1) for i in range(299)])
+    # random sparse multi-component graphs, shuffled endpoint order
+    for seed in range(3):
+        rng.seed(seed)
+        n = 120
+        es = [
+            tuple(rng.sample(range(n), 2))
+            for _ in range(rng.randint(30, 90))
+        ]
+        cases.append(es)
+    for es in cases:
+        df = spark.createDataFrame(
+            [(int(a), int(b)) for a, b in es], "id_a bigint, id_b bigint"
+        )
+        exact = {
+            (r["doc_id"], r["cluster_id"])
+            for r in connected_components(df).collect()
+        }
+        dist = {
+            (r["doc_id"], r["cluster_id"])
+            for r in connected_components(df, local_max_edges=0).collect()
+        }
+        assert dist == exact, f"mismatch on {len(es)}-edge graph"
