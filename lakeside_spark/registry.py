@@ -2746,6 +2746,80 @@ WHERE d.doc_id % 20 <> 0
 """
 
 
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick linear classifier inference (fastText-style corpus
+    quality scoring, Joulin et al. 2017): each token hashes to one of
+    1024 weight buckets via the portable md5 bucket, an integer weight in
+    [-1000, 1000] derived deterministically from the bucket id stands in
+    for trained parameters, per-doc logit = Σw / (1000·n_tokens), score =
+    sigmoid(logit). The whole path is codegen: explode → modular
+    arithmetic weight expression → ONE map-side-combined groupBy(doc_id)
+    shuffle → TakeOrderedAndProject top-20 (per-partition top-k + driver
+    merge — no global sort). No join, no UDF; a trained model swaps the
+    weight expression for a broadcast 2^b-double array lookup, keeping
+    the identical plan shape. The fixed-point integer Σw makes the
+    aggregate order-proof, so Spark and the DuckDB oracle agree exactly.
+    Complements corpus_quality_filter (heuristic gates) with the
+    model-scored stage of standard LLM curation pipelines."""
+    from lakeside_spark.functions.text import md5_long, words
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(words("text")).alias("word")
+    ).filter(F.col("word") != "")
+    bucket = F.pmod(md5_long(F.col("word")), F.lit(1024))
+    wt = (
+        F.pmod(bucket * F.lit(2654435761), F.lit(1000003)) % F.lit(2001)
+        - F.lit(1000)
+    ).cast("bigint")
+    per_doc = (
+        tok.select("doc_id", wt.alias("wt"))
+        .groupBy("doc_id")
+        .agg(F.sum("wt").alias("swt"), F.count(F.lit(1)).alias("n_tokens"))
+    )
+    logit = F.col("swt") / (F.lit(1000.0) * F.col("n_tokens"))
+    scored = per_doc.select(
+        "doc_id",
+        "n_tokens",
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))).alias("score"),
+    )
+    from pyspark.sql import Window
+
+    top = scored.orderBy(F.col("score").desc(), "doc_id").limit(20)
+    w = Window.orderBy(F.col("score").desc(), "doc_id")
+    return top.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        "doc_id",
+        "n_tokens",
+        "score",
+    )
+
+
+TEXT_QUALITY_CLASSIFIER_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split({_NORM}, ' '), x -> x <> '')) AS word
+  FROM documents
+), b AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(word), 1, 15) AS BIGINT) % 1024 AS bucket
+  FROM t
+), w AS (
+  SELECT doc_id, (bucket * 2654435761) % 1000003 % 2001 - 1000 AS wt FROM b
+), d AS (
+  SELECT doc_id, SUM(wt) AS swt, COUNT(*) AS n_tokens FROM w GROUP BY doc_id
+), s AS (
+  SELECT doc_id, n_tokens,
+         1.0 / (1.0 + exp(-(swt / (1000.0 * n_tokens)))) AS score
+  FROM d
+)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+       doc_id, n_tokens, score
+FROM s
+QUALIFY rank <= 20
+"""
+
+
 def corpus_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rows-only: Bloom-filter n-gram decontamination — the 100 TB variant
     of decontam_overlap where the eval-gram set is replaced by a 128 KB
@@ -4958,6 +5032,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_pca_reduce": embedding_pca_reduce,
     "ts_percentile_sketch": ts_percentile_sketch,
     "user_retention_sketch": user_retention_sketch,
+    "text_quality_classifier": text_quality_classifier,
 }
 
 ORACLES: dict[str, str] = {
@@ -5080,5 +5155,6 @@ ORACLES: dict[str, str] = {
     "tpch_q11": TPCH_Q11_SQL,
     "tpch_q16": TPCH_Q16_SQL,
     "tpch_q20": TPCH_Q20_SQL,
+    "text_quality_classifier": TEXT_QUALITY_CLASSIFIER_SQL,
     # kmeans_names: rows-only (iterative clustering, not SQL-expressible)
 }

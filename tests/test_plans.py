@@ -401,3 +401,16 @@ def test_stickiness_no_nested_loop_join(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
     assert "CartesianProduct" not in plan, plan[:1500]
     assert "Generate explode" in plan, plan[:1500]
+
+
+def test_text_quality_classifier_plan(spark, sf_dir):
+    """Hashing-trick classifier inference must stay join-free codegen:
+    one map-side-combined aggregate shuffle, top-20 via per-partition
+    TakeOrdered (never a global Sort of the scored corpus)."""
+    plan = _plan(spark, sf_dir, "text_quality_classifier")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Join" not in plan, "weight lookup must be an expression, not a join"
+    # exactly the one aggregate exchange (plus AQE wrappers); a global
+    # Sort before the limit would mean the top-k is not partition-local
+    body = plan.split("TakeOrderedAndProject")[0]
+    assert "Sort" not in body, "no global sort above the top-k"
