@@ -129,6 +129,8 @@ HEADLINE = [
     "ann_recall_report",
     "tag_cardinality_budget",
     "ts_week_over_week",
+    "text_quality_classifier",
+    "dedup_incremental",
 ]
 
 

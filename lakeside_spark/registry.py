@@ -2378,6 +2378,63 @@ WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.12
 """
 
 
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (shard-vs-index) near-dup: the 20% of docs with
+    doc_id % 5 == 0 play the incoming shard, the rest the existing
+    corpus index; each incoming doc reports its best verified MinHash-LSH
+    match in the index at jaccard ≥ 0.12. This is the dedup shape a
+    daily 100 TB ingest actually runs — index signatures are computed
+    once and persisted in production; candidates are incoming×index
+    banded equi-joins, never index×index (see
+    operators/dedup.py:minhash_lsh_match)."""
+    from lakeside_spark.operators.dedup import minhash_lsh_match
+
+    docs = load_table(spark, sf_dir, "documents")
+    incoming = docs.filter(F.col("doc_id") % 5 == 0)
+    index = docs.filter(F.col("doc_id") % 5 != 0)
+    return minhash_lsh_match(index, incoming, threshold=0.12)
+
+
+DEDUP_INCREMENTAL_SQL = _SHINGLE_CTE + f"""
+, sig AS (
+  SELECT doc_id,
+         {_minhash_sig_sql()} AS sig
+  FROM sh
+)""" + """, banded AS (
+  SELECT doc_id,
+         unnest([CAST(b AS VARCHAR) || ':' ||
+                 md5(array_to_string([CAST(x AS VARCHAR) for x in sig[b*4+1 : b*4+4]], ','))
+                 for b in range(0, 4)]) AS band
+  FROM sig
+), cands AS (
+  SELECT DISTINCT a.doc_id AS in_id, b.doc_id AS ix_id
+  FROM banded a JOIN banded b ON a.band = b.band
+  WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+), ex AS (SELECT doc_id, unnest(shs) AS shingle FROM sh),
+sizes AS (SELECT doc_id, len(shs) AS n_sh FROM sh),
+common AS (
+  SELECT c.in_id, c.ix_id, count(*) AS n_common
+  FROM cands c
+  JOIN ex a ON a.doc_id = c.in_id
+  JOIN ex b ON b.doc_id = c.ix_id AND b.shingle = a.shingle
+  GROUP BY 1, 2
+), scored AS (
+  SELECT in_id, ix_id,
+         n_common / (sa.n_sh + sb.n_sh - n_common) AS j
+  FROM common
+  JOIN sizes sa ON sa.doc_id = in_id
+  JOIN sizes sb ON sb.doc_id = ix_id
+  WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.12
+)
+SELECT in_id AS doc_id, ix_id AS match_id, ROUND(j, 6) AS jaccard
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY in_id ORDER BY j DESC, ix_id) AS rn
+  FROM scored
+)
+WHERE rn = 1
+"""
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rows-only: bit-level simhash not practical to replicate in SQL."""
     from lakeside_spark.operators.dedup import simhash_pairs
@@ -5033,6 +5090,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ts_percentile_sketch": ts_percentile_sketch,
     "user_retention_sketch": user_retention_sketch,
     "text_quality_classifier": text_quality_classifier,
+    "dedup_incremental": dedup_incremental,
 }
 
 ORACLES: dict[str, str] = {
@@ -5156,5 +5214,6 @@ ORACLES: dict[str, str] = {
     "tpch_q16": TPCH_Q16_SQL,
     "tpch_q20": TPCH_Q20_SQL,
     "text_quality_classifier": TEXT_QUALITY_CLASSIFIER_SQL,
+    "dedup_incremental": DEDUP_INCREMENTAL_SQL,
     # kmeans_names: rows-only (iterative clustering, not SQL-expressible)
 }

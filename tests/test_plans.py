@@ -414,3 +414,12 @@ def test_text_quality_classifier_plan(spark, sf_dir):
     # Sort before the limit would mean the top-k is not partition-local
     body = plan.split("TakeOrderedAndProject")[0]
     assert "Sort" not in body, "no global sort above the top-k"
+
+
+def test_dedup_incremental_no_cartesian(spark, sf_dir):
+    """Incremental shard-vs-index dedup must candidate-bound everything:
+    banded equi-join for candidates (no cartesian / BNLJ anywhere) and
+    verification joined through the candidate list."""
+    plan = _plan(spark, sf_dir, "dedup_incremental")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
