@@ -384,12 +384,15 @@ def minhash_lsh_match(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    best_only: bool = True,
 ) -> DataFrame:
     """Incremental dedup: match an incoming shard against an existing
     corpus index WITHOUT re-pairing the corpus with itself — the shape a
     daily ingest runs at 100 TB. Returns (doc_id, match_id, jaccard):
     each incoming doc's BEST verified index match (max jaccard, min
-    match_id tiebreak) at or above threshold.
+    match_id tiebreak) at or above threshold — or, with
+    ``best_only=False``, every verified match (the form the streaming
+    twin emits, since a per-doc argmax is not append-mode streamable).
 
     Scale shape: signatures/bands are pure per-doc functions, so the
     index side is computed ONCE in production and persisted as the dedup
@@ -454,6 +457,12 @@ def minhash_lsh_match(
         .withColumn("j", jac)
         .filter(F.col("j") >= threshold)
     )
+    if not best_only:
+        return scored.select(
+            F.col("in_id").alias("doc_id"),
+            F.col("ix_id").alias("match_id"),
+            F.round("j", 6).alias("jaccard"),
+        )
     from pyspark.sql import Window
 
     w = Window.partitionBy("in_id").orderBy(F.col("j").desc(), F.col("ix_id"))

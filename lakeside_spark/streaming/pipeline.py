@@ -231,3 +231,101 @@ def streaming_interval_join(
         F.unix_millis("p_ts").alias("point_ts_ms"),
         F.unix_millis("s_start").alias("span_start_ms"),
     )
+
+
+def streaming_index_match(
+    stream: DataFrame,
+    index_docs: DataFrame,
+    threshold: float,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Streaming twin of operators/dedup.minhash_lsh_match: near-dup
+    matching of a LIVE ingest stream against a static corpus index.
+
+    The stream side is pure per-row expression work (signature =
+    array_min over HOF-transformed shingles, bands via slice+md5), so
+    the query runs append-mode with no aggregation state; candidates
+    come from the stream-static band equi-join (static side = the
+    persisted index in production); verification is the pure-expression
+    array_intersect over the two docs' shingle sets — no second join.
+    Emits every verified match (doc_id, match_id, jaccard) — a per-doc
+    argmax is not append-mode streamable, so the batch reference is
+    minhash_lsh_match(..., best_only=False). The interpreted HOF
+    transform costs ~ms/doc — fine at live ingest rates; bulk backfills
+    take the batch path's Arrow kernel. Multi-band collisions are
+    deduped with stateful dropDuplicates; production bounds that state
+    with dropDuplicatesWithinWatermark on the ingest timestamp.
+    """
+    from lakeside_spark.functions.text import md5_long, shingles
+    from lakeside_spark.operators.dedup import (
+        MINHASH_AB,
+        MINHASH_P,
+        _shingled_rows,
+        minhash_signatures,
+    )
+
+    rows = num_hashes // bands
+
+    def band_keys(sig_col):
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.concat(
+                b.cast("string"),
+                F.lit(":"),
+                F.md5(F.concat_ws(",", F.slice(sig_col, b * rows + 1, rows))),
+            ),
+        )
+
+    # static index: same kernel/groupBy path as the batch op, built once
+    ex_ix = _shingled_rows(index_docs, text_col, id_col, n)
+    ix_sets = ex_ix.groupBy("doc_id").agg(F.collect_set("shingle").alias("ix_shs"))
+    sig_ix = minhash_signatures(
+        index_docs, num_hashes, n, text_col, id_col, shingle_rows=ex_ix
+    )
+    index_bands = (
+        sig_ix.join(ix_sets, "doc_id")
+        .select(
+            F.col("doc_id").alias("ix_id"),
+            "ix_shs",
+            F.explode(band_keys(F.col("sig"))).alias("band"),
+        )
+        .persist()
+    )
+
+    def mh(a: int, b: int):
+        # closure factory, NOT default args: extra lambda params would be
+        # bound as the element index by Spark's HOF binding rules
+        return lambda s: (
+            F.lit(a) * (md5_long(s) % MINHASH_P) + F.lit(b)
+        ) % MINHASH_P
+
+    shs = shingles(F.col(text_col), n)
+    sig = F.array(
+        *[
+            F.array_min(F.transform(shs, mh(a, b)))
+            for a, b in MINHASH_AB[:num_hashes]
+        ]
+    )
+    stream_bands = stream.select(
+        F.col(id_col).alias("doc_id"),
+        shs.alias("in_shs"),
+        F.explode(band_keys(sig)).alias("band"),
+    )
+    cand = stream_bands.join(index_bands, "band")
+    n_common = F.size(F.array_intersect("in_shs", "ix_shs"))
+    denom = F.size("in_shs") + F.size("ix_shs") - n_common
+    j = n_common / denom
+    return (
+        cand.withColumn("j", j)
+        .filter(F.col("j") >= threshold)
+        .select(
+            "doc_id",
+            F.col("ix_id").alias("match_id"),
+            F.round("j", 6).alias("jaccard"),
+        )
+        .dropDuplicates(["doc_id", "match_id"])
+    )

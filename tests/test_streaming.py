@@ -406,3 +406,59 @@ def test_streaming_interval_join_matches_batch(spark, sf_dir):
         assert got == exp and len(exp) > 0
     finally:
         shutil.rmtree(src, ignore_errors=True)
+
+
+def test_streaming_index_match_matches_batch(spark, sf_dir):
+    """Streaming twin of minhash_lsh_match: incoming docs arriving across
+    TWO micro-batches against a static index produce exactly the batch
+    best_only=False match set (stream-static band join + expression
+    verify)."""
+    import tempfile, time
+
+    from lakeside_spark.operators.dedup import minhash_lsh_match
+    from lakeside_spark.streaming.pipeline import streaming_index_match
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    incoming = docs.filter(F.col("doc_id") % 5 == 0)
+    index = docs.filter(F.col("doc_id") % 5 != 0)
+    expected = {
+        (r["doc_id"], r["match_id"], r["jaccard"])
+        for r in minhash_lsh_match(index, incoming, 0.12, best_only=False).collect()
+    }
+    assert expected, "fixture must produce at least one cross-side match"
+
+    src_dir = tempfile.mkdtemp(prefix="stream_ixm_")
+    ckpt = tempfile.mkdtemp(prefix="stream_ixm_ck_")
+    try:
+        half = incoming.filter(F.col("doc_id") % 10 == 0)
+        rest = incoming.filter(F.col("doc_id") % 10 != 0)
+        half.select("doc_id", "text").write.mode("overwrite").parquet(f"{src_dir}/b0")
+        stream = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("recursiveFileLookup", "true")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+        )
+        out = streaming_index_match(stream, index, 0.12)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("ixm_stream")
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            rest.select("doc_id", "text").write.mode("append").parquet(f"{src_dir}/b1")
+            time.sleep(0.5)
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = {
+            (r["doc_id"], r["match_id"], r["jaccard"])
+            for r in spark.sql("SELECT * FROM ixm_stream").collect()
+        }
+        assert got == expected
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
