@@ -25,7 +25,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from lakeside_spark.functions.text import md5_long, normalized, shingles
@@ -316,6 +316,23 @@ def minhash_signatures(
     )
 
 
+def _band_keys(sig_col: Column, bands: int, rows: int) -> Column:
+    """Banded LSH keys 'b:md5(sig[b·rows+1 … +rows])' as array<string>.
+
+    The SINGLE definition shared by minhash_lsh_pairs, minhash_lsh_match
+    and streaming_index_match — band keys feed cross-path parity
+    (streaming twin == batch, incremental vs pairs), so the expression
+    must stay bit-identical everywhere."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.concat(
+            b.cast("string"),
+            F.lit(":"),
+            F.md5(F.concat_ws(",", F.slice(sig_col, b * rows + 1, rows))),
+        ),
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     threshold: float,
@@ -337,15 +354,9 @@ def minhash_lsh_pairs(
     # these rows (previously verification re-shingled every candidate doc)
     ex = _shingled_rows(docs, text_col, id_col, n).persist()
     sig = minhash_signatures(docs, num_hashes, n, text_col, id_col, shingle_rows=ex)
-    band_keys = F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: F.concat(
-            b.cast("string"),
-            F.lit(":"),
-            F.md5(F.concat_ws(",", F.slice(F.col("sig"), b * rows + 1, rows))),
-        ),
+    banded = sig.select(
+        "doc_id", F.explode(_band_keys(F.col("sig"), bands, rows)).alias("band")
     )
-    banded = sig.select("doc_id", F.explode(band_keys).alias("band"))
     a, b = banded.alias("a"), banded.alias("b")
     # persisted: consumed three times (candidate ids, verification feed, the
     # final semi-join) — without this the whole signature pipeline re-runs
@@ -410,17 +421,9 @@ def minhash_lsh_match(
         sig = minhash_signatures(
             docs, num_hashes, n, text_col, id_col, shingle_rows=ex
         )
-        band_keys = F.transform(
-            F.sequence(F.lit(0), F.lit(bands - 1)),
-            lambda b: F.concat(
-                b.cast("string"),
-                F.lit(":"),
-                F.md5(
-                    F.concat_ws(",", F.slice(F.col("sig"), b * rows + 1, rows))
-                ),
-            ),
+        return sig.select(
+            "doc_id", F.explode(_band_keys(F.col("sig"), bands, rows)).alias("band")
         )
-        return sig.select("doc_id", F.explode(band_keys).alias("band"))
 
     cand = (
         _banded(incoming_docs, ex_in)
@@ -433,9 +436,11 @@ def minhash_lsh_match(
             F.col("a.doc_id").alias("in_id"), F.col("b.doc_id").alias("ix_id")
         )
         .distinct()
-        .persist()
     )
-    cand.count()  # materialize: consumed by the two verification joins
+    # cand has a single consumer (the verification join chain below), so it
+    # stays lazy; only the twice-read shingle caches are persisted — in
+    # production the index-side cache is replaced by the persisted index
+    # table, whose lifetime the ingest pipeline owns
     common = (
         cand.join(
             ex_in.select(F.col("doc_id").alias("in_id"), "shingle"), "in_id"
@@ -500,8 +505,15 @@ def connected_components(
     Singletons are not emitted — absent ids are their own cluster.
     """
     # persisted: the size probe and the collect/edge-build below would
-    # otherwise each re-run the (possibly expensive) pair pipeline
-    pairs = pairs.select("id_a", "id_b").persist()
+    # otherwise each re-run the (possibly expensive) pair pipeline.
+    # Self-pairs are dropped HERE so both paths agree: they carry no
+    # connectivity information, and "Singletons are not emitted" must
+    # hold regardless of which side of the local_max_edges gate runs.
+    pairs = (
+        pairs.select("id_a", "id_b")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .persist()
+    )
     n_pairs = pairs.limit(local_max_edges + 1).count()
     if n_pairs <= local_max_edges:
         rows = pairs.collect()
@@ -524,11 +536,9 @@ def connected_components(
         return pairs.sparkSession.createDataFrame(
             out or [(None, None)], schema="doc_id bigint, cluster_id bigint"
         ).filter("doc_id is not null")
-    # canonical (hi, lo) undirected edge list; self-pairs carry no
-    # connectivity information and would survive as self-loops
+    # canonical (hi, lo) undirected edge list
     edges = (
-        pairs.filter(F.col("id_a") != F.col("id_b"))
-        .select(
+        pairs.select(
             F.greatest("id_a", "id_b").alias("hi"),
             F.least("id_a", "id_b").alias("lo"),
         )
@@ -611,16 +621,20 @@ def connected_components(
             RuntimeWarning,
             stacklevel=2,
         )
-    # at the fixed point every edge is (member, component_min); roots
-    # appear only on the lo side and are their own cluster
-    out = (
-        edges.select(F.col("hi").alias("doc_id"), F.col("lo").alias("cluster_id"))
-        .union(
-            edges.select(F.col("lo").alias("doc_id"), F.col("lo").alias("cluster_id"))
-        )
+    # At the fixed point every edge is (member, component_min) and the
+    # min-of-groups / anti-join below are no-ops on top of it. In the
+    # degraded non-converged case they still guarantee the output
+    # contract: EXACTLY ONE label per node (the smallest seen — a
+    # possibly-unmerged superset clustering, as the warning states),
+    # never the same doc under two conflicting cluster ids.
+    members = edges.groupBy("hi").agg(F.min("lo").alias("cluster_id"))
+    roots = (
+        edges.select("lo")
         .distinct()
+        .join(members, F.col("lo") == F.col("hi"), "left_anti")
+        .select(F.col("lo").alias("doc_id"), F.col("lo").alias("cluster_id"))
     )
-    return out
+    return members.select(F.col("hi").alias("doc_id"), "cluster_id").union(roots)
 
 
 def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -2347,7 +2347,10 @@ def _minhash_sig_sql() -> str:
     return f"[{mins}]"
 
 
-DEDUP_MINHASH_LSH_SQL = _SHINGLE_CTE + f"""
+def _sig_banded_cte() -> str:
+    """sig + banded CTEs shared by every minhash oracle (num_hashes=16,
+    bands=4, rows=4 — must mirror operators/dedup._band_keys geometry)."""
+    return f"""
 , sig AS (
   SELECT doc_id,
          {_minhash_sig_sql()} AS sig
@@ -2358,7 +2361,10 @@ DEDUP_MINHASH_LSH_SQL = _SHINGLE_CTE + f"""
                  md5(array_to_string([CAST(x AS VARCHAR) for x in sig[b*4+1 : b*4+4]], ','))
                  for b in range(0, 4)]) AS band
   FROM sig
-), cands AS (
+)"""
+
+
+DEDUP_MINHASH_LSH_SQL = _SHINGLE_CTE + _sig_banded_cte() + """, cands AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
 ), ex AS (SELECT doc_id, unnest(shs) AS shingle FROM sh),
@@ -2395,18 +2401,7 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_match(index, incoming, threshold=0.12)
 
 
-DEDUP_INCREMENTAL_SQL = _SHINGLE_CTE + f"""
-, sig AS (
-  SELECT doc_id,
-         {_minhash_sig_sql()} AS sig
-  FROM sh
-)""" + """, banded AS (
-  SELECT doc_id,
-         unnest([CAST(b AS VARCHAR) || ':' ||
-                 md5(array_to_string([CAST(x AS VARCHAR) for x in sig[b*4+1 : b*4+4]], ','))
-                 for b in range(0, 4)]) AS band
-  FROM sig
-), cands AS (
+DEDUP_INCREMENTAL_SQL = _SHINGLE_CTE + _sig_banded_cte() + """, cands AS (
   SELECT DISTINCT a.doc_id AS in_id, b.doc_id AS ix_id
   FROM banded a JOIN banded b ON a.band = b.band
   WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0

@@ -264,21 +264,12 @@ def streaming_index_match(
     from lakeside_spark.operators.dedup import (
         MINHASH_AB,
         MINHASH_P,
+        _band_keys,
         _shingled_rows,
         minhash_signatures,
     )
 
     rows = num_hashes // bands
-
-    def band_keys(sig_col):
-        return F.transform(
-            F.sequence(F.lit(0), F.lit(bands - 1)),
-            lambda b: F.concat(
-                b.cast("string"),
-                F.lit(":"),
-                F.md5(F.concat_ws(",", F.slice(sig_col, b * rows + 1, rows))),
-            ),
-        )
 
     # static index: same kernel/groupBy path as the batch op, built once
     ex_ix = _shingled_rows(index_docs, text_col, id_col, n)
@@ -291,7 +282,7 @@ def streaming_index_match(
         .select(
             F.col("doc_id").alias("ix_id"),
             "ix_shs",
-            F.explode(band_keys(F.col("sig"))).alias("band"),
+            F.explode(_band_keys(F.col("sig"), bands, rows)).alias("band"),
         )
         .persist()
     )
@@ -299,21 +290,25 @@ def streaming_index_match(
     def mh(a: int, b: int):
         # closure factory, NOT default args: extra lambda params would be
         # bound as the element index by Spark's HOF binding rules
-        return lambda s: (
-            F.lit(a) * (md5_long(s) % MINHASH_P) + F.lit(b)
-        ) % MINHASH_P
+        return lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_P
 
-    shs = shingles(F.col(text_col), n)
+    # null text must shingle like the batch Arrow kernel's (text or ""):
+    # shingles(NULL) is NULL and would silently drop the row from the
+    # stream while the batch twin matches it against empty-text docs
+    shs = shingles(F.coalesce(F.col(text_col), F.lit("")), n)
+    # ONE md5 per shingle (the module's minhash invariant): reduce every
+    # shingle to h31 once, then take the 16 affine mins over that array
+    h31s = F.transform(shs, lambda s: md5_long(s) % MINHASH_P)
     sig = F.array(
         *[
-            F.array_min(F.transform(shs, mh(a, b)))
+            F.array_min(F.transform(h31s, mh(a, b)))
             for a, b in MINHASH_AB[:num_hashes]
         ]
     )
     stream_bands = stream.select(
         F.col(id_col).alias("doc_id"),
         shs.alias("in_shs"),
-        F.explode(band_keys(sig)).alias("band"),
+        F.explode(_band_keys(sig, bands, rows)).alias("band"),
     )
     cand = stream_bands.join(index_bands, "band")
     n_common = F.size(F.array_intersect("in_shs", "ix_shs"))

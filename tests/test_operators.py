@@ -1375,13 +1375,14 @@ def test_connected_components_star_fallback_matches_union_find(spark):
 
     from lakeside_spark.operators.dedup import connected_components
 
-    rng = random.Random(6)
     cases = []
     # chain: 0-1-2-...-299 (single component, worst-case diameter)
     cases.append([(i, i + 1) for i in range(299)])
+    # self-pairs are singletons: dropped identically by BOTH paths
+    cases.append([(5, 5), (1, 2), (2, 3), (9, 9)])
     # random sparse multi-component graphs, shuffled endpoint order
     for seed in range(3):
-        rng.seed(seed)
+        rng = random.Random(seed)
         n = 120
         es = [
             tuple(rng.sample(range(n), 2))
@@ -1401,3 +1402,24 @@ def test_connected_components_star_fallback_matches_union_find(spark):
             for r in connected_components(df, local_max_edges=0).collect()
         }
         assert dist == exact, f"mismatch on {len(es)}-edge graph"
+
+
+def test_connected_components_degraded_one_label_per_node(spark):
+    """If the star contraction is stopped before its fixed point
+    (max_iter exhausted), the output must still be a FUNCTION: exactly
+    one cluster_id per doc_id (a possibly-unmerged superset clustering,
+    as the RuntimeWarning states) — never the same doc under two
+    conflicting labels."""
+    import warnings
+
+    from lakeside_spark.operators.dedup import connected_components
+
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "id_a bigint, id_b bigint"
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
+        out = connected_components(df, max_iter=1, local_max_edges=0).collect()
+    ids = [r["doc_id"] for r in out]
+    assert len(ids) == len(set(ids)) == 64
+    assert all(r["cluster_id"] <= r["doc_id"] for r in out)
