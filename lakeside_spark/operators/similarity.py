@@ -426,6 +426,7 @@ def ann_ivf(
     n_cells: int = 16,
     n_probe: int = 4,
     train_sample: int = 10_000,
+    n_assign: int = 1,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     cache_key: str | None = None,
@@ -433,6 +434,13 @@ def ann_ivf(
     """IVF (inverted-file) approximate top-k: corpus vectors are assigned to
     their nearest spherical-kmeans centroid; each query scores only the
     n_probe closest cells.
+
+    ``n_assign`` > 1 replicates each corpus vector into its n_assign
+    nearest cells (SPANN-style boundary replication, Chen et al. 2021):
+    the index grows ×n_assign but per-query probe cost at fixed n_probe
+    rises only with the bigger cells, and boundary vectors — the main
+    IVF recall loss — become reachable from adjacent probes. The recall
+    effect is a measured row in ann_recall_report (ivf_ma), not a claim.
 
     100 TB shape: train on a sample (one small collect), assign with the
     broadcast centroid matrix inside the BLAS kernel (map-only — the cell id
@@ -465,9 +473,15 @@ def ann_ivf(
             m = np.array(list(pdf[vec_col]), dtype=np.float64)
             n = np.linalg.norm(m, axis=1, keepdims=True)
             n[n == 0] = 1.0
-            cell = ((m / n) @ c.T).argmax(axis=1)
+            sims = (m / n) @ c.T
+            if n_assign <= 1:
+                cells = sims.argmax(axis=1)[:, None]
+            else:
+                cells = np.argsort(-sims, axis=1)[:, :n_assign]
+            ids = np.repeat(pdf[id_col].to_numpy(np.int64), cells.shape[1])
+            vecs = [v for v in pdf[vec_col] for _ in range(cells.shape[1])]
             yield pd.DataFrame(
-                {"n_id": pdf[id_col].to_numpy(np.int64), "cell": cell, "nv": list(pdf[vec_col])}
+                {"n_id": ids, "cell": cells.ravel(), "nv": vecs}
             )
 
     assigned = _parallelize(corpus.select(id_col, vec_col)).mapInPandas(
@@ -499,6 +513,10 @@ def ann_ivf(
         .filter(F.col("q_id") != F.col("n_id"))
         .select("q_id", "n_id", "qv", as_double_array("nv").alias("nv"))
     )
+    if n_assign > 1:
+        # replicated vectors can meet the same query via several shared
+        # cells — score each candidate pair once
+        cand = cand.dropDuplicates(["q_id", "n_id"])
     scored = _rowwise_cosine(cand, "qv", "nv", "q_id", "n_id")
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
     return (

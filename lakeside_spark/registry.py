@@ -4818,6 +4818,8 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     variants = {
         "lsh": _lsh(emb, qs, k=5),
         "ivf": _ivf(emb, qs, k=5),
+        # SPANN-style boundary replication: x2 index, same probe fan-out
+        "ivf_ma": _ivf(emb, qs, k=5, n_assign=2),
         "pq": _pq(emb, qs, k=5, cache_key=f"{sf_dir}:embeddings"),
         # the OPQ pre-rotation variant, reported side-by-side so the
         # rotation's (non-)benefit on this corpus is a measured row, not

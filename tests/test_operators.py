@@ -149,6 +149,17 @@ def test_ann_ivf_recall_and_determinism(spark, sf_dir):
         for r in ann_ivf(emb, q, k=5, n_cells=8, n_probe=8).collect()
     }
     assert full == exact
+    # SPANN-style multi-assignment dominates single assignment at the
+    # same probe fan-out (boundary vectors reachable from 2 cells); on
+    # the sf0.01 panel it is 0.61 -> 0.80
+    base = {
+        (r["q_id"], r["n_id"]) for r in ann_ivf(emb, q, k=5).collect()
+    }
+    ma = {
+        (r["q_id"], r["n_id"])
+        for r in ann_ivf(emb, q, k=5, n_assign=2).collect()
+    }
+    assert len(ma & exact) >= len(base & exact), "multi-assign lost recall"
 
 
 def test_banded_simhash_matches_all_pairs(spark, sf_dir):
@@ -1201,7 +1212,7 @@ class TestAnnRecallReport:
                 spark, "/root/testdata/sf0.001"
             ).collect()
         }
-        assert set(rows) == {"lsh", "ivf", "pq", "pq_opq", "sq8"}
+        assert set(rows) == {"lsh", "ivf", "ivf_ma", "pq", "pq_opq", "sq8"}
         for r in rows.values():
             assert 0.0 <= r["recall_at_5"] <= 1.0
             assert r["mean_cos_err"] >= 0.0
@@ -1211,6 +1222,8 @@ class TestAnnRecallReport:
         # round-5 defaults (lsh 0.03, pq 0.23)
         assert rows["lsh"]["recall_at_5"] >= 0.3
         assert rows["pq"]["recall_at_5"] >= 0.5
+        # boundary replication must not lose recall vs single assignment
+        assert rows["ivf_ma"]["recall_at_5"] >= rows["ivf"]["recall_at_5"]
 
 
 class TestDsirCrossShard:
