@@ -3507,9 +3507,15 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     feats = decode_features(synthesize_images(docs), dim=8)
+    # Driver contract: the harness canonicalizes results with
+    # pandas.sort_values over every column, which raises on list-valued
+    # cells — serialize the vector as its JSON string (deterministic
+    # after round-6) so the output is all-scalar.
     return feats.select(
         "doc_id",
-        F.transform("features", lambda x: F.round(x, 6)).alias("features"),
+        F.to_json(F.transform("features", lambda x: F.round(x, 6))).alias(
+            "features"
+        ),
     )
 
 
@@ -4654,7 +4660,15 @@ def embedding_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
         embedding_whitening as _whiten,
     )
 
-    return _whiten(load_table(spark, sf_dir, "embeddings"))
+    out = _whiten(load_table(spark, sf_dir, "embeddings"))
+    # Driver contract: serialize the array column — the harness's pandas
+    # sort_values canonicalizer cannot factorize list-valued cells.
+    return out.select(
+        "vec_id",
+        F.to_json(F.transform("embedding", lambda x: F.round(x, 6))).alias(
+            "embedding"
+        ),
+    )
 
 
 def embedding_linear_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4683,7 +4697,15 @@ def embedding_pca_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
         embedding_pca_reduce as _pca,
     )
 
-    return _pca(load_table(spark, sf_dir, "embeddings"))
+    out = _pca(load_table(spark, sf_dir, "embeddings"))
+    # Driver contract: serialize the array column (see embedding_whitening).
+    return out.select(
+        "vec_id",
+        F.to_json(F.transform("embedding", lambda x: F.round(x, 6))).alias(
+            "embedding"
+        ),
+        F.round("evr", 6).alias("evr"),
+    )
 
 
 def ts_week_over_week(spark: SparkSession, sf_dir: str) -> DataFrame:
