@@ -4950,13 +4950,73 @@ def ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # ROUND-6 ROTATION: slots 1-50 = the 38 keys with no driver
-    # CORRECTNESS row through r5 (22 oracle-backed, then 16 rows-only
-    # for hard err=None execution rows) + the new oracle-backed
-    # ts_count_salted (inserted after ts_count) + 11 driver-green
-    # sentinels (corpus_chunk slid just past the fold to make room).
-    # After this round every oracle key has >=1 hard driver row.
-    # --- never-judged, oracle-backed (1-22)
+    # ROUND-7 ROTATION: slots 1-50 =
+    #   1-12: the 12 rows-only keys the driver has NEVER executed (no
+    #         CORRECTNESS row since the broken round-1 harness) — goal is
+    #         a hard err=None execution row for each;
+    #  13-14: oracle-backed keys added late in r6, judged only by the
+    #         local sweep so far (dedup_incremental, text_quality_classifier);
+    #  15-16: the two keys whose array<double> outputs crashed the r6
+    #         canonicalizer, now string-serialized — must show clean rows;
+    #  17-26: driver-green r6 sentinels spread across subsystems;
+    #  27-50: oracle keys whose last hard driver row is round 4 — refresh.
+    # --- never-driver-executed rows-only keys (1-12)
+    "ema_smooth": ema_smooth_series,
+    "ts_cardinality_sketch": ts_cardinality_sketch,
+    "ts_percentile_sketch": ts_percentile_sketch,
+    "user_retention_sketch": user_retention_sketch,
+    "dedup_simhash": dedup_simhash,
+    "ann_lsh": ann_lsh,
+    "ann_ivf": ann_ivf,
+    "corpus_pack": corpus_pack,
+    "kmeans_names": kmeans_names,
+    "stickiness_dau_mau_sketch": stickiness_dau_mau_sketch,
+    "embedding_linear_probe": embedding_linear_probe,
+    "embedding_pca_reduce": embedding_pca_reduce,
+    # --- oracle-backed, sweep-green but never driver-judged (13-14)
+    "dedup_incremental": dedup_incremental,
+    "text_quality_classifier": text_quality_classifier,
+    # --- r6 canonicalizer crashes, now fixed (15-16)
+    "multimodal_decode": multimodal_decode,
+    "embedding_whitening": embedding_whitening,
+    # --- sentinels: driver-green r6, spread across subsystems (17-26)
+    "ts_count": ts_count,
+    "tpch_q1": tpch_q1,
+    "formula_ratio": formula_ratio,
+    "graph_request": graph_request,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "ann_cosine_topk": ann_cosine_topk,
+    "asof_join": asof_join_events,
+    "corpus_curate": corpus_curate,
+    "text_langid": text_langid,
+    "tpch_q6": tpch_q6,
+    # --- refresh: last hard driver row is round 4 (27-50)
+    "filter_eq_and_or": filter_eq_and_or,
+    "filter_in_notin": filter_in_notin,
+    "filter_contains_regex": filter_contains_regex,
+    "filter_range_has": filter_range_has,
+    "exemplars": exemplars,
+    "extract_regex": extract_regex,
+    "compute_fns": compute_fns,
+    "tag_values": tag_values,
+    "tag_values_extracted": tag_values_extracted,
+    "tag_names": tag_names,
+    "tag_names_denoised": tag_names_denoised,
+    "scope_tags": scope_tags,
+    "tag_stream_compress": tag_stream_compress,
+    "metric_metadata": metric_metadata,
+    "ts_multi_agg": ts_multi_agg,
+    "ts_groupby": ts_groupby,
+    "ts_percentile": ts_percentile,
+    "ts_cardinality": ts_cardinality,
+    "query_cardinality": query_cardinality,
+    "ts_moving_avg": ts_moving_avg,
+    "ts_anomaly": ts_anomaly,
+    "ts_forecast": ts_forecast,
+    "ts_rate": ts_rate,
+    "metrics_rollup": metrics_rollup,
+    # ---------------- past the expected judging fold ----------------
+    # driver-green r6 (CORRECTNESS_r06)
     "trace_service_graph": trace_service_graph,
     "funnel_conversion": funnel_conversion,
     "event_path_topk": event_path_topk,
@@ -4979,9 +5039,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vocab_pmi": vocab_pmi,
     "tag_cardinality_budget": tag_cardinality_budget,
     "ts_week_over_week": ts_week_over_week,
-    # --- never-judged, rows-only by design (23-38)
+    "ts_count_salted": ts_count_salted,
+    "traces_exemplars": traces_exemplars,
+    # rows-only keys with hard r6 execution rows
     "corpus_bloom_decontam": corpus_bloom_decontam,
-    "multimodal_decode": multimodal_decode,
     "multimodal_phash_dedup": multimodal_phash_dedup,
     "multimodal_audio_dedup": multimodal_audio_dedup,
     "text_bpe_tokens": text_bpe_tokens,
@@ -4991,30 +5052,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ts_holt_winters": ts_holt_winters,
     "ann_sq8": ann_sq8,
     "embedding_cluster_stats": embedding_cluster_stats,
-    "embedding_whitening": embedding_whitening,
     "ann_recall_report": ann_recall_report,
     "ts_percentile_ddsketch": ts_percentile_ddsketch,
     "freq_topk_sketch": freq_topk_sketch_users,
     "ts_downsample": ts_downsample,
-    # --- sentinels: driver-green r4/r5, spread across subsystems — with
-    # ts_count_salted inserted after ts_count these are slots 40-50 (11
-    # sentinels in the fold; corpus_chunk slid below the marker)
-    "ts_count": ts_count,
-    "ts_count_salted": ts_count_salted,
-    "formula_ratio": formula_ratio,
-    "graph_request": graph_request,
-    "tpch_q1": tpch_q1,
-    "dedup_minhash_lsh": dedup_minhash_lsh,
-    "ann_cosine_topk": ann_cosine_topk,
-    "asof_join": asof_join_events,
-    "traces_exemplars": traces_exemplars,
-    "corpus_curate": corpus_curate,
-    "text_langid": text_langid,
-    "tpch_q6": tpch_q6,
-    # ---------------- past the expected judging fold ----------------
-    # corpus_chunk (driver-green r5) is slot 51 — OUTSIDE the judged 50
+    # driver-green r5
     "corpus_chunk": corpus_chunk,
-    # driver-green in r4/r5 (CORRECTNESS_r04/r05)
     "traces_span_stats": traces_span_stats,
     "corpus_source_cap": corpus_source_cap,
     "vocab_tfidf": vocab_tfidf,
@@ -5055,35 +5098,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ts_seasonal": ts_seasonal,
     "corpus_mixture_plan": corpus_mixture_plan,
     "multimodal_meta": multimodal_meta,
-    "ts_percentile": ts_percentile,
     "dedup_exact": dedup_exact,
     "corpus_dedupe": corpus_dedupe,
     "sessionize": sessionize_events,
     "formula_add_fill": formula_add_fill,
-    "tag_values": tag_values,
-    "tag_values_extracted": tag_values_extracted,
-    "tag_names": tag_names,
-    "tag_names_denoised": tag_names_denoised,
-    "scope_tags": scope_tags,
-    "tag_stream_compress": tag_stream_compress,
-    "metric_metadata": metric_metadata,
-    "filter_eq_and_or": filter_eq_and_or,
-    "filter_in_notin": filter_in_notin,
-    "filter_contains_regex": filter_contains_regex,
-    "filter_range_has": filter_range_has,
-    "exemplars": exemplars,
-    "extract_regex": extract_regex,
-    "compute_fns": compute_fns,
     "compute_strings": compute_strings,
-    "ts_multi_agg": ts_multi_agg,
-    "ts_groupby": ts_groupby,
-    "ts_cardinality": ts_cardinality,
-    "query_cardinality": query_cardinality,
-    "ts_moving_avg": ts_moving_avg,
-    "ts_anomaly": ts_anomaly,
-    "ts_forecast": ts_forecast,
-    "ts_rate": ts_rate,
-    "metrics_rollup": metrics_rollup,
     "ts_histogram": ts_histogram,
     "top_k_series": top_k_series,
     "user_retention": user_retention,
@@ -5096,20 +5115,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q3": tpch_q3,
     "tpch_q10": tpch_q10,
     "corpus_sample": corpus_sample,
-    "dedup_simhash": dedup_simhash,
-    "ann_lsh": ann_lsh,
-    "ann_ivf": ann_ivf,
-    "corpus_pack": corpus_pack,
-    "kmeans_names": kmeans_names,
-    "ema_smooth": ema_smooth_series,
-    "ts_cardinality_sketch": ts_cardinality_sketch,
-    "stickiness_dau_mau_sketch": stickiness_dau_mau_sketch,
-    "embedding_linear_probe": embedding_linear_probe,
-    "embedding_pca_reduce": embedding_pca_reduce,
-    "ts_percentile_sketch": ts_percentile_sketch,
-    "user_retention_sketch": user_retention_sketch,
-    "text_quality_classifier": text_quality_classifier,
-    "dedup_incremental": dedup_incremental,
 }
 
 ORACLES: dict[str, str] = {
