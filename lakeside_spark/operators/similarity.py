@@ -454,13 +454,10 @@ def ann_ivf(
     ck = None if cache_key is None else ("ivf", cache_key, n_cells, train_sample)
     cents = _CODEBOOK_CACHE.get(ck) if ck is not None else None
     if cents is None:
-        sample = corpus.select(vec_col).limit(train_sample).collect()
-        if not sample:
+        unit = _train_unit_sample(corpus, vec_col, train_sample, cache_key)
+        if unit is None:
             return spark.createDataFrame([], schema="q_id bigint, n_id bigint, cos double, rank int")
-        mat = np.array([r[0] for r in sample], dtype=np.float64)
-        norms = np.linalg.norm(mat, axis=1, keepdims=True)
-        norms[norms == 0] = 1.0
-        cents = _spherical_kmeans(mat / norms, n_cells)
+        cents = _spherical_kmeans(unit, n_cells)
         if ck is not None:
             _CODEBOOK_CACHE[ck] = cents
     bc = spark.sparkContext.broadcast(cents)
@@ -673,7 +670,15 @@ def _opq_rotation(unit_sample: np.ndarray, m_subs: int) -> np.ndarray:
     recall (nothing to re-balance); it earns its keep on anisotropic
     corpora where a few directions carry most variance."""
     d = unit_sample.shape[1]
+    if unit_sample.shape[0] < 2:
+        # np.cov of a single observation is NaN — eigh would silently
+        # produce NaN codebooks and garbage scores downstream
+        raise ValueError(
+            f"OPQ rotation needs >=2 training vectors, got {unit_sample.shape[0]}"
+        )
     cov = np.cov(unit_sample.T)
+    if not np.all(np.isfinite(cov)):
+        raise ValueError("OPQ rotation: non-finite training covariance")
     lam, v = np.linalg.eigh(cov)
     idx = np.argsort(-lam)
     lam, v = lam[idx], v[:, idx]
@@ -700,6 +705,32 @@ def _opq_rotation(unit_sample: np.ndarray, m_subs: int) -> np.ndarray:
 # uncached per-call behavior. Cache values are small numpy arrays
 # (m_subs × n_codes × sub floats), never corpus-sized.
 _CODEBOOK_CACHE: dict[tuple, np.ndarray] = {}
+
+
+def _train_unit_sample(
+    corpus: DataFrame,
+    vec_col: str,
+    train_sample: int,
+    cache_key: str | None,
+) -> np.ndarray | None:
+    """Bounded driver-side training sample, L2-normalized. Cached under
+    ("sample", cache_key, ...) so sibling index builds over the same
+    corpus (ivf/ivf_ma, pq/pq_opq) pay the collect once — the sample is
+    a pure function of the corpus head, never corpus-sized. Returns None
+    for an empty corpus."""
+    ck = None if cache_key is None else ("sample", cache_key, vec_col, train_sample)
+    unit = _CODEBOOK_CACHE.get(ck) if ck is not None else None
+    if unit is None:
+        sample = corpus.select(vec_col).limit(train_sample).collect()
+        if not sample:
+            return None
+        mat = np.array([r[0] for r in sample], dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        unit = mat / norms
+        if ck is not None:
+            _CODEBOOK_CACHE[ck] = unit
+    return unit
 
 
 def ann_pq(
@@ -745,13 +776,9 @@ def ann_pq(
     )
     trained = _CODEBOOK_CACHE.get(ck) if ck is not None else None
     if trained is None:
-        sample = corpus.select(vec_col).limit(train_sample).collect()
-        if not sample:
+        unit = _train_unit_sample(corpus, vec_col, train_sample, cache_key)
+        if unit is None:
             return spark.createDataFrame([], schema=empty)
-        mat = np.array([r[0] for r in sample], dtype=np.float64)
-        norms = np.linalg.norm(mat, axis=1, keepdims=True)
-        norms[norms == 0] = 1.0
-        unit = mat / norms
         dim = unit.shape[1]
         if dim % m_subs:
             raise ValueError(f"dim {dim} not divisible by m_subs {m_subs}")
@@ -1076,6 +1103,11 @@ def _moment_pass(
                 {"p": [np.concatenate((head, vec_acc, mat_acc.ravel()))]}
             )
 
+    if label_col is not None:
+        # a single NULL label would become NaN in to_numpy(float64) and
+        # silently poison every accumulated moment (all-NaN predictions
+        # and R² with no error) — drop unlabeled rows up front
+        df = df.filter(F.col(label_col).isNotNull())
     cols = [vec_col] if label_col is None else [vec_col, label_col]
     red = (
         _parallelize(df.select(*cols))

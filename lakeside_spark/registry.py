@@ -4773,30 +4773,36 @@ def tag_cardinality_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     `approx_count_distinct`/HLL is the 100 TB swap, same contract as
     ts_cardinality)."""
     tele = load_telemetry(spark, sf_dir)
-    keys = [S.NAME, "user_id", "event_id"]
-    aggs = []
-    for c in keys:
-        aggs += [
-            F.count_distinct(F.col(c)).alias(f"__d_{c}"),
-            F.count(F.col(c)).alias(f"__n_{c}"),
-        ]
-    # ONE scan for real: collect the single agg row and unpivot on the
-    # driver — a union of per-key selects over the agg would embed the
-    # full-scan subtree once per branch (exchange reuse does not
-    # reliably dedupe across union branches; see run_graph's fusion note)
-    row = tele.agg(*aggs).collect()[0]
-    rows = [(c, row[f"__d_{c}"], row[f"__n_{c}"]) for c in keys]
-    # the ratio rounds through F.round (HALF_UP, matching SQL ROUND) —
-    # python's round() is banker's and could diverge on .5 boundaries
-    return spark.createDataFrame(
-        rows, "tag_name string, distinct_values bigint, rows_present bigint"
-    ).select(
-        "tag_name",
-        "distinct_values",
-        "rows_present",
-        F.round(
-            F.col("distinct_values") / F.col("rows_present"), 6
-        ).alias("cardinality_ratio"),
+    # ONE scan, unpivoted: stack the tag columns into (tag_name, value)
+    # rows and run a single grouped count_distinct. This stays inside
+    # whole-stage codegen end-to-end; the earlier multi-count_distinct
+    # single-row agg forced Expand + a wide 4-key dedup aggregate that
+    # fell out of codegen and ran ~14x slower at sf0.1. Casting the
+    # numeric tags to string is injective, so the distinct/present
+    # counts are unchanged (exact for the oracle gate;
+    # `approx_count_distinct`/HLL is the 100 TB swap, same contract as
+    # ts_cardinality).
+    stacked = tele.selectExpr(
+        f"stack(3, 'name', {S.NAME},"
+        " 'user_id', cast(user_id as string),"
+        " 'event_id', cast(event_id as string)) as (tag_name, value)"
+    )
+    return (
+        stacked.groupBy("tag_name")
+        .agg(
+            F.count_distinct("value").alias("distinct_values"),
+            F.count("value").alias("rows_present"),
+        )
+        .select(
+            "tag_name",
+            "distinct_values",
+            "rows_present",
+            # F.round is HALF_UP, matching SQL ROUND — python's round()
+            # is banker's and could diverge on .5 boundaries
+            F.round(
+                F.col("distinct_values") / F.col("rows_present"), 6
+            ).alias("cardinality_ratio"),
+        )
     )
 
 
@@ -4823,6 +4829,8 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     variant's own scale contract is documented at its operator. Exact
     top-k is the ground truth, so this is self-validating (no oracle —
     the comparison IS against the in-engine exact path)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from lakeside_spark.operators.similarity import (
         ann_ivf as _ivf,
         ann_lsh as _lsh,
@@ -4833,30 +4841,49 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     qs = emb.filter(F.col("vec_id") < 20)
-    exact = {
-        (r["q_id"], r["n_id"]): r["cos"]
-        for r in cosine_topk(emb, qs, k=5).collect()
-    }
-    variants = {
-        "lsh": _lsh(emb, qs, k=5),
-        "ivf": _ivf(emb, qs, k=5),
+    ck = f"{sf_dir}:embeddings"
+    # The panel rows are independent Spark jobs over the same corpus —
+    # submit them from driver threads so local/cluster task slots stay
+    # saturated instead of paying seven serial job latencies. The IVF
+    # pair shares one trained coarse quantizer and the PQ pair one
+    # training sample via cache_key (trained on first use; the two
+    # phases below order the cache writer before its reader).
+    builders = {
+        "lsh": lambda: _lsh(emb, qs, k=5),
+        "ivf": lambda: _ivf(emb, qs, k=5, cache_key=ck),
         # SPANN-style boundary replication: x2 index, same probe fan-out
-        "ivf_ma": _ivf(emb, qs, k=5, n_assign=2),
-        "pq": _pq(emb, qs, k=5, cache_key=f"{sf_dir}:embeddings"),
+        "ivf_ma": lambda: _ivf(emb, qs, k=5, n_assign=2, cache_key=ck),
+        "pq": lambda: _pq(emb, qs, k=5, cache_key=ck),
         # the OPQ pre-rotation variant, reported side-by-side so the
         # rotation's (non-)benefit on this corpus is a measured row, not
         # a docstring claim (isotropic panels: ±0.05; anisotropic: wins)
-        "pq_opq": _pq(
-            emb, qs, k=5, rotation="opq", cache_key=f"{sf_dir}:embeddings"
-        ),
-        "sq8": _sq8(emb, qs, k=5),
+        "pq_opq": lambda: _pq(emb, qs, k=5, rotation="opq", cache_key=ck),
+        "sq8": lambda: _sq8(emb, qs, k=5),
     }
-    rows = []
-    for method, df in sorted(variants.items()):
-        got = df.collect()
-        score_col = next(
-            c for c in df.columns if c.startswith("cos")
+
+    def run(name):
+        df = builders[name]()
+        return df.columns, df.collect()
+
+    with ThreadPoolExecutor(max_workers=7) as pool:
+        f_exact = pool.submit(lambda: cosine_topk(emb, qs, k=5).collect())
+        # cache-independent variants all at once; each cache-sharing
+        # sibling (ivf→ivf_ma quantizer, pq→pq_opq sample) chains off
+        # its writer so training happens exactly once
+        futs = {m: pool.submit(run, m) for m in ("lsh", "ivf", "pq", "sq8")}
+        futs["ivf_ma"] = pool.submit(
+            lambda: (futs["ivf"].result(), run("ivf_ma"))[1]
         )
+        futs["pq_opq"] = pool.submit(
+            lambda: (futs["pq"].result(), run("pq_opq"))[1]
+        )
+        exact = {(r["q_id"], r["n_id"]): r["cos"] for r in f_exact.result()}
+        results = {m: f.result() for m, f in futs.items()}
+
+    rows = []
+    for method in sorted(results):
+        cols, got = results[method]
+        score_col = next(c for c in cols if c.startswith("cos"))
         hits = [r for r in got if (r["q_id"], r["n_id"]) in exact]
         recall = len(hits) / max(len(exact), 1)
         # no overlapping pairs → no error estimate (a 0.0 here would rank

@@ -494,7 +494,9 @@ def test_ann_codebook_cache_skips_retraining(spark, sf_dir, monkeypatch):
         for r in sim.ann_pq(emb, q, k=5, m_subs=16, n_codes=64, cache_key=key).collect()
     )
     sim.ann_ivf(emb, q, k=5, n_cells=8, cache_key=key).collect()
-    assert len(sim._CODEBOOK_CACHE) == 2
+    kinds = sorted(k[0] for k in sim._CODEBOOK_CACHE)
+    # two trained quantizers + ONE training sample shared between them
+    assert kinds == ["ivf", "pq", "sample"], kinds
 
     def boom(*a, **kw):  # training must not run again on a warm cache
         raise AssertionError("k-means retrained despite warm codebook cache")
