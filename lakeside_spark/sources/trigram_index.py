@@ -42,11 +42,13 @@ Spark-native equivalent implemented here:
 
 from __future__ import annotations
 
+import json
 import os
 from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from lakeside_spark import schema as S
 from lakeside_spark.ast.model import BinaryClause, Filter, NotClause, QueryClause
@@ -58,6 +60,7 @@ except ImportError:  # pragma: no cover
 
 EXISTS_VALUE = ".*"  # reference EXISTS_REGEX (Commons.scala:61)
 INDEX_DIR = "_trigram_index"
+SCHEMA_FILE = "_schema.json"
 
 # operator tags mirroring TrigramQuery.Op (NLPUtils.scala:35):
 # reference 0=match-all, 2=and, 3=or
@@ -306,6 +309,15 @@ def build_trigram_index(
         .write.mode("overwrite")
         .parquet(os.path.join(path, INDEX_DIR))
     )
+    # Persist the lake's merged schema beside the index: the pruned read
+    # can then hand Spark an explicit schema instead of mergeSchema, which
+    # re-reads EVERY surviving segment footer at plan-build time (~2ms per
+    # file — fatal at a million segments). The index build is the natural
+    # place: it already merge-read the lake, and a segment added without
+    # reindexing is stale for pruning anyway, so schema staleness has the
+    # same remedy (rebuild).
+    with open(os.path.join(path, INDEX_DIR, SCHEMA_FILE), "w") as fh:
+        fh.write(lake.schema.json())
 
 
 # ---------------------------------------------------------------------------
@@ -318,7 +330,8 @@ def prune_segments(
     clause: QueryClause,
     indexed_dims: tuple[str, ...],
     full_value_dims: tuple[str, ...] = (),
-) -> tuple[list[str], int]:
+    collect_all: bool = True,
+) -> tuple[list[str] | None, int]:
     """(surviving absolute file paths, total indexed files). Mirrors
     computeSegmentIds (NLPUtils.scala:156-188): leaf = intersection over
     the leaf's fingerprint segment-sets, AND = intersect children,
@@ -328,7 +341,14 @@ def prune_segments(
     the index computes a has-fingerprint flag per (file, probe) and the
     AND/OR tree becomes a boolean Column over those flags, so only the
     surviving file names ever reach the driver (sized for millions of
-    segments; the old path collected a file-set per fingerprint)."""
+    segments; the old path collected a file-set per fingerprint).
+
+    A first (total, kept)-counts job decides whether name collection is
+    needed at all: nothing kept → ([], total) with no second job; with
+    ``collect_all=False``, everything kept → (None, total) — the caller
+    should read the whole lake directory, and the full name list (as big
+    as the lake listing itself at a million segments) never reaches the
+    driver."""
     index = spark.read.parquet(os.path.join(path, INDEX_DIR))
     tq = clause_to_trigram_query(clause, indexed_dims, full_value_dims)
     probe_strs = sorted(_leaf_fps(tq))
@@ -351,14 +371,20 @@ def prune_segments(
     else:
         per_file = index.select("file").distinct()
         fp_col = {}
+    keep_col = _eval_expr(tq, fp_col)
     per_file = per_file.persist()
     try:
-        total = per_file.count()
+        stats = per_file.agg(
+            F.count("*").alias("n"),
+            F.sum(keep_col.cast("int")).alias("k"),
+        ).collect()[0]
+        total, kept = int(stats["n"] or 0), int(stats["k"] or 0)
+        if kept == 0:
+            return [], total
+        if kept == total and not collect_all:
+            return None, total
         keep = [
-            r[0]
-            for r in per_file.filter(_eval_expr(tq, fp_col))
-            .select("file")
-            .collect()
+            r[0] for r in per_file.filter(keep_col).select("file").collect()
         ]
     finally:
         per_file.unpersist()
@@ -402,14 +428,26 @@ def read_segments_indexed(
     from lakeside_spark.ast.filters import filter_to_column
 
     files, _total = prune_segments(
-        spark, path, clause, indexed_dims, full_value_dims
+        spark, path, clause, indexed_dims, full_value_dims, collect_all=False
     )
-    if not files:
-        empty = spark.read.option("mergeSchema", "true").parquet(path)
-        return empty.filter(F.lit(False))
-    df = (
-        spark.read.option("mergeSchema", "true")
-        .option("basePath", path)
-        .parquet(*files)
-    )
+
+    # explicit schema (persisted at index-build time) skips the per-file
+    # footer reads mergeSchema pays at plan time; absent (pre-existing
+    # lake, index built by an older version) fall back to merging
+    def reader():
+        r = spark.read
+        schema_path = os.path.join(path, INDEX_DIR, SCHEMA_FILE)
+        try:
+            with open(schema_path) as fh:
+                return r.schema(T.StructType.fromJson(json.load(fh)))
+        except OSError:
+            return r.option("mergeSchema", "true")
+
+    if files is None:
+        # nothing pruned: one directory listing, no driver-side file list
+        df = reader().parquet(path)
+    elif not files:
+        return reader().parquet(path).filter(F.lit(False))
+    else:
+        df = reader().option("basePath", path).parquet(*files)
     return df.filter(filter_to_column(clause, set(df.columns)))
