@@ -36,7 +36,7 @@ from lakeside_spark.functions.text import words
 # corpora no longer evict each other (the round-5 single global slot forced
 # a silent recompute there), and the lock makes concurrent driver threads
 # safe. Each entry is boilerplate-sized; capacity bounds session memory.
-_SPAN_CACHE: OrderedDict[tuple, DataFrame] = OrderedDict()
+_SPAN_CACHE: OrderedDict[tuple, tuple] = OrderedDict()  # key -> (span_df, analyzed plan)
 _SPAN_CACHE_LOCK = threading.Lock()
 _SPAN_CACHE_SLOTS = 4
 
@@ -150,10 +150,23 @@ def span_dedup(
     # distinct calls recomputes its span table when finally executed —
     # results unchanged, one extra aggregation pass.
     key = _span_cache_key(docs, span_words, max_df, text_col, id_col)
+    analyzed = docs._jdf.queryExecution().analyzed()
     with _SPAN_CACHE_LOCK:
-        if key in _SPAN_CACHE:
+        hit = _SPAN_CACHE.get(key)
+        # the key's semanticHash is 32-bit: confirm the hit really is the
+        # same input plan with sameResult before serving it — a collision
+        # between two corpora would silently return the wrong boilerplate
+        # table (results corrupted, no error); mismatch falls through to
+        # an honest recompute under a collision-proofed key
+        if hit is not None and not hit[1].sameResult(analyzed):
+            hit = None
+            key = key + (analyzed.toString(),)
+            hit = _SPAN_CACHE.get(key)
+            if hit is not None and not hit[1].sameResult(analyzed):
+                hit = None
+        if hit is not None:
             _SPAN_CACHE.move_to_end(key)
-            span_df = _SPAN_CACHE[key]
+            span_df = hit[0]
         else:
             span_df = (
                 tiled.groupBy("span_hash")
@@ -162,9 +175,9 @@ def span_dedup(
                 .select("span_hash")
                 .persist()
             )
-            _SPAN_CACHE[key] = span_df
+            _SPAN_CACHE[key] = (span_df, analyzed)
             while len(_SPAN_CACHE) > _SPAN_CACHE_SLOTS:
-                _, evicted = _SPAN_CACHE.popitem(last=False)
+                _, (evicted, _plan) = _SPAN_CACHE.popitem(last=False)
                 try:
                     evicted.unpersist(blocking=False)
                 except Exception:

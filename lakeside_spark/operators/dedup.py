@@ -463,23 +463,33 @@ def minhash_lsh_match(
         .filter(F.col("j") >= threshold)
     )
     if not best_only:
-        return scored.select(
+        out = scored.select(
             F.col("in_id").alias("doc_id"),
             F.col("ix_id").alias("match_id"),
             F.round("j", 6).alias("jaccard"),
         )
-    from pyspark.sql import Window
+    else:
+        from pyspark.sql import Window
 
-    w = Window.partitionBy("in_id").orderBy(F.col("j").desc(), F.col("ix_id"))
-    out = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            F.col("in_id").alias("doc_id"),
-            F.col("ix_id").alias("match_id"),
-            F.round("j", 6).alias("jaccard"),
+        w = Window.partitionBy("in_id").orderBy(
+            F.col("j").desc(), F.col("ix_id")
         )
-    )
+        out = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                F.col("in_id").alias("doc_id"),
+                F.col("ix_id").alias("match_id"),
+                F.round("j", 6).alias("jaccard"),
+            )
+        )
+    # materialize the (match-sized) result eagerly so the two
+    # corpus-sized shingle caches can be released NOW — a daily-ingest
+    # API gets called repeatedly, and leaving them persisted leaked two
+    # cached tables per call for the session lifetime
+    out = out.localCheckpoint(eager=True)
+    ex_in.unpersist()
+    ex_ix.unpersist()
     return out
 
 
