@@ -25,7 +25,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from lakeside_spark.functions.text import md5_long, normalized, shingles
@@ -771,5 +771,85 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 8, **kw) -> DataFrame:
     """Near-dup pairs with hamming(simhash) ≤ max_hamming over the 60-bit
     text SimHash. Exact (recall 1) — see hamming_pairs for the banding."""
     return hamming_pairs(simhash64(docs, **kw), max_hamming, bits=60)
+
+
+def simhash_best_match(
+    docs: DataFrame, max_hamming: int = 8, **kw
+) -> DataFrame:
+    """Each doc's BEST simhash near-dup (min hamming, min partner id) —
+    the bounded form a dedup pipeline consumes: on a self-similar corpus
+    the raw within-budget pair list grows quadratically (1.35M pairs on
+    the 5k-doc sf0.1 panel), while this output is ≤ one row per doc at
+    any corpus similarity.
+
+    Scale shape: exact-duplicate groups (identical 60-bit simhash) are
+    resolved FIRST with one window over the hash — their best match is a
+    hamming-0 sibling, no join needed — and only one representative per
+    distinct hash enters the banded hamming join (the standard
+    exact-dedup-before-near-dup pipeline split). Cross-group results map
+    back to members through their group key; every member of a group
+    shares its rep's hamming to other groups (identical hash), and the
+    min-id tiebreak over a matched group is exactly its rep (the group
+    min), so the output equals the naive per-doc min over the full pair
+    list — verified by the parity pytest."""
+    sh = simhash64(docs, **kw)
+    w = Window.partitionBy("simhash")
+    annotated = (
+        sh.withColumn("__mn", F.min("doc_id").over(w))
+        .withColumn("__sz", F.count(F.lit(1)).over(w))
+        .withColumn(
+            "__mn2",
+            F.min(
+                F.when(F.col("doc_id") != F.col("__mn"), F.col("doc_id"))
+            ).over(w),
+        )
+    )
+    # cross-group candidates: banded hamming join over one rep per hash
+    reps = annotated.filter(F.col("doc_id") == F.col("__mn")).select(
+        "doc_id", "simhash"
+    )
+    rp = hamming_pairs(reps, max_hamming, bits=60)
+    rep_best = (
+        rp.select(
+            F.col("id_a").alias("rep"),
+            F.struct("hamming", F.col("id_b").alias("match_id")).alias("m"),
+        )
+        .unionByName(
+            rp.select(
+                F.col("id_b").alias("rep"),
+                F.struct("hamming", F.col("id_a").alias("match_id")).alias("m"),
+            )
+        )
+        .groupBy("rep")
+        .agg(F.min("m").alias("cross"))
+    )
+    joined = annotated.join(
+        rep_best, annotated["__mn"] == rep_best["rep"], "left"
+    )
+    # in-group best: hamming 0 to the min sibling (rep for members, the
+    # second-smallest id for the rep itself); NULL for singletons
+    sibling = F.when(
+        F.col("__sz") >= 2,
+        F.when(F.col("doc_id") == F.col("__mn"), F.col("__mn2")).otherwise(
+            F.col("__mn")
+        ),
+    )
+    in_group = F.when(
+        sibling.isNotNull(),
+        F.struct(
+            F.lit(0).cast(rp.schema["hamming"].dataType).alias("hamming"),
+            sibling.alias("match_id"),
+        ),
+    )
+    best = F.least(in_group, F.col("cross"))
+    return (
+        joined.select("doc_id", best.alias("m"))
+        .filter(F.col("m").isNotNull())
+        .select(
+            "doc_id",
+            F.col("m.match_id").alias("match_id"),
+            F.col("m.hamming").alias("hamming"),
+        )
+    )
 
 

@@ -2431,10 +2431,20 @@ WHERE rn = 1
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """rows-only: bit-level simhash not practical to replicate in SQL."""
-    from lakeside_spark.operators.dedup import simhash_pairs
+    """rows-only: bit-level simhash not practical to replicate in SQL.
 
-    return simhash_pairs(load_table(spark, sf_dir, "documents"), max_hamming=6)
+    Emits each doc's BEST near-dup partner (min hamming, min id
+    tiebreak) rather than the raw pair list: on a templated synthetic
+    corpus the within-6-bits pair count grows quadratically (1.35M pairs
+    at sf0.1), and an output that scales with corpus self-similarity is
+    the wrong contract at 100 TB — the bounded per-doc form is what a
+    dedup pipeline consumes; the exact pair list stays available via
+    operators/dedup.simhash_pairs."""
+    from lakeside_spark.operators.dedup import simhash_best_match
+
+    return simhash_best_match(
+        load_table(spark, sf_dir, "documents"), max_hamming=6
+    )
 
 
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -174,6 +174,39 @@ def test_banded_simhash_matches_all_pairs(spark, sf_dir):
     assert banded == {x for x in full if x[2] <= 6}
 
 
+def test_simhash_best_match_equals_naive_pair_min(spark, sf_dir):
+    """The exact-dup-group/representative split must return exactly the
+    per-doc min over the full pair list (min hamming, min partner id)."""
+    from pyspark.sql import functions as F
+
+    from lakeside_spark.operators.dedup import simhash_best_match, simhash_pairs
+    from lakeside_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = simhash_pairs(docs, max_hamming=6)
+    sym = pairs.select(
+        F.col("id_a").alias("doc_id"),
+        F.struct("hamming", F.col("id_b").alias("match_id")).alias("m"),
+    ).unionByName(
+        pairs.select(
+            F.col("id_b").alias("doc_id"),
+            F.struct("hamming", F.col("id_a").alias("match_id")).alias("m"),
+        )
+    )
+    naive = sorted(
+        tuple(r)
+        for r in sym.groupBy("doc_id")
+        .agg(F.min("m").alias("m"))
+        .select("doc_id", "m.match_id", "m.hamming")
+        .collect()
+    )
+    fast = sorted(
+        tuple(r) for r in simhash_best_match(docs, max_hamming=6).collect()
+    )
+    assert naive == fast
+    assert len(fast) > 0
+
+
 def test_identical_docs_have_zero_hamming(spark):
     from lakeside_spark.operators.dedup import simhash_pairs
 
