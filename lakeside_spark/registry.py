@@ -3530,8 +3530,12 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ema_smooth_series(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """rows-only: recursive EMA over daily per-name count series
-    (applyInPandas; not expressible in non-recursive SQL)."""
+    """Recursive EMA over daily per-name count series (applyInPandas —
+    pandas ewm(adjust=False) IS the reference recurrence, core
+    datastructures/EMA.scala). Oracle: DuckDB linear recursive CTE
+    running the identical α·x + (1−α)·prev recursion per series; both
+    sides round to 6 decimals, absorbing the ≤1-ulp difference between
+    the ewm kernel's weighted form and the plain recursion."""
     from lakeside_spark.operators.ema import ema_smooth
 
     expr = BaseExpr(
@@ -3540,6 +3544,25 @@ def ema_smooth_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     series = QueryEngine(spark, step_ms=DAY).run(expr, load_telemetry(spark, sf_dir))
     out = ema_smooth(series, alpha=0.3)
     return out.withColumn("ema", F.round("ema", 6))
+
+
+EMA_SMOOTH_SQL = f"""
+WITH RECURSIVE series AS (
+  SELECT timestamp_ms - timestamp_ms % {DAY} AS step_ts, name,
+         CAST(count(value) AS DOUBLE) AS value
+  FROM {_T} WHERE name IS NOT NULL GROUP BY 1, 2
+), base AS (
+  SELECT step_ts, name, value,
+         ROW_NUMBER() OVER (PARTITION BY name ORDER BY step_ts) AS rn
+  FROM series
+), ema AS (
+  SELECT step_ts, name, value, rn, value AS ema FROM base WHERE rn = 1
+  UNION ALL
+  SELECT b.step_ts, b.name, b.value, b.rn, 0.3 * b.value + 0.7 * e.ema
+  FROM base b JOIN ema e ON b.name = e.name AND b.rn = e.rn + 1
+)
+SELECT step_ts, name, value, ROUND(ema, 6) AS ema FROM ema
+"""
 
 
 def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4949,15 +4972,18 @@ def text_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """rows-only: additive Holt-Winters smoothing per metric series —
-    level + trend + 24-step (hour-of-day) seasonal recursions over the
-    hourly count series, 3-step-ahead forecasts and the in-sample
-    one-step RMSE (the alert-band width); series shorter than two full
-    cycles fall back to Holt linear (the `seasonal` column flags which
-    model fitted). Sequential per series (applyInPandas, one
-    series-keyed shuffle over the already-aggregated table); no SQL
-    oracle is possible, so both recursions are property-tested against
-    an independent pure-Python model (tests/test_properties.py)."""
+    """Additive Holt-Winters smoothing per metric series — level +
+    trend + 24-step (hour-of-day) seasonal recursions over the hourly
+    count series, 3-step-ahead forecasts and the in-sample one-step
+    RMSE (the alert-band width); series shorter than two full cycles
+    fall back to Holt linear (the `seasonal` column flags which model
+    fitted). Sequential per series (applyInPandas, one series-keyed
+    shuffle over the already-aggregated table). Oracle: a DuckDB linear
+    recursive CTE runs BOTH recursions op-for-op (the season vector as
+    a list rewritten per step with a guarded list comprehension), so
+    the smoothed state matches to the 6-decimal rounding on both sides;
+    the recursions are additionally property-tested against an
+    independent pure-Python model (tests/test_properties.py)."""
     from lakeside_spark.operators.holt import holt_forecast
 
     expr = BaseExpr(
@@ -4972,6 +4998,78 @@ def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_col=S.VALUE,
         season_length=24,
     )
+
+
+# Both smoothing recursions (operators/holt.py) replayed op-for-op as
+# DuckDB linear recursive CTEs: the Holt-Winters branch carries the
+# 24-slot season vector as a list and rewrites one slot per step; the
+# Holt-linear branch covers series shorter than two cycles. Matches the
+# applyInPandas output to the shared 6-decimal rounding.
+TS_HOLT_WINTERS_SQL = f"""
+WITH RECURSIVE series AS (
+  SELECT timestamp_ms - timestamp_ms % {HOUR} AS step_ts, name,
+         CAST(count(value) AS DOUBLE) AS value
+  FROM {_T} WHERE name IS NOT NULL GROUP BY 1, 2
+), base AS (
+  SELECT name, value,
+         ROW_NUMBER() OVER (PARTITION BY name ORDER BY step_ts) AS rn,
+         COUNT(*) OVER (PARTITION BY name) AS n
+  FROM series
+), packed AS (
+  SELECT name, any_value(n) AS n, list(value ORDER BY rn) AS vs
+  FROM base GROUP BY name
+), hw AS (
+  SELECT name, n, CAST(24 AS BIGINT) AS t,
+         list_sum(list_slice(vs, 1, 24)) / 24 AS level,
+         (list_sum(list_slice(vs, 25, 48)) / 24
+            - list_sum(list_slice(vs, 1, 24)) / 24) / 24 AS trend,
+         [x - list_sum(list_slice(vs, 1, 24)) / 24
+            FOR x IN list_slice(vs, 1, 24)] AS season,
+         0.0::DOUBLE AS sse
+  FROM packed WHERE n >= 48
+  UNION ALL
+  SELECT r.name, r.n, r.t + 1,
+         0.5 * (b.value - r.season[(r.t % 24) + 1]) + 0.5 * (r.level + r.trend),
+         0.3 * ((0.5 * (b.value - r.season[(r.t % 24) + 1])
+                 + 0.5 * (r.level + r.trend)) - r.level) + 0.7 * r.trend,
+         [CASE WHEN j = (r.t % 24) + 1
+               THEN 0.3 * (b.value
+                           - (0.5 * (b.value - r.season[(r.t % 24) + 1])
+                              + 0.5 * (r.level + r.trend)))
+                    + 0.7 * r.season[j]
+               ELSE r.season[j] END FOR j IN range(1, 25)],
+         r.sse + (b.value - (r.level + r.trend + r.season[(r.t % 24) + 1]))
+               * (b.value - (r.level + r.trend + r.season[(r.t % 24) + 1]))
+  FROM hw r JOIN base b ON b.name = r.name AND b.rn = r.t + 1
+), lin AS (
+  SELECT name, n, CAST(1 AS BIGINT) AS t,
+         vs[1] AS level, vs[2] - vs[1] AS trend, 0.0::DOUBLE AS sse
+  FROM packed WHERE n >= 2 AND n < 48
+  UNION ALL
+  SELECT r.name, r.n, r.t + 1,
+         0.5 * b.value + 0.5 * (r.level + r.trend),
+         0.3 * ((0.5 * b.value + 0.5 * (r.level + r.trend)) - r.level)
+           + 0.7 * r.trend,
+         r.sse + (b.value - (r.level + r.trend))
+               * (b.value - (r.level + r.trend))
+  FROM lin r JOIN base b ON b.name = r.name AND b.rn = r.t + 1
+)
+SELECT name, n AS n_points, TRUE AS seasonal,
+       ROUND(level, 6) AS level, ROUND(trend, 6) AS trend,
+       ROUND(level + 1 * trend + season[((n + 0) % 24) + 1], 6) AS forecast_1,
+       ROUND(level + 2 * trend + season[((n + 1) % 24) + 1], 6) AS forecast_2,
+       ROUND(level + 3 * trend + season[((n + 2) % 24) + 1], 6) AS forecast_3,
+       ROUND(sqrt(sse / (n - 24)), 6) AS rmse
+FROM hw WHERE t = n
+UNION ALL
+SELECT name, n AS n_points, FALSE AS seasonal,
+       ROUND(level, 6) AS level, ROUND(trend, 6) AS trend,
+       ROUND(level + 1 * trend, 6) AS forecast_1,
+       ROUND(level + 2 * trend, 6) AS forecast_2,
+       ROUND(level + 3 * trend, 6) AS forecast_3,
+       ROUND(sqrt(sse / (n - 1)), 6) AS rmse
+FROM lin WHERE t = n
+"""
 
 
 def ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4991,12 +5089,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #   1-12: the 12 rows-only keys the driver has NEVER executed (no
     #         CORRECTNESS row since the broken round-1 harness) — goal is
     #         a hard err=None execution row for each;
-    #  13-14: oracle-backed keys added late in r6, judged only by the
-    #         local sweep so far (dedup_incremental, text_quality_classifier);
-    #  15-16: the two keys whose array<double> outputs crashed the r6
+    #  13-15: oracle-backed keys never driver-hash-judged —
+    #         dedup_incremental and text_quality_classifier (added late
+    #         r6) plus ts_holt_winters (recursive-CTE oracle new in r7);
+    #  16-17: the two keys whose array<double> outputs crashed the r6
     #         canonicalizer, now string-serialized — must show clean rows;
-    #  17-26: driver-green r6 sentinels spread across subsystems;
-    #  27-50: oracle keys whose last hard driver row is round 4 — refresh.
+    #  18-27: driver-green r6 sentinels spread across subsystems;
+    #  28-50: oracle keys whose last hard driver row is round 4 — refresh
+    #         (metrics_rollup slid to slot 51 to make room for
+    #         ts_holt_winters).
     # --- never-driver-executed rows-only keys (1-12)
     "ema_smooth": ema_smooth_series,
     "ts_cardinality_sketch": ts_cardinality_sketch,
@@ -5010,10 +5111,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stickiness_dau_mau_sketch": stickiness_dau_mau_sketch,
     "embedding_linear_probe": embedding_linear_probe,
     "embedding_pca_reduce": embedding_pca_reduce,
-    # --- oracle-backed, sweep-green but never driver-judged (13-14)
+    # --- oracle-backed, never driver-hash-judged (13-15)
     "dedup_incremental": dedup_incremental,
     "text_quality_classifier": text_quality_classifier,
-    # --- r6 canonicalizer crashes, now fixed (15-16)
+    "ts_holt_winters": ts_holt_winters,
+    # --- r6 canonicalizer crashes, now fixed (16-17)
     "multimodal_decode": multimodal_decode,
     "embedding_whitening": embedding_whitening,
     # --- sentinels: driver-green r6, spread across subsystems (17-26)
@@ -5086,7 +5188,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_pq": ann_pq,
     "semdedup": semdedup_survivors,
     "text_compression": text_compression,
-    "ts_holt_winters": ts_holt_winters,
     "ann_sq8": ann_sq8,
     "embedding_cluster_stats": embedding_cluster_stats,
     "ann_recall_report": ann_recall_report,
@@ -5202,6 +5303,8 @@ ORACLES: dict[str, str] = {
     # dedup_simhash, ann_lsh, ema_smooth: genuinely non-SQL-expressible /
     # approximate — rows-only check by design
     "ts_count": TS_COUNT_SQL,
+    "ema_smooth": EMA_SMOOTH_SQL,
+    "ts_holt_winters": TS_HOLT_WINTERS_SQL,
     "ts_count_salted": TS_COUNT_SQL,
     "traces_exemplars": TRACES_EXEMPLARS_SQL,
     "traces_span_stats": TRACES_SPAN_STATS_SQL,

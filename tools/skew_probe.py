@@ -1,0 +1,70 @@
+"""Hot-band skew probe for the banded LSH joins.
+
+A pathological corpus — a large fraction of documents being the SAME
+boilerplate text — collapses every MinHash band of those docs onto ONE
+band key, the worst case for a banded equi-join (the hot bucket's
+candidate count is quadratic in the boilerplate fraction). This probe
+measures dedup_minhash_lsh (corpus self-join) and minhash_lsh_match
+(incoming-vs-index, the dedup_incremental shape) on sf0.1 documents with
+0% / 10% / 30% boilerplate, and reports wall-clock plus emitted rows.
+
+Usage: python tools/skew_probe.py [boilerplate_fraction ...]
+"""
+from __future__ import annotations
+
+import sys
+import time
+
+BOILER = (
+    "subscribe to our newsletter for updates terms of service apply "
+    "copyright all rights reserved contact us privacy policy cookie "
+    "settings follow us on social media read more about our company"
+)
+
+
+def main() -> int:
+    sys.path.insert(0, ".")
+    from pyspark.sql import functions as F
+
+    from lakeside_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_lsh_match,
+    )
+    from lakeside_spark.session import get_spark
+    from lakeside_spark.sources.tables import load_table
+
+    fracs = [float(a) for a in sys.argv[1:]] or [0.0, 0.1, 0.3]
+    spark = get_spark("skew-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(64).repartition(32).mapInPandas(
+        lambda it: (p for p in it), schema="id long"
+    ).count()
+
+    docs = load_table(spark, "/root/testdata/sf0.1", "documents")
+    for frac in fracs:
+        skewed = docs.withColumn(
+            "text",
+            F.when(
+                F.pmod(F.col("doc_id"), 100) < int(frac * 100), F.lit(BOILER)
+            ).otherwise(F.col("text")),
+        )
+        # corpus self-join (dedup_minhash_lsh shape)
+        t0 = time.time()
+        n_pairs = minhash_lsh_pairs(skewed, threshold=0.5).count()
+        t_pairs = time.time() - t0
+        # incoming-vs-index (dedup_incremental shape): 20% shard vs 80% index
+        incoming = skewed.filter(F.pmod(F.col("doc_id"), 5) == 0)
+        index = skewed.filter(F.pmod(F.col("doc_id"), 5) != 0)
+        t0 = time.time()
+        n_match = minhash_lsh_match(index, incoming, threshold=0.5).count()
+        t_match = time.time() - t0
+        print(
+            f"boiler={frac:.0%}  self-join {t_pairs:6.2f}s ({n_pairs} pairs)"
+            f"   incremental {t_match:6.2f}s ({n_match} matches)",
+            flush=True,
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
