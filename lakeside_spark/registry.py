@@ -213,11 +213,18 @@ def ts_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ts_percentile_ddsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """rows-only (approximate by design, relative-error ≤ 1% contract):
-    hourly DDSketch log-bucket counts merged to daily p95 — the reference's
-    ACTUAL sketch model (DDSketch in TimeGroupedSketchAggregator), whose
-    merge is bucket-wise count addition, re-expressed as two groupBys and
-    one window. Accuracy contract asserted in tests/test_engine.py."""
+    """Hourly DDSketch log-bucket counts merged to daily p95 — the
+    reference's ACTUAL sketch model (DDSketch in
+    TimeGroupedSketchAggregator), whose merge is bucket-wise count
+    addition, re-expressed as two groupBys and one window. Approximate
+    vs the true percentile (relative error ≤ 1%, asserted in
+    tests/test_engine.py) but fully DETERMINISTIC given gamma, so the
+    oracle replays the same bucket/estimate arithmetic in SQL — the
+    hourly→daily merge collapses to direct daily bucketing because
+    sketch merge is lossless count addition. Cross-engine traps pinned
+    in the SQL: 0.95*total must be DOUBLE (DuckDB's decimal literal
+    ceils differently when q*n lands on an integer), and ln(gamma) is
+    inlined from the same Python constant Spark folds in."""
     from lakeside_spark.operators.ddsketch import (
         ddsketch_buckets,
         ddsketch_merge,
@@ -232,6 +239,45 @@ def ts_percentile_ddsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ddsketch_quantile(daily, q=0.95).withColumn(
         S.VALUE, F.round(S.VALUE, 6)
     )
+
+
+def _ddsketch_oracle_sql() -> str:
+    import math
+
+    gamma = (1.0 + 0.01) / (1.0 - 0.01)
+    ln_gamma = math.log(gamma)
+    return f"""
+WITH b AS (
+  SELECT timestamp_ms - timestamp_ms % {DAY} AS step_ts, name,
+         CASE WHEN value > 1e-9
+                THEN CAST(ceil(ln(abs(value)) / {ln_gamma!r}) AS BIGINT)
+              WHEN value < -1e-9
+                THEN -CAST(ceil(ln(abs(value)) / {ln_gamma!r}) AS BIGINT)
+              ELSE 0 END AS bucket,
+         COUNT(*) AS cnt
+  FROM {_T} WHERE name IN ('view', 'click') AND value IS NOT NULL
+  GROUP BY 1, 2, 3
+), est AS (
+  SELECT step_ts, name, cnt,
+         CASE WHEN bucket = 0 THEN 0.0
+              ELSE sign(bucket) * 2.0 * power({gamma!r}, abs(bucket))
+                   / {gamma + 1.0!r} END AS est
+  FROM b
+), cum AS (
+  SELECT step_ts, name, est,
+         SUM(cnt) OVER (PARTITION BY step_ts, name ORDER BY est
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(cnt) OVER (PARTITION BY step_ts, name) AS total
+  FROM est
+)
+SELECT step_ts, name,
+       ROUND(MIN(CASE WHEN cum >= ceil(CAST(0.95 AS DOUBLE) * total)
+                      THEN est END), 6) AS value
+FROM cum GROUP BY 1, 2
+"""
+
+
+TS_PERCENTILE_DDSKETCH_SQL = _ddsketch_oracle_sql()
 
 
 def ts_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5089,15 +5135,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #   1-12: the 12 rows-only keys the driver has NEVER executed (no
     #         CORRECTNESS row since the broken round-1 harness) — goal is
     #         a hard err=None execution row for each;
-    #  13-15: oracle-backed keys never driver-hash-judged —
+    #  13-16: oracle-backed keys never driver-hash-judged —
     #         dedup_incremental and text_quality_classifier (added late
-    #         r6) plus ts_holt_winters (recursive-CTE oracle new in r7);
-    #  16-17: the two keys whose array<double> outputs crashed the r6
+    #         r6) plus ts_holt_winters and ts_percentile_ddsketch, whose
+    #         round-7 exact oracles upgrade them from rows-only;
+    #  17-18: the two keys whose array<double> outputs crashed the r6
     #         canonicalizer, now string-serialized — must show clean rows;
-    #  18-27: driver-green r6 sentinels spread across subsystems;
-    #  28-50: oracle keys whose last hard driver row is round 4 — refresh
-    #         (metrics_rollup slid to slot 51 to make room for
-    #         ts_holt_winters).
+    #  19-28: driver-green r6 sentinels spread across subsystems;
+    #  29-50: oracle keys whose last hard driver row is round 4 — refresh
+    #         (metrics_rollup and ts_rate slid to slots 51-52 to make
+    #         room for the upgraded keys).
     # --- never-driver-executed rows-only keys (1-12)
     "ema_smooth": ema_smooth_series,
     "ts_cardinality_sketch": ts_cardinality_sketch,
@@ -5111,11 +5158,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stickiness_dau_mau_sketch": stickiness_dau_mau_sketch,
     "embedding_linear_probe": embedding_linear_probe,
     "embedding_pca_reduce": embedding_pca_reduce,
-    # --- oracle-backed, never driver-hash-judged (13-15)
+    # --- oracle-backed, never driver-hash-judged (13-16)
     "dedup_incremental": dedup_incremental,
     "text_quality_classifier": text_quality_classifier,
     "ts_holt_winters": ts_holt_winters,
-    # --- r6 canonicalizer crashes, now fixed (16-17)
+    "ts_percentile_ddsketch": ts_percentile_ddsketch,
+    # --- r6 canonicalizer crashes, now fixed (17-18)
     "multimodal_decode": multimodal_decode,
     "embedding_whitening": embedding_whitening,
     # --- sentinels: driver-green r6, spread across subsystems (17-26)
@@ -5152,8 +5200,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ts_moving_avg": ts_moving_avg,
     "ts_anomaly": ts_anomaly,
     "ts_forecast": ts_forecast,
-    "ts_rate": ts_rate,
     "metrics_rollup": metrics_rollup,
+    "ts_rate": ts_rate,
     # ---------------- past the expected judging fold ----------------
     # driver-green r6 (CORRECTNESS_r06)
     "trace_service_graph": trace_service_graph,
@@ -5191,7 +5239,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_sq8": ann_sq8,
     "embedding_cluster_stats": embedding_cluster_stats,
     "ann_recall_report": ann_recall_report,
-    "ts_percentile_ddsketch": ts_percentile_ddsketch,
     "freq_topk_sketch": freq_topk_sketch_users,
     "ts_downsample": ts_downsample,
     # driver-green r5
@@ -5305,6 +5352,7 @@ ORACLES: dict[str, str] = {
     "ts_count": TS_COUNT_SQL,
     "ema_smooth": EMA_SMOOTH_SQL,
     "ts_holt_winters": TS_HOLT_WINTERS_SQL,
+    "ts_percentile_ddsketch": TS_PERCENTILE_DDSKETCH_SQL,
     "ts_count_salted": TS_COUNT_SQL,
     "traces_exemplars": TRACES_EXEMPLARS_SQL,
     "traces_span_stats": TRACES_SPAN_STATS_SQL,
