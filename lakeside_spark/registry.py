@@ -2929,17 +2929,49 @@ QUALIFY rank <= 20
 
 
 def corpus_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """rows-only: Bloom-filter n-gram decontamination — the 100 TB variant
-    of decontam_overlap where the eval-gram set is replaced by a 128 KB
+    """Bloom-filter n-gram decontamination — the 100 TB variant of
+    decontam_overlap where the eval-gram set is replaced by a 128 KB
     bitmap broadcast (zero false negatives by construction; FP-only
-    over-flagging). Bit arithmetic is not practically SQL-expressible;
-    the invariants pytest pins superset-of-exact + FP bound."""
+    over-flagging). The filter is a pure function of md5 double-hashing
+    (Kirsch–Mitzenmacher positions over a 2^20-bit array), so the
+    oracle replays the same arithmetic in SQL: per-gram h1/h2 from the
+    md5 hex, k=7 probe positions with the uint64 wraparound emulated in
+    HUGEINT, set-bit positions from the eval side, and a doc flagged
+    when any gram finds all 7 bits set — false positives and all."""
     from lakeside_spark.operators.decontam import bloom_decontam
 
     docs = load_table(spark, sf_dir, "documents")
     ev = docs.filter(F.col("doc_id") % 20 == 0)
     corpus = docs.filter(F.col("doc_id") % 20 != 0)
     return bloom_decontam(corpus, ev, n=5)
+
+
+CORPUS_BLOOM_DECONTAM_SQL = f"""
+WITH {_DECONTAM_GRAMS},
+hx AS (
+  SELECT doc_id, gram,
+         CAST(('0x' || substr(md5(gram), 1, 16))::UBIGINT
+              & 9223372036854775807::UBIGINT AS HUGEINT) AS h1,
+         CAST((('0x' || substr(md5(gram), 17, 16))::UBIGINT
+              & 9223372036854775807::UBIGINT) | 1::UBIGINT AS HUGEINT) AS h2
+  FROM dc_g
+), pos AS (
+  SELECT doc_id, gram,
+         ((h1 + i.i * h2) % 18446744073709551616) % 1048576 AS pos
+  FROM hx, range(0, 7) i(i)
+), eval_pos AS (
+  SELECT DISTINCT pos FROM pos WHERE doc_id % 20 = 0
+), corpus_hits AS (
+  SELECT p.doc_id, p.gram,
+         MIN(CASE WHEN e.pos IS NOT NULL THEN 1 ELSE 0 END) AS all_set
+  FROM (SELECT * FROM pos WHERE doc_id % 20 <> 0) p
+  LEFT JOIN eval_pos e USING (pos)
+  GROUP BY p.doc_id, p.gram
+)
+SELECT doc_id, COUNT(*) AS n_suspect_grams
+FROM corpus_hits WHERE all_set = 1
+GROUP BY doc_id
+"""
 
 
 def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5135,16 +5167,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #   1-12: the 12 rows-only keys the driver has NEVER executed (no
     #         CORRECTNESS row since the broken round-1 harness) — goal is
     #         a hard err=None execution row for each;
-    #  13-16: oracle-backed keys never driver-hash-judged —
+    #  13-17: oracle-backed keys never driver-hash-judged —
     #         dedup_incremental and text_quality_classifier (added late
-    #         r6) plus ts_holt_winters and ts_percentile_ddsketch, whose
-    #         round-7 exact oracles upgrade them from rows-only;
-    #  17-18: the two keys whose array<double> outputs crashed the r6
+    #         r6) plus ts_holt_winters, ts_percentile_ddsketch and
+    #         corpus_bloom_decontam, whose round-7 exact oracles upgrade
+    #         them from rows-only;
+    #  18-19: the two keys whose array<double> outputs crashed the r6
     #         canonicalizer, now string-serialized — must show clean rows;
-    #  19-28: driver-green r6 sentinels spread across subsystems;
-    #  29-50: oracle keys whose last hard driver row is round 4 — refresh
-    #         (metrics_rollup and ts_rate slid to slots 51-52 to make
-    #         room for the upgraded keys).
+    #  20-29: driver-green r6 sentinels spread across subsystems;
+    #  30-50: oracle keys whose last hard driver row is round 4 — refresh
+    #         (metrics_rollup, ts_rate and ts_forecast slid to slots
+    #         51-53 to make room for the upgraded keys).
     # --- never-driver-executed rows-only keys (1-12)
     "ema_smooth": ema_smooth_series,
     "ts_cardinality_sketch": ts_cardinality_sketch,
@@ -5158,12 +5191,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stickiness_dau_mau_sketch": stickiness_dau_mau_sketch,
     "embedding_linear_probe": embedding_linear_probe,
     "embedding_pca_reduce": embedding_pca_reduce,
-    # --- oracle-backed, never driver-hash-judged (13-16)
+    # --- oracle-backed, never driver-hash-judged (13-17)
     "dedup_incremental": dedup_incremental,
     "text_quality_classifier": text_quality_classifier,
     "ts_holt_winters": ts_holt_winters,
     "ts_percentile_ddsketch": ts_percentile_ddsketch,
-    # --- r6 canonicalizer crashes, now fixed (17-18)
+    "corpus_bloom_decontam": corpus_bloom_decontam,
+    # --- r6 canonicalizer crashes, now fixed (18-19)
     "multimodal_decode": multimodal_decode,
     "embedding_whitening": embedding_whitening,
     # --- sentinels: driver-green r6, spread across subsystems (17-26)
@@ -5199,9 +5233,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "query_cardinality": query_cardinality,
     "ts_moving_avg": ts_moving_avg,
     "ts_anomaly": ts_anomaly,
-    "ts_forecast": ts_forecast,
     "metrics_rollup": metrics_rollup,
     "ts_rate": ts_rate,
+    "ts_forecast": ts_forecast,
     # ---------------- past the expected judging fold ----------------
     # driver-green r6 (CORRECTNESS_r06)
     "trace_service_graph": trace_service_graph,
@@ -5229,7 +5263,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ts_count_salted": ts_count_salted,
     "traces_exemplars": traces_exemplars,
     # rows-only keys with hard r6 execution rows
-    "corpus_bloom_decontam": corpus_bloom_decontam,
     "multimodal_phash_dedup": multimodal_phash_dedup,
     "multimodal_audio_dedup": multimodal_audio_dedup,
     "text_bpe_tokens": text_bpe_tokens,
@@ -5353,6 +5386,7 @@ ORACLES: dict[str, str] = {
     "ema_smooth": EMA_SMOOTH_SQL,
     "ts_holt_winters": TS_HOLT_WINTERS_SQL,
     "ts_percentile_ddsketch": TS_PERCENTILE_DDSKETCH_SQL,
+    "corpus_bloom_decontam": CORPUS_BLOOM_DECONTAM_SQL,
     "ts_count_salted": TS_COUNT_SQL,
     "traces_exemplars": TRACES_EXEMPLARS_SQL,
     "traces_span_stats": TRACES_SPAN_STATS_SQL,
