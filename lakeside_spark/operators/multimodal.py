@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from lakeside_spark.operators import codecs
+from lakeside_spark.operators.similarity import _parallelize
 
 _MAGIC = {
     b"\x89PNG": "png",
@@ -93,7 +94,9 @@ def synthesize_images(
                 {id_col: pdf[id_col], text_col: pdf[text_col], "media": blobs}
             )
 
-    return df.select(id_col, text_col).mapInPandas(batches, schema=schema)
+    return _parallelize(df.select(id_col, text_col)).mapInPandas(
+        batches, schema=schema
+    )
 
 
 def decode_features(
@@ -170,7 +173,9 @@ def decode_features(
             yield pd.DataFrame({id_col: pdf[id_col], "features": feats})
 
     kernel = fake_batches if fake else batches
-    return df.select(id_col, binary_col).mapInPandas(kernel, schema=schema)
+    return _parallelize(df.select(id_col, binary_col)).mapInPandas(
+        kernel, schema=schema
+    )
 
 
 def resize_media(
@@ -238,7 +243,9 @@ def resize_media(
             )
 
     kernel = fake_batches if fake else real_batches
-    return df.select(id_col, binary_col).mapInPandas(kernel, schema=schema)
+    return _parallelize(df.select(id_col, binary_col)).mapInPandas(
+        kernel, schema=schema
+    )
 
 
 def _dct_matrix(n: int) -> np.ndarray:
@@ -293,7 +300,7 @@ def phash64(
                 }
             )
 
-    return df.select(id_col, binary_col).mapInPandas(batches, schema)
+    return _parallelize(df.select(id_col, binary_col)).mapInPandas(batches, schema)
 
 
 def perturb_images(
@@ -326,7 +333,7 @@ def perturb_images(
                 {id_col: pd.Series(ids, dtype="int64"), "media": blobs}
             )
 
-    return df.select(id_col, binary_col).mapInPandas(batches, schema)
+    return _parallelize(df.select(id_col, binary_col)).mapInPandas(batches, schema)
 
 
 def phash_pairs(
@@ -382,4 +389,6 @@ def sample_frames(
                     frames.append(bytes(buf[fi * every_n : (fi + 1) * every_n]))
             yield pd.DataFrame({id_col: ids, "frame_idx": idxs, "frame": frames})
 
-    return df.select(id_col, binary_col).mapInPandas(batches, schema=schema)
+    return _parallelize(df.select(id_col, binary_col)).mapInPandas(
+        batches, schema=schema
+    )
