@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from lakeside_spark.operators import codecs
+from lakeside_spark.operators.similarity import _parallelize
 
 N_WINDOWS = 8
 N_BANDS = 8
@@ -87,7 +88,7 @@ def audio_fingerprint(
                 }
             )
 
-    return df.select(id_col, binary_col).mapInPandas(batches, schema)
+    return _parallelize(df.select(id_col, binary_col)).mapInPandas(batches, schema)
 
 
 def audio_pairs(
@@ -150,7 +151,7 @@ def synthesize_audio(
                 {id_col: pd.Series(ids, dtype="int64"), "media": blobs}
             )
 
-    return docs.select(id_col, text_col).mapInPandas(batches, schema)
+    return _parallelize(docs.select(id_col, text_col)).mapInPandas(batches, schema)
 
 
 def perturb_audio(
@@ -185,4 +186,4 @@ def perturb_audio(
                 {id_col: pd.Series(ids, dtype="int64"), "media": blobs}
             )
 
-    return df.select(id_col, binary_col).mapInPandas(batches, schema)
+    return _parallelize(df.select(id_col, binary_col)).mapInPandas(batches, schema)
