@@ -298,12 +298,15 @@ def main() -> None:
 
     # Key order matters: the round harness records only the LAST 2000
     # chars of this line (BENCH_r06's tail starts mid-map and ends at
-    # regression_count — verified), so the big per-query maps go FIRST
-    # and every verdict-relevant summary field (ratio, totals, errors,
-    # regressions) goes LAST where the tail is guaranteed to retain it.
+    # regression_count — verified), so the big, unbounded maps (per-query
+    # times, then error messages) go FIRST and every verdict-relevant
+    # summary field goes LAST where the tail is guaranteed to retain it
+    # even on a run with many errors. The regressions detail list is
+    # capped so a pathological run cannot push the counts out either.
     record = {
                 "duckdb_queries": duck_query,
                 "queries": per_query,
+                "errors": errors,
                 "sf": sf,
                 "metric": "headline_queries_total_wall_clock",
                 "value": round(total, 4),
@@ -312,9 +315,8 @@ def main() -> None:
                 "spark_oracle_subset_sec": round(spark_subset_wall, 4),
                 "duckdb_oracle_subset_sec": round(duck_total, 4),
                 "spark_over_duckdb_ratio": ratio,
-                "errors": errors,
                 "error_count": len(errors),
-                "regressions": regressions,
+                "regressions": regressions[:10],
                 "regression_count": len(regressions),
     }
     print(json.dumps(record))

@@ -56,17 +56,10 @@ MINHASH_AB = [
 ]
 
 
-def _parallelize(df: DataFrame) -> DataFrame:
-    """Spread rows across all cores before CPU-heavy per-doc work —
-    ONLY when the input is under-parallel (same gate as
-    similarity._parallelize: an unconditional repartition is a
-    corpus-sized Exchange at 100 TB and would SHRINK a many-partition
-    scan down to cluster-core count; an already-parallel scan passes
-    through with no Exchange)."""
-    sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() >= sc.defaultParallelism:
-        return df
-    return df.repartition(sc.defaultParallelism)
+# Single shared under-parallel gate: one implementation (the kernels in
+# multimodal/audiofp/chunking import it from similarity too) so the
+# repartition policy cannot silently diverge between operator families.
+from lakeside_spark.operators.similarity import _parallelize  # noqa: E402,F401
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -396,6 +389,7 @@ def minhash_lsh_match(
     text_col: str = "text",
     id_col: str = "doc_id",
     best_only: bool = True,
+    eager: bool = True,
 ) -> DataFrame:
     """Incremental dedup: match an incoming shard against an existing
     corpus index WITHOUT re-pairing the corpus with itself — the shape a
@@ -483,10 +477,18 @@ def minhash_lsh_match(
                 F.round("j", 6).alias("jaccard"),
             )
         )
+    if not eager:
+        # lazy plan, caches stay owned by the caller — the path plan
+        # tests inspect (localCheckpoint below would truncate the
+        # lineage they assert on) and the hook for a production ingest
+        # that persists the index side itself
+        return out
     # materialize the (match-sized) result eagerly so the two
     # corpus-sized shingle caches can be released NOW — a daily-ingest
     # API gets called repeatedly, and leaving them persisted leaked two
-    # cached tables per call for the session lifetime
+    # cached tables per call for the session lifetime. The checkpoint
+    # blocks are match-sized (not corpus-sized) and reclaimed by
+    # Spark's ContextCleaner once the returned DataFrame is dropped.
     out = out.localCheckpoint(eager=True)
     ex_in.unpersist()
     ex_ix.unpersist()

@@ -316,8 +316,13 @@ def build_trigram_index(
     # place: it already merge-read the lake, and a segment added without
     # reindexing is stale for pruning anyway, so schema staleness has the
     # same remedy (rebuild).
-    with open(os.path.join(path, INDEX_DIR, SCHEMA_FILE), "w") as fh:
+    # atomic (tmp+rename): a reader racing a rebuild must see either the
+    # old complete schema or the new one, never a truncated file
+    schema_path = os.path.join(path, INDEX_DIR, SCHEMA_FILE)
+    tmp_path = schema_path + ".tmp"
+    with open(tmp_path, "w") as fh:
         fh.write(lake.schema.json())
+    os.replace(tmp_path, schema_path)
 
 
 # ---------------------------------------------------------------------------
@@ -440,11 +445,19 @@ def read_segments_indexed(
         try:
             with open(schema_path) as fh:
                 return r.schema(T.StructType.fromJson(json.load(fh)))
-        except OSError:
+        except (OSError, ValueError, KeyError):
+            # missing, corrupt, or wrong-shape sidecar — degrade to the
+            # footer-merging read rather than failing the query
             return r.option("mergeSchema", "true")
 
     if files is None:
-        # nothing pruned: one directory listing, no driver-side file list
+        # nothing pruned: one directory listing, no driver-side file
+        # list. On a STALE index (segments sealed after the last
+        # build) this path also reads the unindexed segments — sound,
+        # since the exact row filter reapplies below; the pruned path
+        # can only see indexed files, so index freshness is the
+        # caller's contract (rebuild after sealing), same as the
+        # reference's segment index.
         df = reader().parquet(path)
     elif not files:
         return reader().parquet(path).filter(F.lit(False))

@@ -419,7 +419,21 @@ def test_text_quality_classifier_plan(spark, sf_dir):
 def test_dedup_incremental_no_cartesian(spark, sf_dir):
     """Incremental shard-vs-index dedup must candidate-bound everything:
     banded equi-join for candidates (no cartesian / BNLJ anywhere) and
-    verification joined through the candidate list."""
-    plan = _plan(spark, sf_dir, "dedup_incremental")
+    verification joined through the candidate list. Built with
+    eager=False: the production path's localCheckpoint truncates the
+    lineage to a Scan ExistingRDD, which would make this guard
+    unfalsifiable — the lazy plan is the same logical shape minus the
+    checkpoint."""
+    from pyspark.sql import functions as F
+
+    from lakeside_spark.operators.dedup import minhash_lsh_match
+    from lakeside_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    index = docs.filter(F.col("doc_id") % 10 != 0)
+    incoming = docs.filter(F.col("doc_id") % 10 == 0)
+    df = minhash_lsh_match(index, incoming, threshold=0.12, eager=False)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Scan ExistingRDD" not in plan, "checkpoint leaked into lazy path"
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
