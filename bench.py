@@ -163,6 +163,7 @@ HEADLINE = [
     "trigram_prune",
     "ts_rate",
     "user_retention_sketch",
+    "text_bm25_topk",
 ]
 
 

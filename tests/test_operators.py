@@ -480,6 +480,32 @@ def test_bloom_decontam_no_false_negatives(spark, sf_dir):
     assert set(exact) <= tiny
 
 
+def test_bm25_ranks_matching_docs_first(spark):
+    """BM25 invariants on a hand-built corpus: docs containing the query
+    terms outrank docs without them, repeated-term docs outrank
+    single-mention docs of the same length, ranks are consecutive from
+    1, and non-matching docs never appear."""
+    from lakeside_spark.operators.bm25 import bm25_topk
+
+    corpus = spark.createDataFrame(
+        [
+            (10, "spark shuffle join spark spark"),
+            (11, "spark appears once in this doc"),
+            (12, "completely unrelated words entirely here"),
+            (13, "another doc about joins and shuffle work"),
+        ],
+        "doc_id long, text string",
+    )
+    q = spark.createDataFrame([(1, "spark shuffle")], "doc_id long, text string")
+    rows = bm25_topk(corpus, q, k=10).orderBy("rank").collect()
+    got = [(r["doc_id"], r["rank"]) for r in rows]
+    ids = [d for d, _ in got]
+    assert 12 not in ids, got  # no query term -> never retrieved
+    assert ids[0] == 10, got  # repeated spark + shuffle wins
+    assert [r for _, r in got] == list(range(1, len(got) + 1))
+    assert all(r["score"] > 0 for r in rows)
+
+
 def test_vocab_topk_deterministic_ties(spark):
     from lakeside_spark.operators.decontam import vocab_topk
 
