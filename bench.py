@@ -164,6 +164,7 @@ HEADLINE = [
     "ts_rate",
     "user_retention_sketch",
     "text_bm25_topk",
+    "hybrid_rrf_topk",
 ]
 
 

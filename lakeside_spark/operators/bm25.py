@@ -109,3 +109,70 @@ def bm25_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "doc_id", "score", "rank")
     )
+
+
+def hybrid_rrf_topk(
+    docs: DataFrame,
+    emb: DataFrame,
+    query_ids_below: int = 5,
+    k: int = 10,
+    pool: int = 20,
+    k0: int = 60,
+) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (Cormack et al. 2009):
+    fuse the BM25 lexical leg over ``docs`` with the exact-cosine dense
+    leg over ``emb`` (aligned id spaces) as
+    ``rrf = Σ_legs 1/(k0 + rank_leg)`` over each leg's top-``pool``.
+
+    Rank-based fusion sidesteps score-scale mismatch between the legs —
+    the standard production hybrid. Both legs re-rank their pools on the
+    6-decimal ROUNDED leg score (id tiebreak) before fusing, so the
+    integer ranks — and therefore the fused score, a sum of two exact
+    reciprocals — are reproducible across engines. Scale: each leg is
+    its own documented plan; the fusion is a pool-sized (|queries| ×
+    pool) full-outer join + window, negligible at any corpus size.
+
+    Output: (q_id, doc_id, rrf, rank), top-``k`` per query.
+    """
+    from lakeside_spark.operators.similarity import cosine_topk
+
+    bm = bm25_topk(
+        docs.filter(F.col("doc_id") >= query_ids_below),
+        docs.filter(F.col("doc_id") < query_ids_below),
+        k=pool,
+    )
+    cs = cosine_topk(
+        emb.filter(F.col("vec_id") >= query_ids_below),
+        emb.filter(F.col("vec_id") < query_ids_below),
+        k=pool,
+    )
+    # re-rank each pool on the rounded score so leg ranks are
+    # engine-independent (bm25's rank already is; cosine's row_number
+    # ran on the raw double)
+    wb = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("doc_id"))
+    wc = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
+    bmr = bm.select("q_id", "doc_id", F.row_number().over(wb).alias("r_lex"))
+    csr = cs.select(
+        "q_id",
+        F.col("n_id").alias("doc_id"),
+        F.row_number().over(wc).alias("r_dense"),
+    )
+    fused = (
+        bmr.join(csr, ["q_id", "doc_id"], "full_outer")
+        .withColumn(
+            "rrf",
+            F.round(
+                F.coalesce(F.lit(1.0) / (F.lit(k0) + F.col("r_lex")), F.lit(0.0))
+                + F.coalesce(
+                    F.lit(1.0) / (F.lit(k0) + F.col("r_dense")), F.lit(0.0)
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("rrf").desc(), F.col("doc_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "doc_id", "rrf", "rank")
+    )

@@ -506,6 +506,30 @@ def test_bm25_ranks_matching_docs_first(spark):
     assert all(r["score"] > 0 for r in rows)
 
 
+def test_hybrid_rrf_fuses_both_legs(spark, sf_dir):
+    """RRF invariants on the driver tables: output is top-10 per query
+    with consecutive ranks; every fused score is a sum of at most two
+    reciprocals 1/(60+r), so it lies in (0, 2/61]; and a doc retrieved
+    by BOTH legs at rank 1 would score 2/61 — monotone in leg ranks."""
+    from lakeside_spark.operators.bm25 import hybrid_rrf_topk
+    from lakeside_spark.sources.tables import load_table
+
+    out = hybrid_rrf_topk(
+        load_table(spark, sf_dir, "documents"),
+        load_table(spark, sf_dir, "embeddings"),
+    ).collect()
+    assert out, "hybrid returned nothing"
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["q_id"], []).append(r)
+    for q, rows in by_q.items():
+        ranks = sorted(r["rank"] for r in rows)
+        assert ranks == list(range(1, len(ranks) + 1)), (q, ranks)
+        assert len(rows) <= 10
+        for r in rows:
+            assert 0 < r["rrf"] <= round(2 / 61, 6) + 1e-9, r
+
+
 def test_vocab_topk_deterministic_ties(spark):
     from lakeside_spark.operators.decontam import vocab_topk
 
