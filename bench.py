@@ -165,6 +165,8 @@ HEADLINE = [
     "user_retention_sketch",
     "text_bm25_topk",
     "hybrid_rrf_topk",
+    "retrieval_eval",
+    "event_attribution",
 ]
 
 

@@ -288,3 +288,113 @@ def path_topk(
         )
         .filter(F.col("rank") <= k)
     )
+
+
+def attribution(
+    events: DataFrame,
+    conversion: str = "purchase",
+    channels: tuple[str, ...] = ("view", "click", "signup"),
+    lookback_ms: int = 7 * 86_400_000,
+    user_col: str = "user_id",
+    ts_col: str = "timestamp_ms",
+    name_col: str = "name",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Multi-touch conversion attribution: credit each ``conversion``
+    event to the ``channels`` touchpoints the same user produced in the
+    ``lookback_ms`` window before it, under the three standard models —
+    first_touch (100% to the earliest touch), last_touch (100% to the
+    latest), linear (split evenly). Conversions with no in-window touch
+    are credited to the 'direct' channel, so the three models each
+    conserve total conversion count.
+
+    Credit is integer MICRO-units (first/last: 1e6 per conversion;
+    linear: round(1e6/n) per touch) summed exactly, divided once at the
+    end — no float accumulation order can perturb the result across
+    engines (a linear n=3 conversion sums to 0.999999, documented
+    fixed-point semantics). Shape: one name-IN-pushed scan each side,
+    one user-keyed range join (touch fan-out bounded by per-user
+    activity in the window, AQE skew-join handles power users), one
+    conversion-keyed window, one channel-vocabulary-sized aggregate.
+
+    Output: (model, channel, credit, n_conversions).
+    """
+    conv = events.filter(
+        (F.col(name_col) == conversion) & F.col(user_col).isNotNull()
+    ).select(
+        F.col(user_col).alias("_u"),
+        F.col(ts_col).alias("conv_ts"),
+        F.col(tiebreak_col).alias("conv_id"),
+    )
+    touch = events.filter(
+        F.col(name_col).isin(*channels) & F.col(user_col).isNotNull()
+    ).select(
+        F.col(user_col).alias("_u"),
+        F.col(ts_col).alias("t_ts"),
+        F.col(name_col).alias("channel"),
+        F.col(tiebreak_col).alias("t_id"),
+    )
+    j = (
+        conv.alias("c")
+        .join(
+            touch.alias("t"),
+            on=(
+                (F.col("t._u") == F.col("c._u"))
+                & (F.col("t.t_ts") >= F.col("c.conv_ts") - F.lit(lookback_ms))
+                & (F.col("t.t_ts") < F.col("c.conv_ts"))
+            ),
+            how="left",
+        )
+        .select("c.conv_id", "t.channel", "t.t_ts", "t.t_id")
+    )
+    wf = Window.partitionBy("conv_id").orderBy(
+        F.asc("t_ts"), F.asc("t_id")
+    )
+    wl = Window.partitionBy("conv_id").orderBy(
+        F.desc("t_ts"), F.desc("t_id")
+    )
+    wn = Window.partitionBy("conv_id")
+    ranked = j.select(
+        "conv_id",
+        F.coalesce("channel", F.lit("direct")).alias("channel"),
+        F.row_number().over(wf).alias("rn_f"),
+        F.row_number().over(wl).alias("rn_l"),
+        F.count("t_id").over(wn).alias("n_t"),
+        F.col("channel").isNull().alias("_direct"),
+    )
+    unit = F.lit(1_000_000).cast("long")
+    micro = lambda c: F.when(F.col("_direct"), unit).otherwise(c)  # noqa: E731
+    credits = ranked.select(
+        "conv_id",
+        "channel",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("first_touch").alias("model"),
+                    micro(
+                        F.when(F.col("rn_f") == 1, unit).otherwise(F.lit(0))
+                    ).alias("mc"),
+                ),
+                F.struct(
+                    F.lit("last_touch").alias("model"),
+                    micro(
+                        F.when(F.col("rn_l") == 1, unit).otherwise(F.lit(0))
+                    ).alias("mc"),
+                ),
+                F.struct(
+                    F.lit("linear").alias("model"),
+                    micro(
+                        F.round(F.lit(1.0e6) / F.col("n_t"), 0).cast("long")
+                    ).alias("mc"),
+                ),
+            )
+        ).alias("e"),
+    ).select("conv_id", "channel", "e.model", "e.mc")
+    return (
+        credits.filter(F.col("mc") > 0)
+        .groupBy("model", "channel")
+        .agg(
+            F.round(F.sum("mc") / F.lit(1.0e6), 6).alias("credit"),
+            F.count_distinct("conv_id").alias("n_conversions"),
+        )
+    )

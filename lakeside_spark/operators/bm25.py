@@ -176,3 +176,111 @@ def hybrid_rrf_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "doc_id", "rrf", "rank")
     )
+
+
+def retrieval_eval(
+    docs: DataFrame,
+    emb: DataFrame,
+    query_ids_below: int = 5,
+    k: int = 10,
+    pool: int = 20,
+    k0: int = 60,
+) -> DataFrame:
+    """Rank-metric evaluation of the three retrieval legs — recall@k,
+    MRR and binary-relevance nDCG@k per system, averaged over the query
+    panel — against the exact-cosine top-``k`` truth set (so the dense
+    row is the =1.0 sanity anchor and the bm25/hybrid rows measure how
+    much of the semantic neighborhood the lexical and fused legs
+    recover; the standard offline eval a retrieval-based curation
+    pipeline runs before trusting a cheaper leg).
+
+    Determinism: every leg's ranks are already engine-independent
+    (rounded-score re-rank, id tiebreak); DCG terms are fixed-point
+    integers ``round(1e9·ln2/ln(rank+1))`` summed exactly, and both
+    engines spell the log as ``ln`` (log2 builtins may differ by an
+    ulp between libm and the JVM), so nDCG is a ratio of exact
+    integers. Scale: everything after the legs runs on
+    |systems|×|queries|×k rows — the eval is free; the legs are the
+    documented plans.
+
+    Output: (system, recall_at_k, mrr, ndcg), one row per system.
+    """
+    from lakeside_spark.operators.similarity import cosine_topk
+
+    spark = docs.sparkSession
+    cs = cosine_topk(
+        emb.filter(F.col("vec_id") >= query_ids_below),
+        emb.filter(F.col("vec_id") < query_ids_below),
+        k=k,
+    )
+    truth = cs.select("q_id", F.col("n_id").alias("doc_id"))
+    # dense run: same raw-order top-k pool, ranks re-assigned on the
+    # rounded cosine (cosine_topk's row_number ran on the raw double)
+    wd = Window.partitionBy("q_id").orderBy(
+        F.round("cos", 6).desc(), F.col("n_id")
+    )
+    dense = cs.select(
+        "q_id", F.col("n_id").alias("doc_id"), F.row_number().over(wd).alias("rank")
+    )
+    bm = bm25_topk(
+        docs.filter(F.col("doc_id") >= query_ids_below),
+        docs.filter(F.col("doc_id") < query_ids_below),
+        k=k,
+    ).select("q_id", "doc_id", "rank")
+    hy = hybrid_rrf_topk(
+        docs, emb, query_ids_below=query_ids_below, k=k, pool=pool, k0=k0
+    ).select("q_id", "doc_id", "rank")
+    runs = (
+        bm.withColumn("system", F.lit("bm25"))
+        .unionByName(dense.withColumn("system", F.lit("dense")))
+        .unionByName(hy.withColumn("system", F.lit("hybrid")))
+    )
+    # fixed-point DCG term: round(1e9 * ln2 / ln(rank+1)) as exact int
+    dcg_term = F.round(
+        F.lit(1.0e9) * F.log(F.lit(2.0)) / F.log(F.col("rank") + F.lit(1.0)), 0
+    ).cast("long")
+    per_q = (
+        runs.join(truth.withColumn("hit", F.lit(1)), ["q_id", "doc_id"], "left")
+        .withColumn("hit", F.coalesce("hit", F.lit(0)))
+        .groupBy("system", "q_id")
+        .agg(
+            F.sum("hit").alias("hits"),
+            F.max(F.col("hit") * (F.lit(1.0) / F.col("rank"))).alias("mrr_q"),
+            F.sum(F.col("hit") * dcg_term).alias("dcg_int"),
+        )
+    )
+    n_rel = truth.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_rel"))
+    idcg = n_rel.withColumn(
+        "idcg_int",
+        F.expr(
+            f"aggregate(sequence(1, int(least(n_rel, {k}))), 0L, "
+            "(acc, i) -> acc + cast(round(1e9 * ln(2.0) / ln(i + 1.0), 0) "
+            "as long))"
+        ),
+    )
+    systems = spark.createDataFrame(
+        [("bm25",), ("dense",), ("hybrid",)], "system string"
+    )
+    spine = (
+        docs.filter(F.col("doc_id") < query_ids_below)
+        .select(F.col("doc_id").alias("q_id"))
+        .crossJoin(F.broadcast(systems))
+    )
+    per_q_full = (
+        spine.join(per_q, ["system", "q_id"], "left")
+        .join(F.broadcast(idcg), "q_id")
+        .select(
+            "system",
+            (F.coalesce("hits", F.lit(0)) / F.col("n_rel")).alias("recall_q"),
+            F.coalesce("mrr_q", F.lit(0.0)).alias("mrr_q"),
+            (
+                F.coalesce("dcg_int", F.lit(0)).cast("double")
+                / F.col("idcg_int").cast("double")
+            ).alias("ndcg_q"),
+        )
+    )
+    return per_q_full.groupBy("system").agg(
+        F.round(F.avg("recall_q"), 6).alias("recall_at_k"),
+        F.round(F.avg("mrr_q"), 6).alias("mrr"),
+        F.round(F.avg("ndcg_q"), 6).alias("ndcg"),
+    )

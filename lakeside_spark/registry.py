@@ -3331,6 +3331,150 @@ QUALIFY rank <= 10
 """
 
 
+def retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline rank-metric eval of the three retrieval legs
+    (operators/bm25.retrieval_eval): recall@10 / MRR / binary nDCG@10
+    per system vs the exact-cosine truth set, averaged over the 5-query
+    panel — the dense row is the 1.0 sanity anchor, the bm25/hybrid
+    rows measure semantic-neighborhood recovery. DCG terms are
+    fixed-point ints (round(1e9·ln2/ln(r+1))) summed exactly and both
+    engines spell the log as ln, so every metric is
+    engine-independent."""
+    from lakeside_spark.operators.bm25 import retrieval_eval as _ev
+
+    return _ev(
+        load_table(spark, sf_dir, "documents"),
+        load_table(spark, sf_dir, "embeddings"),
+    ).orderBy("system")
+
+
+RETRIEVAL_EVAL_SQL = f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split({_NORM}, ' '), x -> x <> '')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok WHERE doc_id >= 5
+  GROUP BY doc_id, term
+), doclen AS (
+  SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id
+), stats AS (
+  SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM doclen
+), dft AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), qt AS (
+  SELECT DISTINCT doc_id AS q_id, term FROM tok WHERE doc_id < 5
+), parts AS (
+  SELECT q.q_id, t.doc_id,
+         ln(1.0::DOUBLE + (s.n_docs - d.df + 0.5::DOUBLE)
+                          / (d.df + 0.5::DOUBLE))
+           * t.tf * 2.2::DOUBLE
+           / (t.tf + 1.2::DOUBLE
+              * (0.25::DOUBLE + 0.75::DOUBLE * l.dl / s.avgdl)) AS part
+  FROM tf t
+  JOIN qt q USING (term)
+  JOIN dft d USING (term)
+  JOIN doclen l ON l.doc_id = t.doc_id
+  CROSS JOIN stats s
+), bm_run AS (
+  SELECT q_id, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY ROUND(SUM(part), 6) DESC, doc_id) AS rank
+  FROM parts GROUP BY q_id, doc_id
+  QUALIFY rank <= 10
+), lex AS (
+  SELECT q_id, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY ROUND(SUM(part), 6) DESC, doc_id)
+           AS r_lex
+  FROM parts GROUP BY q_id, doc_id
+  QUALIFY r_lex <= 20
+), cos_raw AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS doc_id,
+         list_cosine_similarity(q.embedding::DOUBLE[],
+                                c.embedding::DOUBLE[]) AS cos
+  FROM embeddings q JOIN embeddings c
+    ON q.vec_id < 5 AND c.vec_id >= 5
+), cos_ranked AS (
+  SELECT q_id, doc_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY cos DESC, doc_id) AS rr
+  FROM cos_raw
+), truth AS (
+  SELECT q_id, doc_id FROM cos_ranked WHERE rr <= 10
+), dense_run AS (
+  SELECT q_id, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY ROUND(cos, 6) DESC, doc_id) AS rank
+  FROM cos_ranked WHERE rr <= 10
+), cos_pool AS (
+  SELECT q_id, doc_id, ROUND(cos, 6) AS cos_r
+  FROM cos_ranked WHERE rr <= 20
+), dense_leg AS (
+  SELECT q_id, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY cos_r DESC, doc_id) AS r_dense
+  FROM cos_pool
+), fused AS (
+  SELECT COALESCE(l.q_id, d.q_id) AS q_id,
+         COALESCE(l.doc_id, d.doc_id) AS doc_id,
+         ROUND(COALESCE(1.0::DOUBLE / (60 + l.r_lex), 0.0::DOUBLE)
+               + COALESCE(1.0::DOUBLE / (60 + d.r_dense), 0.0::DOUBLE),
+               6) AS rrf
+  FROM lex l FULL OUTER JOIN dense_leg d
+    ON l.q_id = d.q_id AND l.doc_id = d.doc_id
+), hy_run AS (
+  SELECT q_id, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY rrf DESC, doc_id) AS rank
+  FROM fused
+  QUALIFY rank <= 10
+), runs AS (
+  SELECT 'bm25' AS system, * FROM bm_run
+  UNION ALL SELECT 'dense', * FROM dense_run
+  UNION ALL SELECT 'hybrid', * FROM hy_run
+), per_q AS (
+  SELECT r.system, r.q_id,
+         SUM(CASE WHEN t.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS hits,
+         MAX(CASE WHEN t.doc_id IS NOT NULL THEN 1.0::DOUBLE / r.rank
+                  ELSE 0.0::DOUBLE END) AS mrr_q,
+         SUM(CASE WHEN t.doc_id IS NOT NULL
+                  THEN CAST(ROUND(1e9::DOUBLE * ln(2.0::DOUBLE)
+                                  / ln(r.rank + 1.0::DOUBLE), 0) AS BIGINT)
+                  ELSE 0 END) AS dcg_int
+  FROM runs r LEFT JOIN truth t
+    ON r.q_id = t.q_id AND r.doc_id = t.doc_id
+  GROUP BY r.system, r.q_id
+), nrel AS (
+  SELECT q_id, COUNT(*) AS n_rel FROM truth GROUP BY q_id
+), idcg AS (
+  SELECT n.q_id,
+         SUM(CAST(ROUND(1e9::DOUBLE * ln(2.0::DOUBLE)
+                        / ln(g.i + 1.0::DOUBLE), 0) AS BIGINT)) AS idcg_int
+  FROM nrel n JOIN generate_series(1, 10) AS g(i)
+    ON g.i <= least(n.n_rel, 10)
+  GROUP BY n.q_id
+), spine AS (
+  SELECT s.system, d.doc_id AS q_id
+  FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id < 5) d
+  CROSS JOIN (VALUES ('bm25'), ('dense'), ('hybrid')) AS s(system)
+), per_q_full AS (
+  SELECT sp.system,
+         COALESCE(p.hits, 0) * 1.0::DOUBLE / n.n_rel AS recall_q,
+         COALESCE(p.mrr_q, 0.0::DOUBLE) AS mrr_q,
+         COALESCE(p.dcg_int, 0) * 1.0::DOUBLE / i.idcg_int AS ndcg_q
+  FROM spine sp
+  LEFT JOIN per_q p ON p.system = sp.system AND p.q_id = sp.q_id
+  JOIN nrel n ON n.q_id = sp.q_id
+  JOIN idcg i ON i.q_id = sp.q_id
+)
+SELECT system, ROUND(AVG(recall_q), 6) AS recall_at_k,
+       ROUND(AVG(mrr_q), 6) AS mrr,
+       ROUND(AVG(ndcg_q), 6) AS ndcg
+FROM per_q_full GROUP BY system ORDER BY system
+"""
+
+
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakeside_spark.operators.textstats import fingerprints
 
@@ -4268,6 +4412,62 @@ UNION ALL
 SELECT CAST(2 AS BIGINT), 'click', COUNT(*) FROM s2
 UNION ALL
 SELECT CAST(3 AS BIGINT), 'purchase', COUNT(*) FROM s3
+"""
+
+
+def event_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch conversion attribution (operators/behavior.attribution):
+    purchase conversions credited to the view/click/signup touches the
+    same user produced in the prior 7 days, under first_touch /
+    last_touch / linear; no-touch conversions go to 'direct' so every
+    model conserves total conversions. Credit is exact integer
+    micro-units (linear = round(1e6/n) per touch) summed then divided
+    once — no float accumulation order in either engine. One user-keyed
+    range join + one conversion-keyed window + one tiny agg."""
+    from lakeside_spark.operators.behavior import attribution
+
+    return attribution(load_telemetry(spark, sf_dir))
+
+
+EVENT_ATTRIBUTION_SQL = f"""
+WITH conv AS (
+  SELECT user_id AS u, timestamp_ms AS conv_ts, event_id AS conv_id
+  FROM {_T} WHERE name = 'purchase' AND user_id IS NOT NULL
+), touch AS (
+  SELECT user_id AS u, timestamp_ms AS t_ts, name AS channel,
+         event_id AS t_id
+  FROM {_T} WHERE name IN ('view', 'click', 'signup')
+    AND user_id IS NOT NULL
+), j AS (
+  SELECT c.conv_id, t.channel, t.t_ts, t.t_id
+  FROM conv c LEFT JOIN touch t
+    ON t.u = c.u AND t.t_ts >= c.conv_ts - 604800000
+   AND t.t_ts < c.conv_ts
+), ranked AS (
+  SELECT conv_id, COALESCE(channel, 'direct') AS channel,
+         channel IS NULL AS is_direct,
+         ROW_NUMBER() OVER (PARTITION BY conv_id
+                            ORDER BY t_ts ASC, t_id ASC) AS rn_f,
+         ROW_NUMBER() OVER (PARTITION BY conv_id
+                            ORDER BY t_ts DESC, t_id DESC) AS rn_l,
+         COUNT(t_id) OVER (PARTITION BY conv_id) AS n_t
+  FROM j
+), cr AS (
+  SELECT conv_id, channel, m.model,
+         CASE WHEN is_direct THEN 1000000
+              WHEN m.model = 'first_touch'
+                THEN CASE WHEN rn_f = 1 THEN 1000000 ELSE 0 END
+              WHEN m.model = 'last_touch'
+                THEN CASE WHEN rn_l = 1 THEN 1000000 ELSE 0 END
+              ELSE CAST(ROUND(1e6::DOUBLE / n_t, 0) AS BIGINT)
+         END AS mc
+  FROM ranked
+  CROSS JOIN (VALUES ('first_touch'), ('last_touch'), ('linear'))
+    AS m(model)
+)
+SELECT model, channel, ROUND(SUM(mc) / 1e6::DOUBLE, 6) AS credit,
+       COUNT(DISTINCT conv_id) AS n_conversions
+FROM cr WHERE mc > 0 GROUP BY model, channel
 """
 
 
@@ -5411,6 +5611,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_bloom_decontam": corpus_bloom_decontam,
     "text_bm25_topk": text_bm25_topk,  # NEW r7: lexical retrieval leg
     "hybrid_rrf_topk": hybrid_rrf_topk,  # NEW r7: BM25+dense RRF fusion
+    "retrieval_eval": retrieval_eval,  # NEW r7: recall/MRR/nDCG of the legs
+    "event_attribution": event_attribution,  # NEW r7: multi-touch attribution
     # --- r6 canonicalizer crashes, now fixed (18-19)
     "multimodal_decode": multimodal_decode,
     "embedding_whitening": embedding_whitening,
@@ -5606,6 +5808,8 @@ ORACLES: dict[str, str] = {
     "corpus_pack": CORPUS_PACK_SQL,
     "text_bm25_topk": TEXT_BM25_TOPK_SQL,
     "hybrid_rrf_topk": HYBRID_RRF_TOPK_SQL,
+    "retrieval_eval": RETRIEVAL_EVAL_SQL,
+    "event_attribution": EVENT_ATTRIBUTION_SQL,
     "ts_count_salted": TS_COUNT_SQL,
     "traces_exemplars": TRACES_EXEMPLARS_SQL,
     "traces_span_stats": TRACES_SPAN_STATS_SQL,

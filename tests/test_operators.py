@@ -530,6 +530,80 @@ def test_hybrid_rrf_fuses_both_legs(spark, sf_dir):
             assert 0 < r["rrf"] <= round(2 / 61, 6) + 1e-9, r
 
 
+def test_retrieval_eval_dense_anchor_and_bounds(spark, sf_dir):
+    """retrieval_eval invariants on the driver tables: the dense system
+    is scored against its own top-k truth set, so its recall/MRR/nDCG
+    are exactly 1.0; every metric lies in [0, 1]; all three systems
+    report; and hybrid — which contains the dense leg in its pool —
+    recovers at least as much of the truth set as the lexical leg
+    alone on this panel."""
+    from lakeside_spark.operators.bm25 import retrieval_eval
+    from lakeside_spark.sources.tables import load_table
+
+    rows = retrieval_eval(
+        load_table(spark, sf_dir, "documents"),
+        load_table(spark, sf_dir, "embeddings"),
+    ).collect()
+    by_sys = {r["system"]: r for r in rows}
+    assert set(by_sys) == {"bm25", "dense", "hybrid"}
+    for r in rows:
+        for m in ("recall_at_k", "mrr", "ndcg"):
+            assert 0.0 <= r[m] <= 1.0, (r["system"], m, r[m])
+    d = by_sys["dense"]
+    assert (d["recall_at_k"], d["mrr"], d["ndcg"]) == (1.0, 1.0, 1.0), d
+    assert by_sys["hybrid"]["recall_at_k"] >= by_sys["bm25"]["recall_at_k"], by_sys
+
+
+def test_attribution_models_hand_computed(spark):
+    """All three models on a hand-built event log: first/last pick the
+    right touch, linear splits in micro-units (n=3 sums to 0.999999 by
+    the documented fixed-point semantics), out-of-window and no-touch
+    conversions fall to 'direct', and every model conserves the total
+    conversion count."""
+    from lakeside_spark.operators.behavior import attribution
+
+    day = 86_400_000
+    rows = [
+        # user A: view, click -> purchase (n=2)
+        ("a", 1, "view", 1),
+        ("a", 2, "click", 2),
+        ("a", 10, "purchase", 3),
+        # user B: bare purchase -> direct
+        ("b", 5, "purchase", 4),
+        # user C: signup, view, click -> purchase (n=3)
+        ("c", 1, "signup", 5),
+        ("c", 2, "view", 6),
+        ("c", 3, "click", 7),
+        ("c", 4, "purchase", 8),
+        # user D: touch outside the 7-day lookback -> direct
+        ("d", 0, "view", 9),
+        ("d", 7 * day + 1, "purchase", 10),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id string, timestamp_ms long, name string, event_id long"
+    )
+    out = attribution(ev)
+    got = {
+        (r["model"], r["channel"]): (r["credit"], r["n_conversions"])
+        for r in out.collect()
+    }
+    assert got == {
+        ("first_touch", "view"): (1.0, 1),
+        ("first_touch", "signup"): (1.0, 1),
+        ("first_touch", "direct"): (2.0, 2),
+        ("last_touch", "click"): (2.0, 2),
+        ("last_touch", "direct"): (2.0, 2),
+        ("linear", "view"): (0.833333, 2),
+        ("linear", "click"): (0.833333, 2),
+        ("linear", "signup"): (0.333333, 1),
+        ("linear", "direct"): (2.0, 2),
+    }, got
+    # each model's total credit ~= total conversions (micro-unit floor)
+    for m in ("first_touch", "last_touch", "linear"):
+        total = sum(v[0] for (mm, _), v in got.items() if mm == m)
+        assert abs(total - 4.0) < 1e-5, (m, total)
+
+
 def test_vocab_topk_deterministic_ties(spark):
     from lakeside_spark.operators.decontam import vocab_topk
 
