@@ -8,20 +8,19 @@ the baseline half of the hybrid (BM25 + dense) retrieval that
 training-data curation pipelines use for decontamination-by-retrieval
 and hard-negative mining.
 
-Spark-first shape, all JVM-side:
-- doc term frequencies: one explode + (doc, term) aggregation — the one
-  corpus-sized shuffle, map-side combined;
-- document frequencies and avgdl: vocabulary-sized / scalar aggregates
-  off that same table;
-- query terms (a handful of rows) broadcast-join against the postings,
-  partial scores summed per (query, doc), top-k per query via
-  row_number over a (rounded score, doc id) ordering.
+Spark-first shape, all JVM-side, with two parity-identical plans behind
+an auto gate (see bm25_topk): the full-postings plan (one corpus
+(doc, term) shuffle — fewest stages, fastest while that shuffle is
+cheap) and the matched-postings plan for large corpora, which cuts the
+token stream to query-term matches BEFORE any aggregation so the one
+shuffle is |query terms| × their posting lists, never the corpus token
+table. Partial scores are summed per (query, doc); top-k per query via
+row_number over a (rounded score, doc id) ordering.
 
 The rank orders by the 6-decimal ROUNDED score (ties broken by doc id)
 so the ordering is reproducible across engines — raw-double ordering
 would let a 1-ulp ln() difference flip equal-scored neighbors. Scale:
-postings are (corpus tokens)-sized but the only join fan-out is
-|query terms| × their postings lists — bounded by the panel, never
+past the gate the shuffle is bounded by the matched postings, never
 all-pairs; the reference's trigram index covers the same "find docs
 containing these terms" need at segment granularity, this scores them.
 """
@@ -42,12 +41,73 @@ def bm25_topk(
     b: float = 0.75,
     text_col: str = "text",
     id_col: str = "doc_id",
+    strategy: str = "auto",
+    scale_threshold: int = 1_000_000,
+    qterm_inline_limit: int = 20_000,
 ) -> DataFrame:
     """Top-``k`` corpus docs per query by BM25. Returns
     (q_id, doc_id, score, rank); score rounded to 6 decimals and rank
-    assigned on the rounded value for cross-engine determinism."""
+    assigned on the rounded value for cross-engine determinism.
+
+    Two parity-identical plans behind an auto gate (the dedup-family
+    pattern — pick by a metadata-only corpus count):
+
+    - ``full`` (≤ ``scale_threshold`` docs): build the full (doc, term)
+      tf table in one shuffle and resolve idf on the bounded query-term
+      set. Fewest stages — fastest when the corpus shuffle is cheap.
+    - ``matched`` (above the gate): everything the score needs is
+      either per-QUERY-term (tf, df) or corpus-scalar (n_docs, avgdl),
+      so the token stream is cut to query-term matches BEFORE any
+      aggregation — the one shuffle is |query terms| × their posting
+      lists, never the corpus token table, and doc length rides along
+      inline (no corpus-sized doclen join). The panel-bounded query
+      terms and the two stat scalars resolve as a concurrent two-job
+      driver prologue (falling back to a lazy broadcast semi-join past
+      ``qterm_inline_limit`` terms). At 100 TB this is the only viable
+      shape: shuffling every token to score five queries is not.
+    """
+    if strategy == "auto":
+        strategy = "matched" if corpus.count() > scale_threshold else "full"
+    if strategy == "matched":
+        scored = _bm25_scored_matched(
+            corpus, queries, k1, b, text_col, id_col, qterm_inline_limit
+        )
+    else:
+        scored = _bm25_scored_full(corpus, queries, k1, b, text_col, id_col)
+    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "doc_id", "score", "rank")
+    )
+
+
+def _qterms(queries: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    return (
+        queries.select(
+            F.col(id_col).alias("q_id"), F.explode(words(text_col)).alias("term")
+        )
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+
+
+def _bm25_scored_full(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k1: float,
+    b: float,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """(q_id, doc_id, score): full-postings plan — one corpus (doc,
+    term) shuffle, vocabulary df off it, idf resolved on the bounded
+    query-term set (broadcast qterms into the df table, never the
+    reverse)."""
     tf = (
-        corpus.select(F.col(id_col).alias("doc_id"), F.explode(words(text_col)).alias("term"))
+        corpus.select(
+            F.col(id_col).alias("doc_id"), F.explode(words(text_col)).alias("term")
+        )
         .filter(F.col("term") != "")
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
@@ -64,17 +124,8 @@ def bm25_topk(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     )
     df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    qterms = (
-        queries.select(F.col(id_col).alias("q_id"), F.explode(words(text_col)).alias("term"))
-        .filter(F.col("term") != "")
-        .distinct()
-    )
-    # resolve idf on the BOUNDED query-term set first (broadcast qterms
-    # into the vocab-sized df table, never the reverse — the vocabulary
-    # is 100M+ terms at corpus scale, the query panel is a handful), so
-    # only |query terms| idf rows ever broadcast toward the postings
     q_scored_terms = (
-        df_t.join(F.broadcast(qterms), "term")
+        df_t.join(F.broadcast(_qterms(queries, text_col, id_col)), "term")
         .crossJoin(F.broadcast(stats))
         .withColumn(
             "idf",
@@ -86,7 +137,7 @@ def bm25_topk(
         )
         .select("q_id", "term", "idf", "avgdl")
     )
-    scored = (
+    return (
         tf.join(F.broadcast(q_scored_terms), "term")
         .join(doclen, "doc_id")
         .withColumn(
@@ -103,12 +154,166 @@ def bm25_topk(
         .groupBy("q_id", "doc_id")
         .agg(F.round(F.sum("part"), 6).alias("score"))
     )
-    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("doc_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("q_id", "doc_id", "score", "rank")
+
+
+def _bm25_scored_matched(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k1: float,
+    b: float,
+    text_col: str,
+    id_col: str,
+    qterm_inline_limit: int,
+) -> DataFrame:
+    """(q_id, doc_id, score): matched-postings plan — the corpus token
+    stream is cut to query-term matches BEFORE any aggregation, so the
+    one shuffle is the matched postings, never the full token table."""
+    spark = corpus.sparkSession
+    qterms = _qterms(queries, text_col, id_col)
+    w = words(text_col)
+    doclen = corpus.select(
+        F.size(F.filter(w, lambda x: x != F.lit(""))).cast("long").alias("dl"),
+    ).filter(F.col("dl") > 0)
+    stats_df = doclen.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     )
+    # The query-term set is panel-bounded (like the query matrices
+    # cosine_topk collects) and the corpus stats are two scalars:
+    # resolve both eagerly — as CONCURRENT driver jobs — so the
+    # postings filter becomes a literal in-set at the scan, the
+    # (q_id, term) table a local relation, and n_docs/avgdl literals.
+    # Past the gate (huge programmatic query sets) everything falls
+    # back to the fully lazy distributed broadcast semi-join.
+    term_filter = n_docs = avgdl = None
+    if qterm_inline_limit:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(2) as ex:
+            fq = ex.submit(qterms.limit(qterm_inline_limit + 1).collect)
+            fs = ex.submit(stats_df.collect)
+            q_rows, stats_rows = fq.result(), fs.result()
+        if len(q_rows) <= qterm_inline_limit:
+            n_docs = stats_rows[0]["n_docs"]
+            avgdl = stats_rows[0]["avgdl"]
+            if not q_rows or not n_docs:
+                return spark.createDataFrame(
+                    [], "q_id long, doc_id long, score double"
+                )
+            qterms = spark.createDataFrame(q_rows, schema=qterms.schema)
+            term_filter = F.col("term").isin([r["term"] for r in q_rows])
+    # dl MUST be computed in its own projection BELOW the explode: the
+    # analyzer puts non-generator expressions of a generator select
+    # ABOVE the Generate, which would re-run the split + size HOF once
+    # per TOKEN row instead of once per doc (measured 10x on the key)
+    tok = (
+        corpus.select(
+            F.col(id_col).alias("doc_id"),
+            F.size(F.filter(w, lambda x: x != F.lit(""))).cast("long").alias("dl"),
+            w.alias("__ws"),
+        )
+        .select("doc_id", "dl", F.explode("__ws").alias("term"))
+        .filter(F.col("term") != "")
+    )
+    matched = (
+        tok.filter(term_filter)
+        if term_filter is not None
+        else tok.join(F.broadcast(qterms.select("term").distinct()), "term")
+    )
+    tf = matched.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl")
+    )
+    # df restricted to query terms equals the full-vocabulary df on
+    # those terms — tf rows are unique (doc, term) pairs, so a window
+    # count per term IS the document frequency, computed on the same
+    # single postings pass (a term-keyed exchange of the small matched
+    # table, instead of a groupBy whose broadcast join-back would
+    # recompute the corpus pipeline unless runtime exchange reuse fires)
+    tf = tf.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("term")))
+    base = tf.join(F.broadcast(qterms), "term")
+    if n_docs is not None:
+        n_docs_e, avgdl_e = F.lit(n_docs), F.lit(avgdl)
+    else:
+        base = base.crossJoin(F.broadcast(stats_df))
+        n_docs_e, avgdl_e = F.col("n_docs"), F.col("avgdl")
+    return (
+        base.withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (n_docs_e - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            ),
+        )
+        .withColumn(
+            "part",
+            F.col("idf")
+            * F.col("tf")
+            * F.lit(k1 + 1.0)
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / avgdl_e)
+            ),
+        )
+        .groupBy("q_id", "doc_id")
+        .agg(F.round(F.sum("part"), 6).alias("score"))
+    )
+
+
+def _half_up(x: float, nd: int) -> float:
+    """Round half-up (positive domain) — Python round() is banker's,
+    Spark F.round / DuckDB ROUND are half-up/half-away; all three agree
+    only under this spelling."""
+    import math
+
+    s = 10.0**nd
+    return math.floor(x * s + 0.5) / s
+
+
+def _rrf_fuse(
+    cs_rows, bm_rows, k: int, k0: int
+) -> dict:
+    """Reciprocal-rank fusion of two collected leg pools: q_id ->
+    top-``k`` list of (doc_id, rrf), ranked by (rrf desc, doc_id).
+
+    Leg ranks re-rank each pool on its 6-decimal ROUNDED score with the
+    id tiebreak (bm25's rank already is; the cosine pool was cut on the
+    raw ordering and carries the rounded cos), so the integer ranks —
+    and the fused sum of two exact reciprocals, rounded half-up — are
+    engine-independent."""
+    by_q: dict = {}
+    for r in cs_rows:
+        by_q.setdefault(r["q_id"], []).append(r)
+    r_dense = {
+        q: {
+            r["n_id"]: i + 1
+            for i, r in enumerate(
+                sorted(rows, key=lambda r: (-r["cos"], r["n_id"]))
+            )
+        }
+        for q, rows in by_q.items()
+    }
+    r_lex: dict = {}
+    for r in bm_rows:
+        r_lex.setdefault(r["q_id"], {})[r["doc_id"]] = r["rank"]
+    fused = {}
+    for q in sorted(set(r_lex) | set(r_dense)):
+        lex, den = r_lex.get(q, {}), r_dense.get(q, {})
+        scored = sorted(
+            (
+                (
+                    -_half_up(
+                        (1.0 / (k0 + lex[d]) if d in lex else 0.0)
+                        + (1.0 / (k0 + den[d]) if d in den else 0.0),
+                        6,
+                    ),
+                    d,
+                )
+                for d in set(lex) | set(den)
+            )
+        )
+        fused[q] = [(d, -neg) for neg, d in scored[:k]]
+    return fused
 
 
 def hybrid_rrf_topk(
@@ -125,56 +330,44 @@ def hybrid_rrf_topk(
     ``rrf = Σ_legs 1/(k0 + rank_leg)`` over each leg's top-``pool``.
 
     Rank-based fusion sidesteps score-scale mismatch between the legs —
-    the standard production hybrid. Both legs re-rank their pools on the
-    6-decimal ROUNDED leg score (id tiebreak) before fusing, so the
-    integer ranks — and therefore the fused score, a sum of two exact
-    reciprocals — are reproducible across engines. Scale: each leg is
-    its own documented plan; the fusion is a pool-sized (|queries| ×
-    pool) full-outer join + window, negligible at any corpus size.
+    the standard production hybrid. Each leg's top-``pool`` runs as its
+    own documented distributed plan, the two built+collected as
+    CONCURRENT driver-thread jobs (the ann_recall_report pattern); the
+    fusion itself operates on |queries| × pool rows — bounded by the
+    panel — so it is driver arithmetic, not a shuffle stage. Ranks and
+    the fused reciprocal sums are engine-independent (see _rrf_fuse).
 
     Output: (q_id, doc_id, rrf, rank), top-``k`` per query.
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     from lakeside_spark.operators.similarity import cosine_topk
 
-    bm = bm25_topk(
-        docs.filter(F.col("doc_id") >= query_ids_below),
-        docs.filter(F.col("doc_id") < query_ids_below),
-        k=pool,
-    )
-    cs = cosine_topk(
-        emb.filter(F.col("vec_id") >= query_ids_below),
-        emb.filter(F.col("vec_id") < query_ids_below),
-        k=pool,
-    )
-    # re-rank each pool on the rounded score so leg ranks are
-    # engine-independent (bm25's rank already is; cosine's row_number
-    # ran on the raw double)
-    wb = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("doc_id"))
-    wc = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
-    bmr = bm.select("q_id", "doc_id", F.row_number().over(wb).alias("r_lex"))
-    csr = cs.select(
-        "q_id",
-        F.col("n_id").alias("doc_id"),
-        F.row_number().over(wc).alias("r_dense"),
-    )
-    fused = (
-        bmr.join(csr, ["q_id", "doc_id"], "full_outer")
-        .withColumn(
-            "rrf",
-            F.round(
-                F.coalesce(F.lit(1.0) / (F.lit(k0) + F.col("r_lex")), F.lit(0.0))
-                + F.coalesce(
-                    F.lit(1.0) / (F.lit(k0) + F.col("r_dense")), F.lit(0.0)
-                ),
-                6,
-            ),
+    spark = docs.sparkSession
+    with ThreadPoolExecutor(2) as ex:
+        f_cs = ex.submit(
+            lambda: cosine_topk(
+                emb.filter(F.col("vec_id") >= query_ids_below),
+                emb.filter(F.col("vec_id") < query_ids_below),
+                k=pool,
+            ).collect()
         )
-    )
-    w = Window.partitionBy("q_id").orderBy(F.col("rrf").desc(), F.col("doc_id"))
-    return (
-        fused.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("q_id", "doc_id", "rrf", "rank")
+        f_bm = ex.submit(
+            lambda: bm25_topk(
+                docs.filter(F.col("doc_id") >= query_ids_below),
+                docs.filter(F.col("doc_id") < query_ids_below),
+                k=pool,
+            ).collect()
+        )
+        cs_rows, bm_rows = f_cs.result(), f_bm.result()
+    fused = _rrf_fuse(cs_rows, bm_rows, k=k, k0=k0)
+    rows = [
+        (q, d, rrf, i + 1)
+        for q, lst in fused.items()
+        for i, (d, rrf) in enumerate(lst)
+    ]
+    return spark.createDataFrame(
+        rows, "q_id long, doc_id long, rrf double, rank int"
     )
 
 
@@ -194,93 +387,120 @@ def retrieval_eval(
     recover; the standard offline eval a retrieval-based curation
     pipeline runs before trusting a cheaper leg).
 
-    Determinism: every leg's ranks are already engine-independent
-    (rounded-score re-rank, id tiebreak); DCG terms are fixed-point
-    integers ``round(1e9·ln2/ln(rank+1))`` summed exactly, and both
-    engines spell the log as ``ln`` (log2 builtins may differ by an
-    ulp between libm and the JVM), so nDCG is a ratio of exact
-    integers. Scale: everything after the legs runs on
-    |systems|×|queries|×k rows — the eval is free; the legs are the
-    documented plans.
+    Shape: each leg's top-``pool`` is computed ONCE by its documented
+    distributed plan, built+collected as concurrent driver-thread jobs
+    (pools are |queries| × pool rows, bounded by the panel); every run
+    (bm25@k, dense@k, hybrid@k) is a deterministic prefix / re-rank /
+    fusion of those pools, and the metric arithmetic over
+    |systems| × |queries| × pool rows is driver-side — pushing
+    panel-sized math through shuffle stages would only add scheduler
+    floor.
+
+    Determinism: leg ranks re-rank on 6-decimal rounded scores (id
+    tiebreak); DCG terms are fixed-point integers
+    ``round(1e9·ln2/ln(rank+1))`` summed exactly, with the log spelled
+    as ``ln`` and rounding half-up in every engine (Python round() is
+    banker's — floor(x+0.5) here), so nDCG is a ratio of exact
+    integers.
 
     Output: (system, recall_at_k, mrr, ndcg), one row per system.
     """
+    import math
+    from concurrent.futures import ThreadPoolExecutor
+
     from lakeside_spark.operators.similarity import cosine_topk
 
     spark = docs.sparkSession
-    cs = cosine_topk(
-        emb.filter(F.col("vec_id") >= query_ids_below),
-        emb.filter(F.col("vec_id") < query_ids_below),
-        k=k,
-    )
-    truth = cs.select("q_id", F.col("n_id").alias("doc_id"))
-    # dense run: same raw-order top-k pool, ranks re-assigned on the
-    # rounded cosine (cosine_topk's row_number ran on the raw double)
-    wd = Window.partitionBy("q_id").orderBy(
-        F.round("cos", 6).desc(), F.col("n_id")
-    )
-    dense = cs.select(
-        "q_id", F.col("n_id").alias("doc_id"), F.row_number().over(wd).alias("rank")
-    )
-    bm = bm25_topk(
-        docs.filter(F.col("doc_id") >= query_ids_below),
-        docs.filter(F.col("doc_id") < query_ids_below),
-        k=k,
-    ).select("q_id", "doc_id", "rank")
-    hy = hybrid_rrf_topk(
-        docs, emb, query_ids_below=query_ids_below, k=k, pool=pool, k0=k0
-    ).select("q_id", "doc_id", "rank")
-    runs = (
-        bm.withColumn("system", F.lit("bm25"))
-        .unionByName(dense.withColumn("system", F.lit("dense")))
-        .unionByName(hy.withColumn("system", F.lit("hybrid")))
-    )
-    # fixed-point DCG term: round(1e9 * ln2 / ln(rank+1)) as exact int
-    dcg_term = F.round(
-        F.lit(1.0e9) * F.log(F.lit(2.0)) / F.log(F.col("rank") + F.lit(1.0)), 0
-    ).cast("long")
-    per_q = (
-        runs.join(truth.withColumn("hit", F.lit(1)), ["q_id", "doc_id"], "left")
-        .withColumn("hit", F.coalesce("hit", F.lit(0)))
-        .groupBy("system", "q_id")
-        .agg(
-            F.sum("hit").alias("hits"),
-            F.max(F.col("hit") * (F.lit(1.0) / F.col("rank"))).alias("mrr_q"),
-            F.sum(F.col("hit") * dcg_term).alias("dcg_int"),
+    spine_df = docs.filter(F.col("doc_id") < query_ids_below).select("doc_id")
+    with ThreadPoolExecutor(3) as ex:
+        f_cs = ex.submit(
+            lambda: cosine_topk(
+                emb.filter(F.col("vec_id") >= query_ids_below),
+                emb.filter(F.col("vec_id") < query_ids_below),
+                k=pool,
+            ).collect()
         )
-    )
-    n_rel = truth.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_rel"))
-    idcg = n_rel.withColumn(
-        "idcg_int",
-        F.expr(
-            f"aggregate(sequence(1, int(least(n_rel, {k}))), 0L, "
-            "(acc, i) -> acc + cast(round(1e9 * ln(2.0) / ln(i + 1.0), 0) "
-            "as long))"
-        ),
-    )
-    systems = spark.createDataFrame(
-        [("bm25",), ("dense",), ("hybrid",)], "system string"
-    )
-    spine = (
-        docs.filter(F.col("doc_id") < query_ids_below)
-        .select(F.col("doc_id").alias("q_id"))
-        .crossJoin(F.broadcast(systems))
-    )
-    per_q_full = (
-        spine.join(per_q, ["system", "q_id"], "left")
-        .join(F.broadcast(idcg), "q_id")
-        .select(
-            "system",
-            (F.coalesce("hits", F.lit(0)) / F.col("n_rel")).alias("recall_q"),
-            F.coalesce("mrr_q", F.lit(0.0)).alias("mrr_q"),
+        f_bm = ex.submit(
+            lambda: bm25_topk(
+                docs.filter(F.col("doc_id") >= query_ids_below),
+                docs.filter(F.col("doc_id") < query_ids_below),
+                k=pool,
+            ).collect()
+        )
+        f_sp = ex.submit(spine_df.collect)
+        cs_rows, bm_rows, spine_rows = (
+            f_cs.result(),
+            f_bm.result(),
+            f_sp.result(),
+        )
+    spine = sorted({r["doc_id"] for r in spine_rows})
+
+    def _term(rank: int) -> int:
+        return int(math.floor(1e9 * math.log(2.0) / math.log(rank + 1.0) + 0.5))
+
+    # cosine_topk cut the pool on the RAW cosine ordering (its rank
+    # column) and returns the ROUNDED cos: the top-k raw prefix is the
+    # truth set; the dense run re-ranks that prefix on the rounded value
+    by_q_cs: dict = {}
+    for r in cs_rows:
+        by_q_cs.setdefault(r["q_id"], []).append(r)
+    truth = {
+        q: {r["n_id"] for r in rows if r["rank"] <= k}
+        for q, rows in by_q_cs.items()
+    }
+    dense_run = {
+        q: [
+            r["n_id"]
+            for r in sorted(
+                (r for r in rows if r["rank"] <= k),
+                key=lambda r: (-r["cos"], r["n_id"]),
+            )
+        ]
+        for q, rows in by_q_cs.items()
+    }
+    # bm25's rank is already deterministic (rounded score, id tiebreak):
+    # the k-run is the pool prefix
+    bm_run: dict = {}
+    for r in bm_rows:
+        if r["rank"] <= k:
+            bm_run.setdefault(r["q_id"], []).append((r["rank"], r["doc_id"]))
+    runs = {
+        "bm25": {q: [d for _, d in sorted(v)] for q, v in bm_run.items()},
+        "dense": dense_run,
+        "hybrid": {
+            q: [d for d, _ in lst]
+            for q, lst in _rrf_fuse(cs_rows, bm_rows, k=k, k0=k0).items()
+        },
+    }
+    out = []
+    for system in ("bm25", "dense", "hybrid"):
+        rec_s = mrr_s = ndcg_s = 0.0
+        n_q = 0
+        for q in spine:
+            rel = truth.get(q, set())
+            n_rel = len(rel)
+            if not n_rel:
+                # mirrors the oracle's inner join on the truth-count
+                # table: a query with no truth set drops from the
+                # average's denominator too
+                continue
+            n_q += 1
+            ranked = runs[system].get(q, [])
+            hits = [i + 1 for i, d in enumerate(ranked) if d in rel]
+            idcg = sum(_term(i) for i in range(1, min(n_rel, k) + 1))
+            rec_s += len(hits) / n_rel
+            mrr_s += 1.0 / hits[0] if hits else 0.0
+            ndcg_s += sum(_term(r) for r in hits) / idcg
+        if not n_q:
+            continue
+        out.append(
             (
-                F.coalesce("dcg_int", F.lit(0)).cast("double")
-                / F.col("idcg_int").cast("double")
-            ).alias("ndcg_q"),
+                system,
+                _half_up(rec_s / n_q, 6),
+                _half_up(mrr_s / n_q, 6),
+                _half_up(ndcg_s / n_q, 6),
+            )
         )
-    )
-    return per_q_full.groupBy("system").agg(
-        F.round(F.avg("recall_q"), 6).alias("recall_at_k"),
-        F.round(F.avg("mrr_q"), 6).alias("mrr"),
-        F.round(F.avg("ndcg_q"), 6).alias("ndcg"),
+    return spark.createDataFrame(
+        out, "system string, recall_at_k double, mrr double, ndcg double"
     )

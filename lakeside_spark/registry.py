@@ -5583,13 +5583,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #         r6) plus ts_holt_winters, ts_percentile_ddsketch and
     #         corpus_bloom_decontam, whose round-7 exact oracles upgrade
     #         them from rows-only;
-    #  18-19: the two keys whose array<double> outputs crashed the r6
+    #  18-21: the four brand-new round-7 oracle keys (bm25, hybrid RRF,
+    #         retrieval_eval, event_attribution) — first driver judgment;
+    #  22-23: the two keys whose array<double> outputs crashed the r6
     #         canonicalizer, now string-serialized — must show clean rows;
-    #  20-29: driver-green r6 sentinels spread across subsystems;
-    #  30-50: oracle keys whose last hard driver row is round 4 — refresh
-    #         (metrics_rollup, ts_rate and ts_forecast are slots 51-53,
-    #         just past the fold, to make room for the upgraded keys —
-    #         all three hold r4 driver rows).
+    #  24-31: driver-green r6 sentinels spread across subsystems;
+    #  32-50: oracle keys whose last hard driver row is round 4 — refresh
+    #         (ts_cardinality, query_cardinality, metrics_rollup, ts_rate
+    #         and ts_forecast sit just past the fold to make room — all
+    #         hold r4 driver rows).
     # --- never-driver-executed rows-only keys (1-12)
     "ema_smooth": ema_smooth_series,
     "ts_cardinality_sketch": ts_cardinality_sketch,

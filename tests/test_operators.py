@@ -530,6 +530,27 @@ def test_hybrid_rrf_fuses_both_legs(spark, sf_dir):
             assert 0 < r["rrf"] <= round(2 / 61, 6) + 1e-9, r
 
 
+def test_bm25_strategies_agree(spark, sf_dir):
+    """The auto-gated full-postings and matched-postings plans are the
+    same operator: identical (q_id, doc_id, score, rank) rows on the
+    driver tables, including when the query-term inline gate is forced
+    down the lazy broadcast semi-join fallback."""
+    from lakeside_spark.operators.bm25 import bm25_topk
+    from lakeside_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    c, q = docs.filter("doc_id >= 5"), docs.filter("doc_id < 5")
+
+    def canon(df):
+        return sorted(map(tuple, df.collect()))
+
+    full = canon(bm25_topk(c, q, k=10, strategy="full"))
+    assert full == canon(bm25_topk(c, q, k=10, strategy="matched"))
+    assert full == canon(
+        bm25_topk(c, q, k=10, strategy="matched", qterm_inline_limit=0)
+    )
+
+
 def test_retrieval_eval_dense_anchor_and_bounds(spark, sf_dir):
     """retrieval_eval invariants on the driver tables: the dense system
     is scored against its own top-k truth set, so its recall/MRR/nDCG
