@@ -67,7 +67,11 @@ def bm25_topk(
       shape: shuffling every token to score five queries is not.
     """
     if strategy == "auto":
-        strategy = "matched" if corpus.count() > scale_threshold else "full"
+        strategy = (
+            "matched"
+            if _gate_count(corpus) > scale_threshold
+            else "full"
+        )
     if strategy == "matched":
         scored = _bm25_scored_matched(
             corpus, queries, k1, b, text_col, id_col, qterm_inline_limit
@@ -80,6 +84,27 @@ def bm25_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "doc_id", "score", "rank")
     )
+
+
+_GATE_COUNTS: dict = {}
+
+
+def _gate_count(corpus: DataFrame) -> int:
+    """Corpus row count for the strategy gate, memoized by the analyzed
+    plan's semantic hash so repeated calls (hybrid + eval + bench reruns
+    over the same table) pay the metadata count once. A hash collision
+    can only flip the gate between two PARITY-IDENTICAL plans — the
+    cache affects plan choice, never results — so no sameResult verify
+    is needed (unlike the span-dedup result cache)."""
+    try:
+        key = corpus._jdf.queryExecution().analyzed().semanticHash()
+    except Exception:  # non-JVM-backed frame: just count
+        return corpus.count()
+    if key not in _GATE_COUNTS:
+        if len(_GATE_COUNTS) > 64:
+            _GATE_COUNTS.clear()
+        _GATE_COUNTS[key] = corpus.count()
+    return _GATE_COUNTS[key]
 
 
 def _qterms(queries: DataFrame, text_col: str, id_col: str) -> DataFrame:
