@@ -341,6 +341,74 @@ def _rrf_fuse(
     return fused
 
 
+_POOL_CACHE: "OrderedDict" = None  # initialized below
+_POOL_CACHE_LOCK = None
+_POOL_CACHE_SLOTS = 8
+
+
+def _leg_pools(
+    docs: DataFrame, emb: DataFrame, query_ids_below: int, pool: int
+):
+    """Collect both legs' top-``pool`` tables (concurrent driver jobs),
+    memoized per (docs plan, emb plan, panel, pool) for the session —
+    hybrid_rrf_topk and retrieval_eval over the same tables share one
+    leg computation instead of re-running bm25 and the cosine scan.
+    The cached value is the ~|queries|×pool collected rows (driver
+    memory, nothing persisted JVM-side). The 32-bit semanticHash key is
+    verified with plan.sameResult before serving, falling through to an
+    honest recompute on mismatch (the span-cache collision rule)."""
+    global _POOL_CACHE, _POOL_CACHE_LOCK
+    import threading
+    from collections import OrderedDict
+    from concurrent.futures import ThreadPoolExecutor
+
+    from lakeside_spark.operators.similarity import cosine_topk
+
+    if _POOL_CACHE is None:
+        _POOL_CACHE = OrderedDict()
+        _POOL_CACHE_LOCK = threading.Lock()
+    try:
+        ad = docs._jdf.queryExecution().analyzed()
+        ae = emb._jdf.queryExecution().analyzed()
+        app = docs.sparkSession.sparkContext.applicationId
+        key = (app, ad.semanticHash(), ae.semanticHash(), query_ids_below, pool)
+    except Exception:
+        ad = ae = key = None
+    if key is not None:
+        with _POOL_CACHE_LOCK:
+            hit = _POOL_CACHE.get(key)
+            if (
+                hit is not None
+                and hit[0].sameResult(ad)
+                and hit[1].sameResult(ae)
+            ):
+                _POOL_CACHE.move_to_end(key)
+                return hit[2], hit[3]
+    with ThreadPoolExecutor(2) as ex:
+        f_cs = ex.submit(
+            lambda: cosine_topk(
+                emb.filter(F.col("vec_id") >= query_ids_below),
+                emb.filter(F.col("vec_id") < query_ids_below),
+                k=pool,
+            ).collect()
+        )
+        f_bm = ex.submit(
+            lambda: bm25_topk(
+                docs.filter(F.col("doc_id") >= query_ids_below),
+                docs.filter(F.col("doc_id") < query_ids_below),
+                k=pool,
+            ).collect()
+        )
+        cs_rows, bm_rows = f_cs.result(), f_bm.result()
+    if key is not None:
+        with _POOL_CACHE_LOCK:
+            _POOL_CACHE[key] = (ad, ae, cs_rows, bm_rows)
+            _POOL_CACHE.move_to_end(key)
+            while len(_POOL_CACHE) > _POOL_CACHE_SLOTS:
+                _POOL_CACHE.popitem(last=False)
+    return cs_rows, bm_rows
+
+
 def hybrid_rrf_topk(
     docs: DataFrame,
     emb: DataFrame,
@@ -364,27 +432,8 @@ def hybrid_rrf_topk(
 
     Output: (q_id, doc_id, rrf, rank), top-``k`` per query.
     """
-    from concurrent.futures import ThreadPoolExecutor
-
-    from lakeside_spark.operators.similarity import cosine_topk
-
     spark = docs.sparkSession
-    with ThreadPoolExecutor(2) as ex:
-        f_cs = ex.submit(
-            lambda: cosine_topk(
-                emb.filter(F.col("vec_id") >= query_ids_below),
-                emb.filter(F.col("vec_id") < query_ids_below),
-                k=pool,
-            ).collect()
-        )
-        f_bm = ex.submit(
-            lambda: bm25_topk(
-                docs.filter(F.col("doc_id") >= query_ids_below),
-                docs.filter(F.col("doc_id") < query_ids_below),
-                k=pool,
-            ).collect()
-        )
-        cs_rows, bm_rows = f_cs.result(), f_bm.result()
+    cs_rows, bm_rows = _leg_pools(docs, emb, query_ids_below, pool)
     fused = _rrf_fuse(cs_rows, bm_rows, k=k, k0=k0)
     rows = [
         (q, d, rrf, i + 1)
@@ -431,33 +480,12 @@ def retrieval_eval(
     Output: (system, recall_at_k, mrr, ndcg), one row per system.
     """
     import math
-    from concurrent.futures import ThreadPoolExecutor
-
-    from lakeside_spark.operators.similarity import cosine_topk
 
     spark = docs.sparkSession
-    spine_df = docs.filter(F.col("doc_id") < query_ids_below).select("doc_id")
-    with ThreadPoolExecutor(3) as ex:
-        f_cs = ex.submit(
-            lambda: cosine_topk(
-                emb.filter(F.col("vec_id") >= query_ids_below),
-                emb.filter(F.col("vec_id") < query_ids_below),
-                k=pool,
-            ).collect()
-        )
-        f_bm = ex.submit(
-            lambda: bm25_topk(
-                docs.filter(F.col("doc_id") >= query_ids_below),
-                docs.filter(F.col("doc_id") < query_ids_below),
-                k=pool,
-            ).collect()
-        )
-        f_sp = ex.submit(spine_df.collect)
-        cs_rows, bm_rows, spine_rows = (
-            f_cs.result(),
-            f_bm.result(),
-            f_sp.result(),
-        )
+    cs_rows, bm_rows = _leg_pools(docs, emb, query_ids_below, pool)
+    spine_rows = (
+        docs.filter(F.col("doc_id") < query_ids_below).select("doc_id").collect()
+    )
     spine = sorted({r["doc_id"] for r in spine_rows})
 
     def _term(rank: int) -> int:
