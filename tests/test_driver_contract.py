@@ -45,6 +45,10 @@ for key in [
     # Holt recursion, SQ8 byte codes, kmeans cell stats
     "dsir_select", "text_compression", "ts_holt_winters", "ann_sq8",
     "embedding_cluster_stats",
+    # round-7: eager leg collects + local-relation results must survive
+    # a conf-less session too (bm25 gate count, pool cache, driver fuse)
+    "text_bm25_topk", "hybrid_rrf_topk", "retrieval_eval",
+    "event_attribution",
 ]:
     df = qs[key](spark, "%s")
     n = df.count()
