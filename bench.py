@@ -167,6 +167,7 @@ HEADLINE = [
     "hybrid_rrf_topk",
     "retrieval_eval",
     "event_attribution",
+    "ngram_lm_score",
 ]
 
 

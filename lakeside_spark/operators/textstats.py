@@ -196,6 +196,99 @@ def unigram_nll(
     )
 
 
+def bigram_nll(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+    lam: float = 0.7,
+    min_count: int = 1,
+) -> DataFrame:
+    """Per-document mean NLL under a self-trained interpolated bigram LM —
+    the step up from :func:`unigram_nll` toward the CCNet/KenLM-style
+    perplexity filter (Wenzek et al. 2020): word order now matters, so
+    shuffled or templated word salad scores worse than fluent prose with
+    the same unigram profile.
+
+    Model: ``p(w|prev) = lam * (c(prev,w)+alpha)/(c(prev)+alpha*V)
+    + (1-lam) * c(w)/T`` (add-alpha bigram interpolated with the corpus
+    unigram); a document's first token is scored by the unigram term
+    alone. Per-token log-probs are snapped to 1e-9 fixed point and summed
+    as exact integers (order-independent, oracle-exact).
+
+    Scale shape: tokens and bigram pairs are built array-side
+    (filter/slice/zip_with — all codegen, one Generate each); three
+    map-side-combined count shuffles (unigram, bigram, context — the
+    latter two from the same pairs scan); scoring joins the pairs stream
+    to the bigram table on (prev, w) — left join so ``min_count`` pruning
+    (the 100-TB knob: drop singleton bigrams and the model table becomes
+    broadcast-sized; unseen bigrams fall back to the alpha floor) never
+    loses rows — with vocabulary-sized ctx/uni broadcasts and a single-row
+    totals broadcast. AQE converts the bigram join to broadcast at runtime
+    when the model table is small.
+
+    Output: (doc_id, n_words, nll, ppl) for every doc with ≥1 word.
+    """
+    ws = F.filter(
+        words(text_col), lambda w: w.isNotNull() & (w != F.lit(""))
+    )
+    seqs = docs.select(F.col(id_col).alias("doc_id"), ws.alias("ws")).filter(
+        F.size("ws") > 0
+    )
+    firsts = seqs.select(
+        "doc_id", F.try_element_at("ws", F.lit(1)).alias("w")
+    )
+    pairs = seqs.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice("ws", 1, F.size("ws") - 1),
+                F.slice("ws", 2, F.size("ws") - 1),
+                lambda a, b: F.struct(a.alias("prev"), b.alias("w")),
+            )
+        ).alias("bg"),
+    ).select("doc_id", "bg.prev", "bg.w")
+
+    toks = firsts.unionByName(pairs.select("doc_id", "w"))
+    uni = toks.groupBy("w").agg(F.count("*").alias("cu"))
+    stats = uni.agg(F.sum("cu").alias("__t"), F.count("*").alias("__v"))
+    big = pairs.groupBy("prev", "w").agg(F.count("*").alias("cb"))
+    if min_count > 1:
+        big = big.filter(F.col("cb") >= min_count)
+    ctx = pairs.groupBy("prev").agg(F.count("*").alias("cp"))
+
+    lp9_first = (
+        F.round(F.log(F.col("cu") / F.col("__t")) * 1e9)
+        .cast("long")
+        .alias("lp9")
+    )
+    f_sc = (
+        firsts.join(F.broadcast(uni), "w")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", lp9_first)
+    )
+    p_interp = F.lit(lam) * (
+        (F.coalesce(F.col("cb"), F.lit(0)) + F.lit(alpha))
+        / (F.col("cp") + F.lit(alpha) * F.col("__v"))
+    ) + F.lit(1.0 - lam) * (F.col("cu") / F.col("__t"))
+    p_sc = (
+        pairs.join(big, ["prev", "w"], "left")
+        .join(F.broadcast(ctx), "prev")
+        .join(F.broadcast(uni), "w")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.round(F.log(p_interp) * 1e9).cast("long").alias("lp9"),
+        )
+    )
+    nll = -F.sum("lp9") / (F.count("*") * 1e9)
+    return f_sc.unionByName(p_sc).groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_words"),
+        F.round(nll, 6).alias("nll"),
+        F.round(F.exp(F.round(nll, 6)), 6).alias("ppl"),
+    )
+
+
 def compression_ratio(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -882,6 +882,39 @@ def test_unigram_nll_uniform_corpus(spark):
     assert got2[2] > got2[1]
 
 
+def test_bigram_nll_order_sensitivity(spark):
+    from lakeside_spark.operators.textstats import bigram_nll
+
+    # two docs with identical unigram profiles; the one whose bigrams are
+    # corpus-frequent (same phrase as docs 3-4) must score a lower NLL
+    # than the shuffled word salad — the signal unigram_nll cannot see
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "mat the on sat cat the"),
+        (3, "the cat sat on the mat"),
+        (4, "the cat sat on the mat"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in bigram_nll(df).collect()}
+    assert got[1]["n_words"] == 6 and got[2]["n_words"] == 6
+    assert got[1]["nll"] < got[2]["nll"]
+    assert got[1]["nll"] == got[3]["nll"] == got[4]["nll"]
+    # single-token and empty docs: former scores by unigram alone, latter drops
+    df2 = spark.createDataFrame(
+        [(1, "solo"), (2, ""), (3, None)], "doc_id long, text string"
+    )
+    got2 = {r["doc_id"]: r.asDict() for r in bigram_nll(df2).collect()}
+    assert set(got2) == {1} and got2[1]["n_words"] == 1
+    # min_count pruning only moves unseen-bigram docs toward the alpha
+    # floor; frequent-phrase docs keep finite, larger-than-zero scores
+    got3 = {
+        r["doc_id"]: r["nll"]
+        for r in bigram_nll(df, min_count=2).collect()
+    }
+    assert all(v > 0 for v in got3.values())
+    assert got3[1] < got3[2]
+
+
 def test_bpe_train_and_encode(spark):
     from lakeside_spark.operators.bpe import END, bpe_encode, bpe_train
 
