@@ -2476,8 +2476,55 @@ WHERE rn = 1
 """
 
 
+# Brute-force ground truth for the banded hamming join: replicate the
+# 60-bit md5-derived SimHash bit-for-bit (same md5→bigint recipe as
+# functions/text.md5_long), then verify ALL pairs by an O(n²) hamming
+# self-join — recall-1 at sf0.01, which is exactly what makes it a
+# sound oracle for the recall-1 claim of the banded Spark plan.
+DEDUP_SIMHASH_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_filter(string_split({norm}, ' '), w -> w <> ''))) AS tok
+  FROM documents
+),
+h AS (
+  SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS hv FROM toks
+),
+bits AS (
+  SELECT doc_id, j, sum(((hv >> j) & 1) * 2 - 1) AS s
+  FROM h, generate_series(0, 59) AS t(j)
+  GROUP BY doc_id, j
+),
+sh AS (
+  SELECT doc_id,
+         sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j)
+             ELSE CAST(0 AS BIGINT) END) AS simhash
+  FROM bits GROUP BY doc_id
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         bit_count(xor(a.simhash, b.simhash)) AS hamming
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+),
+sides AS (
+  SELECT id_a AS doc_id, hamming, id_b AS match_id FROM pairs
+  UNION ALL
+  SELECT id_b AS doc_id, hamming, id_a AS match_id FROM pairs
+)
+SELECT doc_id, match_id, CAST(hamming AS INT) AS hamming FROM (
+  SELECT doc_id, match_id, hamming,
+         row_number() OVER (PARTITION BY doc_id ORDER BY hamming, match_id) AS rn
+  FROM sides
+) WHERE rn = 1
+"""
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """rows-only: bit-level simhash not practical to replicate in SQL.
+    """Each doc's best SimHash near-dup. Oracle-exact: the 60-bit
+    md5-derived signature is replicated bit-for-bit in DuckDB
+    (DEDUP_SIMHASH_SQL) and the oracle verifies pairs by brute-force
+    hamming self-join — recall-1 ground truth for the banded join.
 
     Emits each doc's BEST near-dup partner (min hamming, min id
     tiebreak) rather than the raw pair list: on a templated synthetic
@@ -5949,5 +5996,6 @@ ORACLES: dict[str, str] = {
     "text_quality_classifier": TEXT_QUALITY_CLASSIFIER_SQL,
     "dedup_incremental": DEDUP_INCREMENTAL_SQL,
     "ngram_lm_score": NGRAM_LM_SCORE_SQL,
+    "dedup_simhash": DEDUP_SIMHASH_SQL.format(norm=_NORM),
     # kmeans_names: rows-only (iterative clustering, not SQL-expressible)
 }
