@@ -168,6 +168,7 @@ HEADLINE = [
     "retrieval_eval",
     "event_attribution",
     "ngram_lm_score",
+    "corpus_ngram_novelty",
 ]
 
 

@@ -155,6 +155,57 @@ def shingle_profile(docs: DataFrame, n: int = 3, text_col: str = "text", id_col:
     )
 
 
+def ngram_novelty(
+    docs: DataFrame,
+    n: int = 3,
+    max_df: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document rare-n-gram ratio — the diversity/selection signal a
+    mixture planner uses to up-weight novel content and down-weight
+    templated boilerplate: ``novelty`` = fraction of a doc's distinct
+    word n-grams whose corpus document-frequency is ≤ ``max_df``.
+
+    Scale shape: shingles are built array-side (codegen, one Generate);
+    one map-side-combined count shuffle produces the n-gram DF table,
+    which is immediately pruned to the COMMON set (df > max_df) — the
+    bounded side at scale (common n-grams are the head of the Zipf
+    curve; the unbounded rare tail never ships anywhere). Scoring is a
+    left-semi-shaped join of the doc's shingles against that common set
+    (AQE converts it to broadcast when pruning leaves it small) plus one
+    per-doc aggregation; novel = total - common hits, so no row is ever
+    needed for a rare n-gram.
+
+    Output: (doc_id, n_ngrams, novel_ngrams, novelty) for every doc.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"), shingles(text_col, n).alias("shs")
+    )
+    pairs = sh.select("doc_id", F.explode("shs").alias("ng"))
+    common = (
+        pairs.groupBy("ng")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("ng")
+    )
+    hits = pairs.join(common, "ng").groupBy("doc_id").agg(
+        F.count("*").alias("__nc")
+    )
+    total = F.col("n_ngrams")
+    novel = total - F.coalesce(F.col("__nc"), F.lit(0))
+    return (
+        sh.select("doc_id", F.size("shs").cast("long").alias("n_ngrams"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_ngrams",
+            novel.cast("long").alias("novel_ngrams"),
+            F.round(novel / total, 6).alias("novelty"),
+        )
+    )
+
+
 def unigram_nll(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -48,7 +48,7 @@ for key in [
     # round-7: eager leg collects + local-relation results must survive
     # a conf-less session too (bm25 gate count, pool cache, driver fuse)
     "text_bm25_topk", "hybrid_rrf_topk", "retrieval_eval",
-    "event_attribution", "ngram_lm_score",
+    "event_attribution", "ngram_lm_score", "corpus_ngram_novelty",
 ]:
     df = qs[key](spark, "%s")
     n = df.count()

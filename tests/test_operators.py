@@ -915,6 +915,34 @@ def test_bigram_nll_order_sensitivity(spark):
     assert got3[1] < got3[2]
 
 
+def test_ngram_novelty_planted(spark):
+    from lakeside_spark.operators.textstats import ngram_novelty
+
+    # docs 1-3 are identical boilerplate (every trigram df=3 > max_df=2);
+    # doc 4 is unique prose (every trigram df=1); doc 5 shares half its
+    # trigrams with the boilerplate
+    rows = [
+        (1, "alpha beta gamma delta epsilon"),
+        (2, "alpha beta gamma delta epsilon"),
+        (3, "alpha beta gamma delta epsilon"),
+        (4, "one two three four five"),
+        (5, "alpha beta gamma zeta eta theta"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in ngram_novelty(df).collect()}
+    assert got[1]["novelty"] == 0.0 and got[2]["novelty"] == 0.0
+    assert got[4]["novelty"] == 1.0 and got[4]["n_ngrams"] == 3
+    # doc 5: trigram 'alpha beta gamma' is common (df=4), its other 3 are unique
+    assert got[5]["n_ngrams"] == 4 and got[5]["novel_ngrams"] == 3
+    assert got[5]["novelty"] == 0.75
+    # short doc (< n words) contributes its full text as the single shingle
+    df2 = spark.createDataFrame([(9, "lone pair")], "doc_id long, text string")
+    got2 = ngram_novelty(df2).collect()[0]
+    assert got2["n_ngrams"] == 1 and got2["novelty"] == 1.0
+    # empty corpus
+    assert ngram_novelty(df.filter("doc_id < 0")).count() == 0
+
+
 def test_bpe_train_and_encode(spark):
     from lakeside_spark.operators.bpe import END, bpe_encode, bpe_train
 
