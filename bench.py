@@ -169,6 +169,8 @@ HEADLINE = [
     "event_attribution",
     "ngram_lm_score",
     "corpus_ngram_novelty",
+    "rfm_segmentation",
+    "text_char_entropy",
 ]
 
 

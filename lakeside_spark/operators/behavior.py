@@ -398,3 +398,97 @@ def attribution(
             F.count_distinct("conv_id").alias("n_conversions"),
         )
     )
+
+
+def rfm_segments(
+    events: DataFrame,
+    quantiles: tuple[float, ...] = (0.2, 0.4, 0.6, 0.8),
+    approx: bool = False,
+    user_col: str = "user_id",
+    ts_col: str = "timestamp_ms",
+    value_col: str = "value",
+) -> DataFrame:
+    """RFM (recency / frequency / monetary) user segmentation — the
+    classic behavior-analytics rollup: per-user recency in whole days
+    since their last event (anchored at the corpus max timestamp, so the
+    operator is closed over its input), event count, and exact monetary
+    total, each scored 1-5 by corpus quintile, then mapped to the
+    standard segment grid (champion / loyal / new / at_risk /
+    hibernating / other).
+
+    NOT a global ntile: ranking every user in one window needs a total
+    order (a single-partition window at 100 TB). Instead the quintile
+    BOUNDARIES are computed once — exact interpolated percentiles by
+    default (oracle semantics; DuckDB quantile_cont is the identical
+    type-7 definition), ``approx=True`` swaps in approx_percentile for
+    the sketch-sized scale path — and broadcast, so scoring is a
+    map-only comparison against four literals per metric. Ties sit ON a
+    boundary and score the lower bin in both engines (strict >, with
+    boundaries snapped to 1e-6 first).
+
+    Monetary is summed in integer cents (round(value*100)) and divided
+    once at the end — no float accumulation order. Recency scores are
+    inverted (most recent day = 5).
+
+    Shape: one user-keyed aggregation (map-side combined), one 4-value
+    percentile aggregate + single-row max broadcast into a map-only
+    scoring projection. Output: (user_id, recency_days, frequency,
+    monetary, r_score, f_score, m_score, segment).
+    """
+    qs = F.lit(list(quantiles))
+    pctl = F.percentile_approx if approx else F.percentile
+
+    per_user = (
+        events.filter(F.col(user_col).isNotNull())
+        .groupBy(F.col(user_col).alias("user_id"))
+        .agg(
+            F.max(ts_col).alias("__last"),
+            F.count("*").alias("frequency"),
+            F.sum(F.round(F.col(value_col) * 100).cast("long")).alias(
+                "__mon_c"
+            ),
+        )
+    )
+    anchor = per_user.agg(F.max("__last").alias("__mx"))
+    base = per_user.crossJoin(F.broadcast(anchor)).select(
+        "user_id",
+        F.floor((F.col("__mx") - F.col("__last")) / F.lit(86_400_000.0))
+        .cast("long")
+        .alias("recency_days"),
+        "frequency",
+        "__mon_c",
+    )
+    bounds = base.agg(
+        pctl("recency_days", qs).alias("__rb"),
+        pctl("frequency", qs).alias("__fb"),
+        pctl("__mon_c", qs).alias("__mb"),
+    )
+
+    def above(metric: str, barr: str) -> F.Column:
+        # count of boundaries strictly below the metric — 0..4
+        return F.aggregate(
+            F.col(barr),
+            F.lit(0),
+            lambda acc, b: acc
+            + F.when(F.col(metric) > F.round(b, 6), 1).otherwise(0),
+        )
+
+    scored = base.crossJoin(F.broadcast(bounds)).select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        F.round(F.col("__mon_c") / 100.0, 2).alias("monetary"),
+        (F.lit(5) - above("recency_days", "__rb")).alias("r_score"),
+        (F.lit(1) + above("frequency", "__fb")).alias("f_score"),
+        (F.lit(1) + above("__mon_c", "__mb")).alias("m_score"),
+    )
+    r, f_, m = F.col("r_score"), F.col("f_score"), F.col("m_score")
+    segment = (
+        F.when((r >= 4) & (f_ >= 4) & (m >= 4), "champion")
+        .when((r >= 3) & (f_ >= 3), "loyal")
+        .when((r >= 4) & (f_ <= 2), "new")
+        .when((r <= 2) & (f_ >= 3), "at_risk")
+        .when((r <= 2) & (f_ <= 2), "hibernating")
+        .otherwise("other")
+    )
+    return scored.withColumn("segment", segment)

@@ -167,42 +167,98 @@ def ngram_novelty(
     templated boilerplate: ``novelty`` = fraction of a doc's distinct
     word n-grams whose corpus document-frequency is ≤ ``max_df``.
 
-    Scale shape: shingles are built array-side (codegen, one Generate);
-    one map-side-combined count shuffle produces the n-gram DF table,
-    which is immediately pruned to the COMMON set (df > max_df) — the
-    bounded side at scale (common n-grams are the head of the Zipf
-    curve; the unbounded rare tail never ships anywhere). Scoring is a
-    left-semi-shaped join of the doc's shingles against that common set
-    (AQE converts it to broadcast when pruning leaves it small) plus one
-    per-doc aggregation; novel = total - common hits, so no row is ever
-    needed for a rare n-gram.
+    Scale shape: shingles are built array-side (codegen, ONE Generate
+    branch — both per-doc counts are recovered from the exploded stream,
+    so the shingle expression is never recomputed for a second scan, and
+    the scan is pre-spread across cores because the distinct-building
+    codegen is the dominant cost, not I/O); one map-side-combined count
+    shuffle produces the n-gram DF table, which is immediately pruned to
+    the COMMON set (df > max_df) — the bounded side at scale (common
+    n-grams are the head of the Zipf curve; the unbounded rare tail
+    never ships anywhere). Scoring marks each shingle against that
+    common set with a broadcast-shaped left join plus one per-doc
+    aggregation; novel = total - common hits.
 
-    Output: (doc_id, n_ngrams, novel_ngrams, novelty) for every doc.
+    Output: (doc_id, n_ngrams, novel_ngrams, novelty) for every doc
+    with a non-null text.
     """
-    sh = docs.select(
-        F.col(id_col).alias("doc_id"), shingles(text_col, n).alias("shs")
+    src = _parallelize_sized(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t")),
+        bytes_per_task=64 << 10,
     )
-    pairs = sh.select("doc_id", F.explode("shs").alias("ng"))
+    pairs = src.select(
+        "doc_id", F.explode(shingles("__t", n)).alias("ng")
+    )
     common = (
         pairs.groupBy("ng")
         .agg(F.count("*").alias("df"))
         .filter(F.col("df") > max_df)
-        .select("ng")
+        .select("ng", F.lit(1).alias("__hit"))
     )
-    hits = pairs.join(common, "ng").groupBy("doc_id").agg(
-        F.count("*").alias("__nc")
+    per_doc = (
+        pairs.join(common, "ng", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_ngrams"),
+            F.sum(F.coalesce("__hit", F.lit(0))).cast("long").alias("__nc"),
+        )
     )
     total = F.col("n_ngrams")
-    novel = total - F.coalesce(F.col("__nc"), F.lit(0))
-    return (
-        sh.select("doc_id", F.size("shs").cast("long").alias("n_ngrams"))
-        .join(hits, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_ngrams",
-            novel.cast("long").alias("novel_ngrams"),
-            F.round(novel / total, 6).alias("novelty"),
-        )
+    novel = total - F.col("__nc")
+    return per_doc.select(
+        "doc_id",
+        "n_ngrams",
+        novel.alias("novel_ngrams"),
+        F.round(novel / total, 6).alias("novelty"),
+    )
+
+
+def char_entropy(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document character-level Shannon entropy (nats) — the
+    gibberish / keyboard-mash / repeated-char quality gate (low entropy =
+    repetitive padding, implausibly high = random bytes; used alongside
+    the Gopher/C4 heuristics in published curation pipelines).
+
+    Entirely array-side codegen, zero shuffle: chars = split(text, ''),
+    per-distinct-char counts via a nested filter (cost is O(distinct ×
+    len) per doc — bounded by the charset, not the corpus), and the
+    entropy terms k·ln(k/n) snapped to 1e-9 fixed point and summed as
+    integers so the per-doc result is order-independent and
+    oracle-exact. Output: (doc_id, n_chars, distinct_chars, entropy).
+    """
+    # split('', '') is [''] in Spark (one bogus empty "char"), so gate on
+    # text length — mirroring the oracle's len(text) > 0 — not array size.
+    # Pre-spread the scan: the per-doc distinct×len counting codegen is
+    # the dominant cost, not I/O, so a single-split file must not pin
+    # the whole corpus to one core.
+    raw = _parallelize_sized(
+        docs.filter(F.length(text_col) > 0).select(
+            F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t")
+        ),
+        bytes_per_task=64 << 10,
+    )
+    src = raw.select("doc_id", F.split("__t", "").alias("cs"))
+    n_d = F.size("cs").cast("double")
+    counts = F.transform(
+        F.array_distinct("cs"),
+        lambda c: F.size(F.filter(F.col("cs"), lambda x: x == c)),
+    )
+    terms = F.transform(
+        counts,
+        lambda k: F.round(
+            k.cast("double") * F.log(k.cast("double") / n_d) * 1e9
+        ).cast("long"),
+    )
+    tsum = F.aggregate(
+        terms, F.lit(0).cast("long"), lambda acc, t: acc + t
+    )
+    return src.select(
+        "doc_id",
+        F.size("cs").cast("long").alias("n_chars"),
+        F.size(F.array_distinct("cs")).cast("long").alias("distinct_chars"),
+        F.round(-tsum / (n_d * 1e9), 6).alias("entropy"),
     )
 
 
@@ -280,12 +336,12 @@ def bigram_nll(
 
     Output: (doc_id, n_words, nll, ppl) for every doc with ≥1 word.
     """
-    ws = F.filter(
-        words(text_col), lambda w: w.isNotNull() & (w != F.lit(""))
+    raw = _parallelize_sized(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t")),
+        bytes_per_task=64 << 10,
     )
-    seqs = docs.select(F.col(id_col).alias("doc_id"), ws.alias("ws")).filter(
-        F.size("ws") > 0
-    )
+    ws = F.filter(words("__t"), lambda w: w.isNotNull() & (w != F.lit("")))
+    seqs = raw.select("doc_id", ws.alias("ws")).filter(F.size("ws") > 0)
     firsts = seqs.select(
         "doc_id", F.try_element_at("ws", F.lit(1)).alias("w")
     )

@@ -943,6 +943,70 @@ def test_ngram_novelty_planted(spark):
     assert ngram_novelty(df.filter("doc_id < 0")).count() == 0
 
 
+def test_char_entropy_closed_form(spark):
+    import math
+
+    from lakeside_spark.operators.textstats import char_entropy
+
+    rows = [
+        (1, "aaaa"),          # 0 entropy
+        (2, "ab"),            # ln 2
+        (3, "abcd"),          # ln 4
+        (4, "aab"),           # -(2/3 ln 2/3 + 1/3 ln 1/3)
+        (5, ""),              # dropped
+        (6, None),            # dropped
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in char_entropy(df).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    assert got[1]["entropy"] == 0.0 and got[1]["distinct_chars"] == 1
+    assert got[2]["entropy"] == round(math.log(2), 6)
+    assert got[3]["entropy"] == round(math.log(4), 6)
+    expected = -(2 / 3 * math.log(2 / 3) + 1 / 3 * math.log(1 / 3))
+    assert abs(got[4]["entropy"] - expected) < 1e-6
+    assert got[4]["n_chars"] == 3 and got[4]["distinct_chars"] == 2
+    # repeated text has strictly lower entropy than diverse text
+    assert got[1]["entropy"] < got[4]["entropy"] < got[3]["entropy"]
+
+
+def test_rfm_segments_planted(spark):
+    from lakeside_spark.operators.behavior import rfm_segments
+
+    day = 86_400_000
+    # user k: k events (freq rank), last event at day 5k (recency rank,
+    # u5 most recent), every event worth 10.0 (monetary rank = freq rank)
+    rows = []
+    for k in range(1, 6):
+        for i in range(k):
+            rows.append((k, 5 * k * day - i * 1000, 10.0))
+    df = spark.createDataFrame(
+        rows, "user_id long, timestamp_ms long, value double"
+    )
+    got = {r["user_id"]: r.asDict() for r in rfm_segments(df).collect()}
+    # 5 distinct values per metric -> scores are exactly the ranks 1..5
+    for k in range(1, 6):
+        assert got[k]["f_score"] == k and got[k]["m_score"] == k
+        assert got[k]["r_score"] == k  # most recent user scores 5
+        assert got[k]["recency_days"] == 25 - 5 * k
+        assert got[k]["frequency"] == k and got[k]["monetary"] == 10.0 * k
+    assert got[5]["segment"] == "champion" and got[4]["segment"] == "champion"
+    assert got[3]["segment"] == "loyal"
+    assert got[1]["segment"] == "hibernating" and got[2]["segment"] == "hibernating"
+    # all-identical metrics: ties sit ON every boundary, strict > scores
+    # the lower bin -> f=m=1, r=5 for everyone
+    flat = spark.createDataFrame(
+        [(u, day, 1.0) for u in range(3)],
+        "user_id long, timestamp_ms long, value double",
+    )
+    for r in rfm_segments(flat).collect():
+        assert (r["r_score"], r["f_score"], r["m_score"]) == (5, 1, 1)
+    # approx path: same schema, runs, scores stay in 1..5
+    ap = rfm_segments(df, approx=True).collect()
+    assert len(ap) == 5 and all(1 <= r["f_score"] <= 5 for r in ap)
+    # null users dropped; empty input yields empty output
+    assert rfm_segments(df.filter("user_id < 0")).count() == 0
+
+
 def test_bpe_train_and_encode(spark):
     from lakeside_spark.operators.bpe import END, bpe_encode, bpe_train
 
