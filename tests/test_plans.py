@@ -437,3 +437,35 @@ def test_dedup_incremental_no_cartesian(spark, sf_dir):
     assert "Scan ExistingRDD" not in plan, "checkpoint leaked into lazy path"
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_rfm_has_no_global_window(spark, sf_dir):
+    """rfm_segmentation must never rank users through a global ntile —
+    a partition-less Window is a single-task total order at 100 TB. The
+    quintile boundaries ride in via broadcast instead."""
+    plan = _plan(spark, sf_dir, "rfm_segmentation")
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan
+    # boundary + anchor singletons arrive as broadcast builds
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_char_entropy_is_map_only(spark, sf_dir):
+    """text_char_entropy is entirely array-side codegen — the only
+    exchange allowed is the explicit scan-spreading repartition; no
+    aggregation or join shuffle may appear."""
+    plan = _plan(spark, sf_dir, "text_char_entropy")
+    assert "HashAggregate" not in plan, plan
+    assert "Join" not in plan and "Window" not in plan, plan
+
+
+def test_ngram_novelty_single_generate(spark, sf_dir):
+    """corpus_ngram_novelty derives both per-doc counts from ONE exploded
+    shingle stream: exactly one Generate (plus the DF-count branch's),
+    never a second scan re-computing the shingle expression for sizes."""
+    plan = _plan(spark, sf_dir, "corpus_ngram_novelty")
+    # two branches share the same source: pairs (scored) + freq build
+    assert plan.count("Generate") <= 2, plan
+    assert "CartesianProduct" not in plan
+    scans = [l for l in plan.splitlines() if "FileScan" in l]
+    assert all("text" in s or "doc_id" in s for s in scans)
