@@ -4801,11 +4801,17 @@ FROM {_T} WHERE message IS NOT NULL GROUP BY 1, 2
 
 
 def ts_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """rows-only: LTTB chart downsampling of the hourly count series to
-    100 points per series (operators/downsample.py — sequential bucket
-    anchoring is not SQL-expressible). The kernel runs on the
-    already-aggregated series table; invariants (endpoints kept, size
-    cap, subset-of-input, determinism) are pinned by pytest."""
+    """LTTB chart downsampling of the hourly count series to 100 points
+    per series (operators/downsample.py). Oracle-exact as of r7: the
+    sequential bucket anchoring IS SQL-expressible as a recursive CTE —
+    each recursion step carries the previous pick and selects the
+    max-triangle-area point of the next bucket (area DESC, rn ASC
+    mirrors numpy's first-max argmax; bucket edges mirror
+    np.linspace().astype int64 = trunc, with the final edge pinned to
+    n-1 exactly as linspace pins its endpoint; anchor means are exact
+    because hourly-count sums of integers stay < 2^53 in double, so
+    numpy's pairwise and DuckDB's sequential summation agree
+    bit-for-bit). Invariants also pinned by pytest."""
     from lakeside_spark.operators.downsample import lttb_downsample
 
     expr = BaseExpr(
@@ -4814,6 +4820,89 @@ def ts_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     series = QueryEngine(spark, step_ms=HOUR).run(expr, load_telemetry(spark, sf_dir))
     return lttb_downsample(series, n_out=100)
+
+
+# LTTB (Steinarsson 2013) replicated as a recursive CTE: the recursion
+# carries the previously selected point (the algorithm's only sequential
+# state); bucket edges and next-bucket anchor means are precomputed.
+# Exactness notes: trunc() ≡ np.linspace().astype(int64) on positives
+# with the final edge pinned to n-1 (linspace pins its endpoint);
+# avg() over hourly counts/epoch-ms is exact in double (< 2^53), so the
+# anchor means match numpy bit-for-bit; ORDER BY area DESC, rn ASC is
+# numpy argmax's first-max tie-break. Series with n <= n_out pass
+# through untouched, matching the kernel's size cap.
+TS_DOWNSAMPLE_SQL = f"""
+WITH series AS (
+  SELECT timestamp_ms - timestamp_ms % {HOUR} AS step_ts, name,
+         CAST(count(value) AS DOUBLE) AS value
+  FROM {_T} t WHERE name IS NOT NULL GROUP BY 1, 2
+),
+pts AS (
+  SELECT name, step_ts, value,
+         row_number() OVER (PARTITION BY name ORDER BY step_ts) - 1 AS rn,
+         count(*) OVER (PARTITION BY name) AS n
+  FROM series
+),
+big AS (SELECT name, any_value(n) AS n FROM pts WHERE n > 100 GROUP BY name),
+edges AS (
+  SELECT name, i,
+         CASE WHEN i = 98 THEN n - 1
+              ELSE CAST(trunc(1.0 + i * ((n - 2.0) / 98.0)) AS BIGINT) END AS e
+  FROM big, generate_series(0, 98) AS g(i)
+),
+lastp AS (
+  SELECT p.name, CAST(p.step_ts AS DOUBLE) AS lts, p.value AS lv
+  FROM pts p JOIN big b ON b.name = p.name AND p.rn = b.n - 1
+),
+anchors0 AS (
+  SELECT e1.name, e1.i AS b, e1.e AS lo, e2.e AS hi,
+         e2.e AS nxt_lo, coalesce(e3.e, b2.n) AS nxt_hi
+  FROM edges e1
+  JOIN edges e2 ON e2.name = e1.name AND e2.i = e1.i + 1
+  LEFT JOIN edges e3 ON e3.name = e1.name AND e3.i = e1.i + 2
+  JOIN big b2 ON b2.name = e1.name
+  WHERE e1.i <= 97
+),
+anchors AS (
+  SELECT a.name, a.b, a.lo, a.hi,
+         CASE WHEN count(p.rn) > 0 THEN avg(CAST(p.step_ts AS DOUBLE))
+              ELSE any_value(l.lts) END AS cx,
+         CASE WHEN count(p.rn) > 0 THEN avg(p.value)
+              ELSE any_value(l.lv) END AS cy
+  FROM anchors0 a
+  JOIN lastp l ON l.name = a.name
+  LEFT JOIN pts p ON p.name = a.name AND p.rn >= a.nxt_lo AND p.rn < a.nxt_hi
+  GROUP BY a.name, a.b, a.lo, a.hi
+),
+rec AS (
+  WITH RECURSIVE r AS (
+    SELECT p.name, -1 AS b, p.rn AS a_rn,
+           CAST(p.step_ts AS DOUBLE) AS a_ts, p.value AS a_v
+    FROM pts p JOIN big USING (name) WHERE p.rn = 0
+    UNION ALL
+    SELECT name, b, rn, ts, v FROM (
+      SELECT r.name, an.b, p.rn,
+             CAST(p.step_ts AS DOUBLE) AS ts, p.value AS v,
+             row_number() OVER (PARTITION BY r.name ORDER BY
+               abs((r.a_ts - an.cx) * (p.value - r.a_v)
+                   - (r.a_ts - CAST(p.step_ts AS DOUBLE)) * (an.cy - r.a_v)) DESC,
+               p.rn ASC) AS rk
+      FROM r
+      JOIN anchors an ON an.name = r.name AND an.b = r.b + 1
+      JOIN pts p ON p.name = r.name AND p.rn >= an.lo AND p.rn < an.hi
+    ) WHERE rk = 1
+  ) SELECT * FROM r
+),
+sel AS (
+  SELECT name, a_rn AS rn FROM rec
+  UNION ALL
+  SELECT name, n - 1 FROM big
+)
+SELECT p.name, p.step_ts, p.value
+FROM sel s JOIN pts p ON p.name = s.name AND p.rn = s.rn
+UNION ALL
+SELECT name, step_ts, value FROM pts WHERE n <= 100
+"""
 
 
 def freq_topk_sketch_users(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6114,6 +6203,7 @@ ORACLES: dict[str, str] = {
     "corpus_ngram_novelty": CORPUS_NGRAM_NOVELTY_SQL,
     "rfm_segmentation": RFM_SEGMENTATION_SQL,
     "text_char_entropy": TEXT_CHAR_ENTROPY_SQL,
+    "ts_downsample": TS_DOWNSAMPLE_SQL,
     "dedup_simhash": DEDUP_SIMHASH_SQL.format(norm=_NORM),
     # kmeans_names: rows-only (iterative clustering, not SQL-expressible)
 }
