@@ -5948,7 +5948,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_regex": extract_regex,
     "compute_fns": compute_fns,
     "tag_values": tag_values,
-    "tag_values_extracted": tag_values_extracted,
+    "ts_downsample": ts_downsample,  # r7: new recursive-CTE oracle
     "tag_names": tag_names,
     "tag_names_denoised": tag_names_denoised,
     "scope_tags": scope_tags,
@@ -6006,7 +6006,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_cluster_stats": embedding_cluster_stats,
     "ann_recall_report": ann_recall_report,
     "freq_topk_sketch": freq_topk_sketch_users,
-    "ts_downsample": ts_downsample,
+    "tag_values_extracted": tag_values_extracted,
     # driver-green r5
     "corpus_chunk": corpus_chunk,
     "traces_span_stats": traces_span_stats,
