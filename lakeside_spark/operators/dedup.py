@@ -654,9 +654,16 @@ def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     token's md5-derived bit j). Deterministic and portable (md5-based)."""
     from lakeside_spark.functions.text import words
 
-    toks = _parallelize(docs).select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(F.array_distinct(words(text_col))).alias("tok"),
+    # drop the bogus '' token an empty/whitespace-only doc produces
+    # (words('') = ['']): such docs carry no signal and must not receive
+    # a simhash — the brute-force DuckDB oracle filters the same way
+    toks = (
+        _parallelize(docs)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.array_distinct(words(text_col))).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
     )
     h = toks.withColumn("h", md5_long(F.col("tok")))
     # per (doc, bit): contribution +1 when bit set else -1; simhash bit =

@@ -182,8 +182,13 @@ def ngram_novelty(
     Output: (doc_id, n_ngrams, novel_ngrams, novelty) for every doc
     with a non-null text.
     """
+    # NULL text would collapse to a bogus '' shingle via concat_ws; drop
+    # such docs, matching the oracle's unnest (which yields no rows for a
+    # NULL split) and the documented "every doc with a non-null text"
     src = _parallelize_sized(
-        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t")),
+        docs.filter(F.col(text_col).isNotNull()).select(
+            F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t")
+        ),
         bytes_per_task=64 << 10,
     )
     pairs = src.select(

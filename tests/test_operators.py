@@ -127,6 +127,14 @@ def test_simhash_is_deterministic_64bit(spark, sf_dir):
     b = {(r["doc_id"], r["simhash"]) for r in simhash64(docs).collect()}
     assert a == b
     assert all(0 <= h < 2**60 for _, h in a)
+    # empty / whitespace-only docs carry no signal: no simhash, no pair —
+    # the brute-force oracle filters the '' token the same way
+    weird = spark.createDataFrame(
+        [(1, ""), (2, ""), (3, "   "), (4, "real text")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"] for r in simhash64(weird).collect()}
+    assert got == {4}
 
 
 def test_ann_ivf_recall_and_determinism(spark, sf_dir):
@@ -941,6 +949,13 @@ def test_ngram_novelty_planted(spark):
     assert got2["n_ngrams"] == 1 and got2["novelty"] == 1.0
     # empty corpus
     assert ngram_novelty(df.filter("doc_id < 0")).count() == 0
+    # NULL text is dropped (the oracle's unnest yields no rows for it) —
+    # it must not leak a bogus '' shingle into the DF table either
+    df3 = spark.createDataFrame(
+        [(1, None), (2, "a b c d")], "doc_id long, text string"
+    )
+    got3 = ngram_novelty(df3).collect()
+    assert [r["doc_id"] for r in got3] == [2]
 
 
 def test_char_entropy_closed_form(spark):
