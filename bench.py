@@ -171,6 +171,7 @@ HEADLINE = [
     "corpus_ngram_novelty",
     "rfm_segmentation",
     "text_char_entropy",
+    "trace_concurrency",
 ]
 
 

@@ -492,3 +492,103 @@ def rfm_segments(
         .otherwise("other")
     )
     return scored.withColumn("segment", segment)
+
+
+def interval_concurrency(
+    spans: DataFrame,
+    chunk_ms: int = 86_400_000,
+    key_col: str = "span_name",
+    ts_col: str = "timestamp_ms",
+    dur_col: str = "value",
+) -> DataFrame:
+    """Sweep-line interval analytics per key: peak concurrency and total
+    busy (union-of-intervals) time over the half-open spans
+    ``[ts, ts + round(dur))`` — the capacity/utilization question every
+    span store gets asked ("how many requests were in flight at the
+    worst moment, and how long was the service busy at all?").
+
+    NOT a single keyed window: a global per-key total order would put a
+    hot service's entire 100 TB event stream in one partition. The sweep
+    is CHUNKED: +1/-1 edge events are windowed only within
+    ``(key, chunk)`` — a bounded, time-sliced partition — and chunks are
+    stitched with a carry table (cumulative span balance entering each
+    chunk) that is only keys x chunks big and broadcast back. Running
+    concurrency = carry + within-chunk prefix; the head segment of each
+    chunk (chunk start -> first event) and fully-empty chunks are
+    accounted from the carry table itself. Ties at the same timestamp
+    use the default RANGE frame, so all peers share the settled balance
+    — ends sort before starts (half-open semantics), and the result is
+    order-independent within peer groups in both engines.
+
+    Output: (key, peak_concurrency, busy_ms, n_spans) per key with at
+    least one positive-duration span.
+    """
+    dur = F.round(F.col(dur_col)).cast("long")
+    base = spans.filter(F.col(key_col).isNotNull() & (dur > 0)).select(
+        F.col(key_col).alias("k"), F.col(ts_col).alias("t"), dur.alias("d")
+    )
+    ev = base.select("k", "t", F.lit(1).alias("delta")).unionByName(
+        base.select("k", (F.col("t") + F.col("d")).alias("t"), F.lit(-1).alias("delta"))
+    )
+    W = F.lit(int(chunk_ms))
+    ev = ev.withColumn("b", F.floor(F.col("t") / W).cast("long"))
+
+    # within-chunk prefix sums: RANGE frame (default) -> ties share the
+    # settled balance; lead() is row-based but tie rows all carry the
+    # same running value, so the attribution is order-independent
+    wc = Window.partitionBy("k", "b").orderBy("t", "delta")
+    chunk_end = (F.col("b") + 1) * W
+    seg = ev.select(
+        "k", "b", "t", "delta",
+        F.sum("delta").over(wc).alias("run_in"),
+        (F.coalesce(F.lead("t").over(wc), chunk_end) - F.col("t")).alias("len"),
+    )
+
+    # tiny carry table: keys x active-chunk-range, incl. empty chunks a
+    # long span covers entirely
+    tot = seg.groupBy("k", "b").agg(
+        F.sum("delta").alias("tot"), F.min("t").alias("first_t")
+    )
+    span_b = tot.groupBy("k").agg(F.min("b").alias("b0"), F.max("b").alias("b1"))
+    allb = span_b.select(
+        "k", F.explode(F.sequence("b0", "b1")).alias("b")
+    ).join(tot, ["k", "b"], "left")
+    wk = Window.partitionBy("k").orderBy("b").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    carry = allb.select(
+        "k", "b", "first_t",
+        F.coalesce(F.sum("tot").over(wk), F.lit(0)).alias("carry"),
+    )
+
+    # head/empty-chunk busy segments + the carry itself as a peak
+    # candidate (the running level before the chunk's first event)
+    head = carry.select(
+        "k",
+        F.col("carry").cast("long").alias("run"),
+        F.when(
+            F.col("carry") > 0,
+            F.coalesce(F.col("first_t"), (F.col("b") + 1) * W) - F.col("b") * W,
+        ).otherwise(F.lit(0)).cast("long").alias("busy"),
+        F.lit(0).cast("long").alias("n_started"),
+    )
+    body = seg.join(
+        F.broadcast(carry.select("k", "b", "carry")), ["k", "b"]
+    ).select(
+        "k",
+        (F.col("carry") + F.col("run_in")).cast("long").alias("run"),
+        F.when(
+            F.col("carry") + F.col("run_in") > 0, F.col("len")
+        ).otherwise(F.lit(0)).cast("long").alias("busy"),
+        F.when(F.col("delta") == 1, F.lit(1)).otherwise(F.lit(0))
+        .cast("long").alias("n_started"),
+    )
+    return (
+        head.unionByName(body)
+        .groupBy(F.col("k").alias(key_col))
+        .agg(
+            F.max("run").cast("int").alias("peak_concurrency"),
+            F.sum("busy").cast("long").alias("busy_ms"),
+            F.sum("n_started").cast("long").alias("n_spans"),
+        )
+    )

@@ -4637,6 +4637,45 @@ FROM cr WHERE mc > 0 GROUP BY model, channel
 """
 
 
+def trace_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak in-flight span count + total busy (union-of-intervals) time
+    per service over half-open spans [ts, ts+round(value)) — the
+    capacity/utilization panel. Chunked sweep-line
+    (operators/behavior.interval_concurrency): edge events windowed only
+    within (service, day), stitched by a broadcast carry table — never a
+    global per-service total order. The oracle is the naive single-pass
+    sweep; the chunked plan must reproduce it exactly."""
+    from lakeside_spark.operators.behavior import interval_concurrency
+
+    return interval_concurrency(S.load_traces(spark, sf_dir))
+
+
+TRACE_CONCURRENCY_SQL = f"""
+WITH base AS (
+  SELECT span_name AS k, timestamp_ms AS t,
+         CAST(round(value, 0) AS BIGINT) AS d
+  FROM {_TR} tr
+  WHERE span_name IS NOT NULL AND CAST(round(value, 0) AS BIGINT) > 0
+),
+ev AS (
+  SELECT k, t, 1 AS delta FROM base
+  UNION ALL
+  SELECT k, t + d, -1 FROM base
+),
+seg AS (
+  SELECT k, t, delta,
+         sum(delta) OVER (PARTITION BY k ORDER BY t, delta) AS run,
+         coalesce(lead(t) OVER (PARTITION BY k ORDER BY t, delta), t) - t AS len
+  FROM ev
+)
+SELECT k AS span_name,
+       CAST(max(run) AS INT) AS peak_concurrency,
+       CAST(sum(CASE WHEN run > 0 THEN len ELSE 0 END) AS BIGINT) AS busy_ms,
+       CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_spans
+FROM seg GROUP BY k
+"""
+
+
 def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM user segmentation (operators/behavior.rfm_segments): per-user
     recency/frequency/monetary scored 1-5 against corpus quintile
@@ -5947,7 +5986,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exemplars": exemplars,
     "extract_regex": extract_regex,
     "compute_fns": compute_fns,
-    "tag_values": tag_values,
+    "trace_concurrency": trace_concurrency,  # NEW r7: chunked sweep-line
     "ts_downsample": ts_downsample,  # r7: new recursive-CTE oracle
     "tag_names": tag_names,
     "tag_names_denoised": tag_names_denoised,
@@ -6006,6 +6045,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_cluster_stats": embedding_cluster_stats,
     "ann_recall_report": ann_recall_report,
     "freq_topk_sketch": freq_topk_sketch_users,
+    "tag_values": tag_values,
     "tag_values_extracted": tag_values_extracted,
     # driver-green r5
     "corpus_chunk": corpus_chunk,
@@ -6204,6 +6244,7 @@ ORACLES: dict[str, str] = {
     "rfm_segmentation": RFM_SEGMENTATION_SQL,
     "text_char_entropy": TEXT_CHAR_ENTROPY_SQL,
     "ts_downsample": TS_DOWNSAMPLE_SQL,
+    "trace_concurrency": TRACE_CONCURRENCY_SQL,
     "dedup_simhash": DEDUP_SIMHASH_SQL.format(norm=_NORM),
     # kmeans_names: rows-only (iterative clustering, not SQL-expressible)
 }

@@ -49,7 +49,7 @@ for key in [
     # a conf-less session too (bm25 gate count, pool cache, driver fuse)
     "text_bm25_topk", "hybrid_rrf_topk", "retrieval_eval",
     "event_attribution", "ngram_lm_score", "corpus_ngram_novelty",
-    "rfm_segmentation", "text_char_entropy",
+    "rfm_segmentation", "text_char_entropy", "trace_concurrency",
 ]:
     df = qs[key](spark, "%s")
     n = df.count()

@@ -984,6 +984,82 @@ def test_char_entropy_closed_form(spark):
     assert got[1]["entropy"] < got[4]["entropy"] < got[3]["entropy"]
 
 
+def test_interval_concurrency_chunked_equals_naive(spark):
+    import random
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from lakeside_spark.operators.behavior import interval_concurrency
+
+    # hand-checked panel: half-open semantics (a span ending at t does
+    # not overlap one starting at t), a span crossing many chunks, and a
+    # chunk with no events at all (span 3 covers it entirely)
+    rows = [
+        ("svc", 0, 10.0),     # [0,10)
+        ("svc", 10, 5.0),     # [10,15) — no overlap with the first
+        ("svc", 12, 3.0),     # [12,15) — overlaps the second
+        ("svc", 100, 250.0),  # [100,350) — spans chunks of width 100
+        ("other", 7, 2.0),    # separate key
+    ]
+    df = spark.createDataFrame(
+        rows, "span_name string, timestamp_ms long, value double"
+    )
+    got = {
+        r["span_name"]: r.asDict()
+        for r in interval_concurrency(df, chunk_ms=100).collect()
+    }
+    assert got["svc"]["peak_concurrency"] == 2
+    assert got["svc"]["busy_ms"] == 10 + 5 + 250  # union lengths
+    assert got["svc"]["n_spans"] == 4
+    assert got["other"] == {
+        "span_name": "other", "peak_concurrency": 1, "busy_ms": 2, "n_spans": 1
+    }
+
+    # randomized equivalence: the chunked two-phase sweep must reproduce
+    # the naive single-window sweep exactly, chunk width notwithstanding
+    rng = random.Random(7)
+    rnd = [
+        ("s%d" % rng.randint(0, 2), rng.randint(0, 1000), float(rng.randint(0, 80)))
+        for _ in range(300)
+    ]
+    rdf = spark.createDataFrame(
+        rnd, "span_name string, timestamp_ms long, value double"
+    )
+    dur = F.round(F.col("value")).cast("long")
+    base = rdf.filter(F.col("span_name").isNotNull() & (dur > 0)).select(
+        F.col("span_name").alias("k"), F.col("timestamp_ms").alias("t"),
+        dur.alias("d"),
+    )
+    ev = base.select("k", "t", F.lit(1).alias("delta")).unionByName(
+        base.select("k", (F.col("t") + F.col("d")).alias("t"),
+                    F.lit(-1).alias("delta"))
+    )
+    w = W.partitionBy("k").orderBy("t", "delta")
+    seg = ev.select(
+        "k", "delta", F.sum("delta").over(w).alias("run"),
+        (F.coalesce(F.lead("t").over(w), F.col("t")) - F.col("t")).alias("len"),
+    )
+    naive = {
+        r["k"]: (r["p"], r["bz"], r["ns"])
+        for r in seg.groupBy("k").agg(
+            F.max("run").cast("int").alias("p"),
+            F.sum(F.when(F.col("run") > 0, F.col("len")).otherwise(0))
+            .cast("long").alias("bz"),
+            F.sum(F.when(F.col("delta") == 1, 1).otherwise(0))
+            .cast("long").alias("ns"),
+        ).collect()
+    }
+    for chunk in (37, 100, 10_000_000):
+        chunked = {
+            r["span_name"]: (
+                r["peak_concurrency"], r["busy_ms"], r["n_spans"]
+            )
+            for r in interval_concurrency(rdf, chunk_ms=chunk).collect()
+        }
+        assert chunked == naive, chunk
+
+
 def test_rfm_segments_planted(spark):
     from lakeside_spark.operators.behavior import rfm_segments
 
