@@ -172,6 +172,7 @@ HEADLINE = [
     "rfm_segmentation",
     "text_char_entropy",
     "trace_concurrency",
+    "service_pagerank",
 ]
 
 

@@ -4505,6 +4505,71 @@ FROM p WHERE src_span IS NOT NULL GROUP BY 1, 2
 """
 
 
+def service_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic-weighted PageRank over the span-adjacency service graph
+    (operators/graph.pagerank — iterative join-based, 10 fixed
+    iterations, damping 0.85, dangling completion as explicit uniform
+    edges). The structural-centrality follow-up to the service map.
+    Oracle-exact: per-edge contributions snapped to 1e-9 integers and
+    the per-iteration rank re-snapped, so the DuckDB recursive-CTE twin
+    runs the identical integer pipeline bit-for-bit."""
+    from lakeside_spark.operators.behavior import next_event_edges
+    from lakeside_spark.operators.graph import pagerank
+
+    tr = S.load_traces(spark, sf_dir)
+    edges = next_event_edges(
+        tr, user_col="user_id", ts_col=S.TIMESTAMP, name_col=S.SPAN_NAME
+    )
+    return pagerank(edges).select(F.col("node").alias("service"), "rank")
+
+
+SERVICE_PAGERANK_SQL = f"""
+WITH p0 AS (
+  SELECT lag(span_name) OVER w AS src, span_name AS dst
+  FROM {_TR} tr
+  WINDOW w AS (PARTITION BY user_id ORDER BY timestamp_ms, event_id)
+),
+e AS (
+  SELECT src, dst, CAST(count(*) AS DOUBLE) AS w
+  FROM p0 WHERE src IS NOT NULL GROUP BY 1, 2
+),
+nodes AS (
+  SELECT DISTINCT node
+  FROM (SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)
+),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+outw AS (SELECT src, sum(w) AS wsum FROM e GROUP BY src),
+trans AS (
+  SELECT src, dst, w / wsum AS p FROM e JOIN outw USING (src)
+  UNION ALL
+  SELECT d.node AS src, v.node AS dst, 1.0 / nn.n AS p
+  FROM nodes d, nodes v, nn
+  WHERE d.node NOT IN (SELECT src FROM outw)
+),
+rec AS (
+  WITH RECURSIVE r AS (
+    SELECT node, round(1.0 / nn.n, 9) AS r, 0 AS i FROM nodes, nn
+    UNION ALL
+    SELECT node, r, i FROM (
+      SELECT nd.node,
+             round((1.0 - 0.85) / nn.n
+                   + 0.85 * (coalesce(agg.in9, 0) / 1000000000.0), 9) AS r,
+             max(agg.i) OVER () + 1 AS i
+      FROM nodes nd
+      LEFT JOIN (
+        SELECT t.dst, r.i,
+               sum(CAST(round(r.r * t.p * 1000000000, 0) AS BIGINT)) AS in9
+        FROM r JOIN trans t ON t.src = r.node
+        WHERE r.i < 10
+        GROUP BY t.dst, r.i
+      ) agg ON agg.dst = nd.node, nn
+    ) WHERE i IS NOT NULL
+  ) SELECT * FROM r
+)
+SELECT node AS service, round(r, 6) AS rank FROM rec WHERE i = 10
+"""
+
+
 def trace_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-trace rollup over dataset=traces: span count, wall duration
     (last − first span ts), error-span count, and mean span value — the
@@ -5988,7 +6053,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "compute_fns": compute_fns,
     "trace_concurrency": trace_concurrency,  # NEW r7: chunked sweep-line
     "ts_downsample": ts_downsample,  # r7: new recursive-CTE oracle
-    "tag_names": tag_names,
+    "service_pagerank": service_pagerank,  # NEW r7: iterative PR, exact oracle
     "tag_names_denoised": tag_names_denoised,
     "scope_tags": scope_tags,
     "tag_stream_compress": tag_stream_compress,
@@ -6045,6 +6110,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_cluster_stats": embedding_cluster_stats,
     "ann_recall_report": ann_recall_report,
     "freq_topk_sketch": freq_topk_sketch_users,
+    "tag_names": tag_names,
     "tag_values": tag_values,
     "tag_values_extracted": tag_values_extracted,
     # driver-green r5
@@ -6245,6 +6311,7 @@ ORACLES: dict[str, str] = {
     "text_char_entropy": TEXT_CHAR_ENTROPY_SQL,
     "ts_downsample": TS_DOWNSAMPLE_SQL,
     "trace_concurrency": TRACE_CONCURRENCY_SQL,
+    "service_pagerank": SERVICE_PAGERANK_SQL,
     "dedup_simhash": DEDUP_SIMHASH_SQL.format(norm=_NORM),
     # kmeans_names: rows-only (iterative clustering, not SQL-expressible)
 }

@@ -984,6 +984,50 @@ def test_char_entropy_closed_form(spark):
     assert got[1]["entropy"] < got[4]["entropy"] < got[3]["entropy"]
 
 
+def test_pagerank_closed_forms(spark):
+    from lakeside_spark.operators.graph import pagerank
+
+    # symmetric 2-cycle: exact fixed point 0.5 / 0.5 from the uniform
+    # start, stable under any damping
+    e2 = spark.createDataFrame(
+        [("a", "b", 1), ("b", "a", 1)], "src string, dst string, n long"
+    )
+    got = {r["node"]: r["rank"] for r in pagerank(e2).collect()}
+    assert got == {"a": 0.5, "b": 0.5}
+    # star a->b, a->c (equal weights): b and c tie; b+c > a (they receive
+    # a's mass, a only gets teleport + dangling redistribution)
+    e3 = spark.createDataFrame(
+        [("a", "b", 2), ("a", "c", 2)], "src string, dst string, n long"
+    )
+    got3 = {r["node"]: r["rank"] for r in pagerank(e3).collect()}
+    assert got3["b"] == got3["c"] and got3["b"] > got3["a"]
+    # total mass conserved (dangling b/c redistribute uniformly)
+    assert abs(sum(got3.values()) - 1.0) < 1e-5
+    # weighted: heavier edge attracts more rank
+    ew = spark.createDataFrame(
+        [("a", "b", 9), ("a", "c", 1), ("b", "a", 1), ("c", "a", 1)],
+        "src string, dst string, n long",
+    )
+    gw = {r["node"]: r["rank"] for r in pagerank(ew).collect()}
+    assert gw["b"] > gw["c"]
+    # empty graph
+    assert pagerank(e2.filter("n < 0")).count() == 0
+    # the bounded-side local path and the join-based distributed loop run
+    # the identical fixed-point pipeline — bit-for-bit equal
+    import random
+
+    rng = random.Random(11)
+    redges = [
+        ("n%d" % rng.randint(0, 9), "n%d" % rng.randint(0, 9),
+         rng.randint(1, 20))
+        for _ in range(60)
+    ]
+    rdf = spark.createDataFrame(redges, "src string, dst string, n long")
+    loc = {r["node"]: r["rank"] for r in pagerank(rdf, strategy="local").collect()}
+    dist = {r["node"]: r["rank"] for r in pagerank(rdf, strategy="distributed").collect()}
+    assert loc == dist
+
+
 def test_interval_concurrency_chunked_equals_naive(spark):
     import random
 
