@@ -173,6 +173,7 @@ HEADLINE = [
     "text_char_entropy",
     "trace_concurrency",
     "service_pagerank",
+    "funnel_time_to_convert",
 ]
 
 

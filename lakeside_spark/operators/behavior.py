@@ -592,3 +592,66 @@ def interval_concurrency(
             F.sum("n_started").cast("long").alias("n_spans"),
         )
     )
+
+
+def funnel_latency(
+    events: DataFrame,
+    steps: list[str],
+    window_ms: int,
+    user_col: str = "user_id",
+    ts_col: str = "timestamp_ms",
+    name_col: str = "name",
+) -> DataFrame:
+    """Time-to-convert per funnel step: for every user completing step i
+    (same strict min-ts chaining as :func:`funnel`), the latency from
+    their step i-1 completion, aggregated to (users, p50_ms, avg_ms) —
+    the "WHERE does the funnel stall" follow-up to the conversion counts.
+
+    One row per step 2..k, emitted even when nobody converts (users=0,
+    NULL latencies — the global-aggregate shape both engines share).
+    The median is the exact interpolated percentile (DuckDB
+    quantile_cont parity, as rfm_segmentation); the mean is exact
+    because millisecond sums stay under 2^53. Shape: the skew-safe
+    join-chain funnel — per-step name-pushed scans chained by user-key
+    equi-joins, each step's latency table is converting-users-sized.
+    """
+    if len(steps) < 2:
+        raise ValueError("funnel_latency needs at least two steps")
+    if len(set(steps)) != len(steps):
+        raise ValueError(f"funnel step names must be distinct: {steps}")
+    events = events.filter(F.col(user_col).isNotNull())
+    cur = (
+        events.filter(F.col(name_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("t"))
+    )
+    parts: list[DataFrame] = []
+    for i, step_name in enumerate(steps[1:], start=2):
+        nxt = (
+            events.filter(F.col(name_col) == step_name)
+            .join(
+                cur.select(user_col, F.col("t").alias("t_prev")), user_col
+            )
+            .filter(
+                (F.col(ts_col) > F.col("t_prev"))
+                & (F.col(ts_col) <= F.col("t_prev") + F.lit(window_ms))
+            )
+            .groupBy(user_col, "t_prev")
+            .agg(F.min(ts_col).alias("t"))
+        )
+        lat = F.col("t") - F.col("t_prev")
+        parts.append(
+            nxt.agg(
+                F.count("*").alias("users"),
+                F.percentile(lat, F.lit(0.5)).alias("p50_ms"),
+                F.round(F.avg(lat), 6).alias("avg_ms"),
+            ).select(
+                F.lit(i).cast("bigint").alias("step"),
+                F.lit(step_name).alias("step_name"),
+                "users",
+                "p50_ms",
+                "avg_ms",
+            )
+        )
+        cur = nxt.select(user_col, "t")
+    return reduce(DataFrame.unionByName, parts)

@@ -4646,6 +4646,49 @@ SELECT CAST(3 AS BIGINT), 'purchase', COUNT(*) FROM s3
 """
 
 
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-step time-to-convert for the view→click→purchase funnel
+    (operators/behavior.funnel_latency): users completing each step, the
+    exact interpolated median and the exact mean of the latency from the
+    previous step's completion. Skew-safe join-chain shape; rows emitted
+    even for zero-conversion steps (the global-aggregate shape both
+    engines share)."""
+    from lakeside_spark.operators.behavior import funnel_latency
+
+    tele = load_telemetry(spark, sf_dir)
+    return funnel_latency(
+        tele, ["view", "click", "purchase"], _FUNNEL_WINDOW_MS
+    )
+
+
+FUNNEL_TIME_TO_CONVERT_SQL = f"""
+WITH s1 AS (
+  SELECT user_id, MIN(timestamp_ms) AS t FROM {_T}
+  WHERE name = 'view' AND user_id IS NOT NULL GROUP BY 1
+), s2 AS (
+  SELECT e.user_id, MIN(e.timestamp_ms) AS t, s1.t AS t_prev FROM {_T} e
+  JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.name = 'click' AND e.timestamp_ms > s1.t
+    AND e.timestamp_ms <= s1.t + {_FUNNEL_WINDOW_MS}
+  GROUP BY e.user_id, s1.t
+), s3 AS (
+  SELECT e.user_id, MIN(e.timestamp_ms) AS t, s2.t AS t_prev FROM {_T} e
+  JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.name = 'purchase' AND e.timestamp_ms > s2.t
+    AND e.timestamp_ms <= s2.t + {_FUNNEL_WINDOW_MS}
+  GROUP BY e.user_id, s2.t
+)
+SELECT CAST(2 AS BIGINT) AS step, 'click' AS step_name, COUNT(*) AS users,
+       quantile_cont(t - t_prev, 0.5) AS p50_ms,
+       ROUND(AVG(t - t_prev), 6) AS avg_ms
+FROM s2
+UNION ALL
+SELECT CAST(3 AS BIGINT), 'purchase', COUNT(*),
+       quantile_cont(t - t_prev, 0.5), ROUND(AVG(t - t_prev), 6)
+FROM s3
+"""
+
+
 def event_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-touch conversion attribution (operators/behavior.attribution):
     purchase conversions credited to the view/click/signup touches the
@@ -6054,7 +6097,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "trace_concurrency": trace_concurrency,  # NEW r7: chunked sweep-line
     "ts_downsample": ts_downsample,  # r7: new recursive-CTE oracle
     "service_pagerank": service_pagerank,  # NEW r7: iterative PR, exact oracle
-    "tag_names_denoised": tag_names_denoised,
+    "funnel_time_to_convert": funnel_time_to_convert,  # NEW r7
     "scope_tags": scope_tags,
     "tag_stream_compress": tag_stream_compress,
     "rfm_segmentation": rfm_segmentation,  # NEW r7: quintile-boundary RFM
@@ -6110,6 +6153,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_cluster_stats": embedding_cluster_stats,
     "ann_recall_report": ann_recall_report,
     "freq_topk_sketch": freq_topk_sketch_users,
+    "tag_names_denoised": tag_names_denoised,
     "tag_names": tag_names,
     "tag_values": tag_values,
     "tag_values_extracted": tag_values_extracted,
@@ -6312,6 +6356,7 @@ ORACLES: dict[str, str] = {
     "ts_downsample": TS_DOWNSAMPLE_SQL,
     "trace_concurrency": TRACE_CONCURRENCY_SQL,
     "service_pagerank": SERVICE_PAGERANK_SQL,
+    "funnel_time_to_convert": FUNNEL_TIME_TO_CONVERT_SQL,
     "dedup_simhash": DEDUP_SIMHASH_SQL.format(norm=_NORM),
     # kmeans_names: rows-only (iterative clustering, not SQL-expressible)
 }

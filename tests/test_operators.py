@@ -984,6 +984,45 @@ def test_char_entropy_closed_form(spark):
     assert got[1]["entropy"] < got[4]["entropy"] < got[3]["entropy"]
 
 
+def test_funnel_latency_hand_computed(spark):
+    import pytest as _pytest
+
+    from lakeside_spark.operators.behavior import funnel_latency
+
+    rows = [
+        # u1: a@0 -> b@100 -> c@250   (b lat 100, c lat 150)
+        (1, 0, "a"), (1, 100, "b"), (1, 250, "c"),
+        # u2: a@10 -> b@310           (b lat 300, no c)
+        (2, 10, "a"), (2, 310, "b"),
+        # u3: b@50 only — never did a, contributes nothing
+        (3, 50, "b"),
+        # u4: a@0 -> b@9999 outside the window
+        (4, 0, "a"), (4, 9999, "b"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, timestamp_ms long, name string"
+    )
+    got = {
+        r["step"]: r.asDict()
+        for r in funnel_latency(df, ["a", "b", "c"], window_ms=1000).collect()
+    }
+    assert set(got) == {2, 3}
+    assert got[2]["step_name"] == "b" and got[2]["users"] == 2
+    assert got[2]["p50_ms"] == 200.0          # median of [100, 300]
+    assert got[2]["avg_ms"] == 200.0
+    assert got[3]["users"] == 1 and got[3]["p50_ms"] == 150.0
+    # zero-conversion step still emits its row, with NULL latencies
+    got0 = {
+        r["step"]: r.asDict()
+        for r in funnel_latency(df, ["a", "b", "zzz"], window_ms=1000).collect()
+    }
+    assert got0[3]["users"] == 0 and got0[3]["p50_ms"] is None
+    with _pytest.raises(ValueError):
+        funnel_latency(df, ["a"], window_ms=1000)
+    with _pytest.raises(ValueError):
+        funnel_latency(df, ["a", "a"], window_ms=1000)
+
+
 def test_pagerank_closed_forms(spark):
     from lakeside_spark.operators.graph import pagerank
 
