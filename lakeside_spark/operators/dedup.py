@@ -22,6 +22,7 @@ Cross-engine determinism: every hash derives from md5 (first 15 hex chars →
 from __future__ import annotations
 
 from collections.abc import Iterator
+from functools import reduce
 
 import numpy as np
 import pandas as pd
@@ -666,33 +667,32 @@ def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         .filter(F.col("tok") != "")
     )
     h = toks.withColumn("h", md5_long(F.col("tok")))
-    # per (doc, bit): contribution +1 when bit set else -1; simhash bit =
-    # (sum > 0). 60 bit positions of the 60-bit md5 int, statically unrolled.
-    bit_structs = F.array(
+    # simhash bit j = (Σ_tokens ±1 for bit j of the token hash) > 0,
+    # equivalently: more set than unset ⟺ 2·(#set) > n_tokens. The 60
+    # bit tallies are statically unrolled sum aggregates: ONE doc-keyed
+    # map-side-combined shuffle, whole-stage codegen end to end. (Both a
+    # (doc, bit) explode — 60× the shuffle rows through two aggregations
+    # — and an array-HOF tally — interpreted, not codegen — measured
+    # slower at sf0.1.)
+    hs = h.groupBy("doc_id").agg(
+        F.count("*").alias("nt"),
         *[
-            F.struct(
-                F.lit(j).alias("bit"),
-                (F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1).alias("c"),
+            F.sum(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1))).alias(
+                f"s{j}"
             )
             for j in range(60)
-        ]
+        ],
     )
-    bits = h.select("doc_id", F.explode(bit_structs).alias("bc")).select(
-        "doc_id", F.col("bc.bit").alias("bit"), F.col("bc.c").alias("c")
+    word = reduce(
+        Column.__add__,
+        [
+            F.when(
+                F.col(f"s{j}") * 2 > F.col("nt"), F.lit(1 << j).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+            for j in range(60)
+        ],
     )
-    # 2^bit is exact in double for bit<60, so pow→bigint reconstructs the word
-    return (
-        bits.groupBy("doc_id", "bit")
-        .agg(F.sum("c").alias("s"))
-        .groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.when(
-                    F.col("s") > 0, F.pow(F.lit(2.0), F.col("bit")).cast("bigint")
-                ).otherwise(F.lit(0).cast("bigint"))
-            ).alias("simhash")
-        )
-    )
+    return hs.select("doc_id", word.alias("simhash"))
 
 
 def hamming_pairs(
@@ -750,11 +750,25 @@ def hamming_pairs(
         b = keyed.select(
             F.col("doc_id").alias("id_b"), F.col("__h").alias("hb"), "band", "key"
         )
+        # first-matching-band dedup: a pair agreeing on several bands
+        # would surface once per band; instead of a distinct() SHUFFLE
+        # over the candidate set (the dominant cost on self-similar
+        # corpora — 1.35M candidates at sf0.1), keep a candidate only in
+        # its FIRST matching band: for every earlier band j the chunks
+        # must differ. Pure codegen per candidate row, zero extra shuffle.
+        first_band = reduce(
+            Column.__and__,
+            [
+                (F.col("band") <= F.lit(j))
+                | (chunk(F.col("ha"), j) != chunk(F.col("hb"), j))
+                for j in range(bands - 1)
+            ],
+        )
         cand = (
             a.join(b, ["band", "key"])
             .filter(F.col("id_a") < F.col("id_b"))
+            .filter(first_band)
             .select("id_a", "id_b", "ha", "hb")
-            .distinct()
         )
         return cand.select("id_a", "id_b", hamming.alias("hamming")).filter(
             F.col("hamming") <= max_hamming
