@@ -545,8 +545,10 @@ def interval_concurrency(
     )
 
     # tiny carry table: keys x active-chunk-range, incl. empty chunks a
-    # long span covers entirely
-    tot = seg.groupBy("k", "b").agg(
+    # long span covers entirely. Built from ev, NOT seg: it only needs
+    # plain per-(k,b) aggregates, and deriving it from seg would run the
+    # per-chunk window sort a second time.
+    tot = ev.groupBy("k", "b").agg(
         F.sum("delta").alias("tot"), F.min("t").alias("first_t")
     )
     span_b = tot.groupBy("k").agg(F.min("b").alias("b0"), F.max("b").alias("b1"))

@@ -763,6 +763,7 @@ def hamming_pairs(
                 | (chunk(F.col("ha"), j) != chunk(F.col("hb"), j))
                 for j in range(bands - 1)
             ],
+            F.lit(True),  # bands == 1 (max_hamming=0): single band, no dup
         )
         cand = (
             a.join(b, ["band", "key"])

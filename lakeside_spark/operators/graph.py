@@ -22,9 +22,15 @@ Both run the IDENTICAL fixed-point pipeline — per-edge contributions
 snapped to 1e-9 integers (neighbor-sum order cannot perturb the result)
 and the per-iteration rank re-snapped to 1e-9 with HALF_UP — so
 local ≡ distributed ≡ the DuckDB recursive-CTE oracle, bit-for-bit
-(pinned by pytest). Dangling nodes are completed into explicit uniform
-``(u, v, 1/n)`` edges: the uniform-redistribution stochastic completion,
-kept as explicit edges so every engine rounds the same terms.
+(pinned by pytest). One caveat: the bit-for-bit claim needs the per-src
+out-weight sum to be order-independent, which holds for integer-valued
+weights (edge counts, as shipped — sums are exact in double in any
+order); fractional weights could drift an ULP between engines' sum
+orders. Dangling nodes are completed into explicit uniform ``(u, v,
+1/n)`` edges: the uniform-redistribution stochastic completion, kept as
+explicit edges so every engine rounds the same terms. Zero- and
+NULL-weight edges are dropped up front (no transition mass; they would
+otherwise zero an out-weight divisor).
 """
 
 from __future__ import annotations
@@ -88,14 +94,29 @@ def pagerank(
     iteration count. Returns (node, rank) with rank rounded to 6dp;
     ranks sum to ~1. Deterministic and oracle-exact (see module doc)."""
     spark = edges.sparkSession
+    # zero/NULL-weight edges carry no transition mass and would divide a
+    # zero out-weight (local raises, Spark yields NULL p) — drop them up
+    # front so both strategies see the identical graph
     e = edges.select(
         F.col(src_col).alias("src"),
         F.col(dst_col).alias("dst"),
         F.col(weight_col).cast("double").alias("w"),
-    ).filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+    ).filter(
+        F.col("src").isNotNull() & F.col("dst").isNotNull() & (F.col("w") > 0)
+    )
 
     if strategy == "auto":
-        strategy = "local" if e.count() <= LOCAL_EDGE_GATE else "distributed"
+        # single-pass gate: take(gate+1) both decides AND delivers the
+        # rows when the graph is bounded — the edge build (the dominant
+        # cost) never runs twice
+        head = e.take(LOCAL_EDGE_GATE + 1)
+        if len(head) <= LOCAL_EDGE_GATE:
+            rows = [(r["src"], r["dst"], r["w"]) for r in head]
+            if not rows:
+                return spark.createDataFrame([], "node string, rank double")
+            out = _pagerank_local(rows, iterations, float(damping))
+            return spark.createDataFrame(out, "node string, rank double")
+        strategy = "distributed"
 
     if strategy == "local":
         rows = [(r["src"], r["dst"], r["w"]) for r in e.collect()]

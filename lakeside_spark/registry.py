@@ -4517,12 +4517,15 @@ FROM p WHERE src_span IS NOT NULL GROUP BY 1, 2
 
 def service_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Traffic-weighted PageRank over the span-adjacency service graph
-    (operators/graph.pagerank — iterative join-based, 10 fixed
-    iterations, damping 0.85, dangling completion as explicit uniform
-    edges). The structural-centrality follow-up to the service map.
-    Oracle-exact: per-edge contributions snapped to 1e-9 integers and
-    the per-iteration rank re-snapped, so the DuckDB recursive-CTE twin
-    runs the identical integer pipeline bit-for-bit."""
+    (operators/graph.pagerank — 10 fixed iterations, damping 0.85,
+    dangling completion as explicit uniform edges). The service graph is
+    span-vocabulary², so the auto gate runs the power iterations
+    driver-side on the collected edge table (one Spark job — the
+    bounded-side-collect pattern); unbounded graphs take the join-based
+    distributed loop, pytest-pinned bit-equal. Oracle-exact: per-edge
+    contributions snapped to 1e-9 integers and the per-iteration rank
+    re-snapped, so the DuckDB recursive-CTE twin runs the identical
+    integer pipeline bit-for-bit."""
     from lakeside_spark.operators.behavior import next_event_edges
     from lakeside_spark.operators.graph import pagerank
 

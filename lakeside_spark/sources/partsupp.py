@@ -32,11 +32,13 @@ __all__ = ["derived_partsupp", "PARTSUPP_CTE"]
 # broadcast build that consumes partsupp — ~0.8s of pure stage latency
 # on each of q2/q9/q11/q16/q20 at sf0.1. One tiny cached count job
 # replaces all of it.
-_S_COUNT: dict[tuple[int, str], int] = {}
+_S_COUNT: dict[tuple[str, str], int] = {}
 
 
 def _supplier_count(spark: SparkSession, sf_dir: str) -> int:
-    key = (id(spark), sf_dir)
+    # keyed by applicationId, not id(spark): a GC'd session's id can be
+    # reused and would serve a stale count for a regenerated sf_dir
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _S_COUNT:
         _S_COUNT[key] = load_table(spark, sf_dir, "supplier").count()
     return _S_COUNT[key]

@@ -1065,6 +1065,30 @@ def test_pagerank_closed_forms(spark):
     loc = {r["node"]: r["rank"] for r in pagerank(rdf, strategy="local").collect()}
     dist = {r["node"]: r["rank"] for r in pagerank(rdf, strategy="distributed").collect()}
     assert loc == dist
+    # zero/NULL-weight edges carry no mass and must not divide a zero
+    # out-weight (local raised, distributed NULLed) — dropped up front,
+    # identically in both strategies
+    ez = spark.createDataFrame(
+        [("a", "b", 1.0), ("a", "c", 0.0), ("b", "a", None)],
+        "src string, dst string, n double",
+    )
+    gz_l = {r["node"]: r["rank"] for r in pagerank(ez, strategy="local").collect()}
+    gz_d = {r["node"]: r["rank"] for r in pagerank(ez, strategy="distributed").collect()}
+    assert gz_l == gz_d and set(gz_l) == {"a", "b"}
+
+
+def test_hamming_pairs_zero_budget(spark):
+    # max_hamming=0 = exact-duplicate pairing; bands=1 means no earlier
+    # band can exist — the first-band dedup filter must degrade to true,
+    # not reduce() over an empty iterable
+    from lakeside_spark.operators.dedup import hamming_pairs
+
+    df = spark.createDataFrame(
+        [(1, 7), (2, 7), (3, 8)], "doc_id long, simhash long"
+    )
+    got = {(r["id_a"], r["id_b"], r["hamming"])
+           for r in hamming_pairs(df, max_hamming=0, bits=60).collect()}
+    assert got == {(1, 2, 0)}
 
 
 def test_interval_concurrency_chunked_equals_naive(spark):

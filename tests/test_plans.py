@@ -123,10 +123,13 @@ def test_new_tpch_no_nested_loop(key, spark, sf_dir):
 )
 def test_derived_partsupp_tpch_shapes(key, spark, sf_dir):
     """The five derived-partsupp queries must not degenerate: no cartesian
-    product, dims broadcast, and any BroadcastNestedLoopJoin must be the
-    single-row scalar attach from the partsupp derivation (count(*) from
-    supplier cross-joined onto part) — a one-row broadcast is O(1) and
-    scale-safe; a nested-loop join against anything wider is not."""
+    product, dims broadcast, and any BroadcastNestedLoopJoin must be a
+    single-row scalar attach — a one-row broadcast is O(1) and
+    scale-safe; a nested-loop join against anything wider is not. (The
+    partsupp derivation's count(*)-cross-join was replaced by a memoized
+    driver literal in round 7, so the usual case is now ZERO
+    IdentityBroadcastMode exchanges; the loop below stays as a guard
+    against any future non-scalar nested-loop build.)"""
     plan = _plan(spark, sf_dir, key)
     assert "CartesianProduct" not in plan, key
     assert "BroadcastHashJoin" in plan, f"{key}: dims must broadcast"
