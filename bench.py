@@ -174,6 +174,7 @@ HEADLINE = [
     "trace_concurrency",
     "service_pagerank",
     "funnel_time_to_convert",
+    "ts_gap_report",
 ]
 
 

@@ -51,3 +51,48 @@ def fill_steps(
         value_col, F.coalesce(F.col(value_col), F.lit(fill_value))
     )
     return filled.select(*series.columns)
+
+
+def gap_report(
+    events: DataFrame,
+    step_ms: int,
+    name_col: str = "name",
+    ts_col: str = "timestamp_ms",
+) -> DataFrame:
+    """Per-series reporting-gap audit over the step grid: gap events
+    (consecutive observed steps more than one step apart), total missing
+    steps, and the longest silent stretch in ms — the "is this metric
+    still reporting?" staple the dense-grid fill above papers over.
+
+    Shape: one step-keyed aggregation (map-side combined) + one
+    series-keyed window over the step-count-sized table. All integer
+    arithmetic (step deltas are exact multiples of step_ms), so the SQL
+    oracle is exact by construction.
+    """
+    from pyspark.sql import Window
+
+    step = F.lit(int(step_ms))
+    steps = (
+        events.filter(F.col(name_col).isNotNull())
+        .groupBy(
+            F.col(name_col).alias("name"),
+            (F.col(ts_col) - F.col(ts_col) % step).alias("step_ts"),
+        )
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    w = Window.partitionBy("name").orderBy("step_ts")
+    d = F.col("step_ts") - F.lag("step_ts").over(w)
+    gaps = steps.select(
+        "name",
+        F.when(d > step, F.lit(1)).otherwise(F.lit(0)).alias("is_gap"),
+        F.when(d > step, (d / step).cast("long") - 1)
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("missing"),
+        F.when(d > step, d - step).otherwise(F.lit(0)).cast("long").alias("silent"),
+    )
+    return gaps.groupBy("name").agg(
+        F.sum("is_gap").cast("long").alias("n_gaps"),
+        F.sum("missing").cast("long").alias("missing_steps"),
+        F.max("silent").cast("long").alias("longest_gap_ms"),
+    )

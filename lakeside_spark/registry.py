@@ -280,6 +280,40 @@ FROM cum GROUP BY 1, 2
 TS_PERCENTILE_DDSKETCH_SQL = _ddsketch_oracle_sql()
 
 
+def ts_gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series reporting-gap audit — the "is this metric still
+    reporting?" staple: over each name's hourly step grid, the number of
+    gap events (consecutive observed steps more than one step apart),
+    total missing steps, and the longest silent stretch in ms. One
+    step-keyed aggregation + one series-keyed window (bounded by steps
+    per series, the same shape as ts_fill's grid); all integer
+    arithmetic, so the oracle is exact by construction."""
+    from lakeside_spark.operators.fill import gap_report
+
+    return gap_report(load_telemetry(spark, sf_dir), step_ms=HOUR)
+
+
+TS_GAP_REPORT_SQL = f"""
+WITH steps AS (
+  SELECT name, timestamp_ms - timestamp_ms % {HOUR} AS step_ts
+  FROM {_T} WHERE name IS NOT NULL GROUP BY 1, 2
+),
+d AS (
+  SELECT name,
+         step_ts - lag(step_ts) OVER (PARTITION BY name ORDER BY step_ts) AS delta
+  FROM steps
+)
+SELECT name,
+       CAST(sum(CASE WHEN delta > {HOUR} THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps,
+       CAST(sum(CASE WHEN delta > {HOUR}
+                THEN CAST(delta / {HOUR} AS BIGINT) - 1 ELSE 0 END) AS BIGINT)
+         AS missing_steps,
+       CAST(max(CASE WHEN delta > {HOUR} THEN delta - {HOUR} ELSE 0 END) AS BIGINT)
+         AS longest_gap_ms
+FROM d GROUP BY name
+"""
+
+
 def ts_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dense-grid chart series: step-aligned counts with missing
     (step, name) points zero-filled over the observed range (the engine's
@@ -6111,7 +6145,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ts_downsample": ts_downsample,  # r7: new recursive-CTE oracle
     "service_pagerank": service_pagerank,  # NEW r7: iterative PR, exact oracle
     "funnel_time_to_convert": funnel_time_to_convert,  # NEW r7
-    "scope_tags": scope_tags,
+    "ts_gap_report": ts_gap_report,  # NEW r7: reporting-gap audit
     "tag_stream_compress": tag_stream_compress,
     "rfm_segmentation": rfm_segmentation,  # NEW r7: quintile-boundary RFM
     "text_char_entropy": text_char_entropy,  # NEW r7: char-entropy gate
@@ -6166,6 +6200,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_cluster_stats": embedding_cluster_stats,
     "ann_recall_report": ann_recall_report,
     "freq_topk_sketch": freq_topk_sketch_users,
+    "scope_tags": scope_tags,
     "tag_names_denoised": tag_names_denoised,
     "tag_names": tag_names,
     "tag_values": tag_values,
@@ -6370,6 +6405,7 @@ ORACLES: dict[str, str] = {
     "trace_concurrency": TRACE_CONCURRENCY_SQL,
     "service_pagerank": SERVICE_PAGERANK_SQL,
     "funnel_time_to_convert": FUNNEL_TIME_TO_CONVERT_SQL,
+    "ts_gap_report": TS_GAP_REPORT_SQL,
     "dedup_simhash": DEDUP_SIMHASH_SQL.format(norm=_NORM),
     # kmeans_names: rows-only (iterative clustering, not SQL-expressible)
 }

@@ -50,7 +50,7 @@ for key in [
     "text_bm25_topk", "hybrid_rrf_topk", "retrieval_eval",
     "event_attribution", "ngram_lm_score", "corpus_ngram_novelty",
     "rfm_segmentation", "text_char_entropy", "trace_concurrency",
-    "service_pagerank", "funnel_time_to_convert",
+    "service_pagerank", "funnel_time_to_convert", "ts_gap_report",
 ]:
     df = qs[key](spark, "%s")
     n = df.count()

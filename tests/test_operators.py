@@ -1077,6 +1077,34 @@ def test_pagerank_closed_forms(spark):
     assert gz_l == gz_d and set(gz_l) == {"a", "b"}
 
 
+def test_ts_gap_report_hand_computed(spark):
+    from lakeside_spark.operators.fill import gap_report
+
+    H = 3_600_000
+    rows = [
+        # m1: steps 0,1,2,5,6 -> one gap of 2 missing steps (2h silent)
+        ("m1", 0), ("m1", H), ("m1", 2 * H), ("m1", 5 * H), ("m1", 6 * H),
+        # m2: steps 0,2,10 -> two gaps: 1 missing (1h) and 7 missing (7h)
+        ("m2", 0), ("m2", 2 * H), ("m2", 10 * H),
+        # m3: a single step -> no gaps, longest 0
+        ("m3", 4 * H),
+        # NULL series names are not series
+        (None, 0),
+    ]
+    df = spark.createDataFrame(
+        [(n, t + 17) for n, t in rows],  # off-grid offsets floor to steps
+        "name string, timestamp_ms long",
+    )
+    got = {r["name"]: r.asDict() for r in gap_report(df, step_ms=H).collect()}
+    assert set(got) == {"m1", "m2", "m3"}
+    assert got["m1"] == {"name": "m1", "n_gaps": 1, "missing_steps": 2,
+                         "longest_gap_ms": 2 * H}
+    assert got["m2"] == {"name": "m2", "n_gaps": 2, "missing_steps": 8,
+                         "longest_gap_ms": 7 * H}
+    assert got["m3"] == {"name": "m3", "n_gaps": 0, "missing_steps": 0,
+                         "longest_gap_ms": 0}
+
+
 def test_hamming_pairs_zero_budget(spark):
     # max_hamming=0 = exact-duplicate pairing; bands=1 means no earlier
     # band can exist — the first-band dedup filter must degrade to true,
