@@ -544,33 +544,39 @@ def interval_concurrency(
         (F.coalesce(F.lead("t").over(wc), chunk_end) - F.col("t")).alias("len"),
     )
 
-    # tiny carry table: keys x active-chunk-range, incl. empty chunks a
-    # long span covers entirely. Built from ev, NOT seg: it only needs
-    # plain per-(k,b) aggregates, and deriving it from seg would run the
-    # per-chunk window sort a second time.
+    # tiny carry table: keys x ACTIVE chunks only. Built from ev, NOT
+    # seg: it only needs plain per-(k,b) aggregates, and deriving it
+    # from seg would run the per-chunk window sort a second time. Empty
+    # chunks between two active ones are NEVER enumerated (the old
+    # explode(sequence(b0,b1)) form meant one corrupt far-future
+    # timestamp materialized an astronomical chunk range and failed the
+    # whole query): the balance is constant across an empty gap, so the
+    # gap's busy time is (gap chunks) * W when the entering balance is
+    # positive — pure arithmetic off lag(b). The carry after the last
+    # active chunk is always 0 (every +1 has its -1), so no trailing gap
+    # is ever dropped.
     tot = ev.groupBy("k", "b").agg(
         F.sum("delta").alias("tot"), F.min("t").alias("first_t")
     )
-    span_b = tot.groupBy("k").agg(F.min("b").alias("b0"), F.max("b").alias("b1"))
-    allb = span_b.select(
-        "k", F.explode(F.sequence("b0", "b1")).alias("b")
-    ).join(tot, ["k", "b"], "left")
-    wk = Window.partitionBy("k").orderBy("b").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    carry = allb.select(
+    wk_order = Window.partitionBy("k").orderBy("b")
+    wk = wk_order.rowsBetween(Window.unboundedPreceding, -1)
+    carry = tot.select(
         "k", "b", "first_t",
         F.coalesce(F.sum("tot").over(wk), F.lit(0)).alias("carry"),
+        F.lag("b").over(wk_order).alias("prev_b"),
     )
 
-    # head/empty-chunk busy segments + the carry itself as a peak
-    # candidate (the running level before the chunk's first event)
+    # head segment of each active chunk (chunk start -> first event) +
+    # the whole empty gap since the previous active chunk, both at the
+    # entering balance; the carry itself is the peak candidate for that
+    # stretch (the running level before the chunk's first event)
     head = carry.select(
         "k",
         F.col("carry").cast("long").alias("run"),
         F.when(
             F.col("carry") > 0,
-            F.coalesce(F.col("first_t"), (F.col("b") + 1) * W) - F.col("b") * W,
+            (F.col("first_t") - F.col("b") * W)
+            + (F.col("b") - F.col("prev_b") - 1) * W,
         ).otherwise(F.lit(0)).cast("long").alias("busy"),
         F.lit(0).cast("long").alias("n_started"),
     )

@@ -87,23 +87,65 @@ def bm25_topk(
 
 
 _GATE_COUNTS: dict = {}
+_GATE_COUNTS_CAP = 64
+
+
+def _metadata_count(corpus: DataFrame) -> int | None:
+    """Row count straight from parquet footers when the plan cannot drop
+    rows (only Project/Relation nodes): the gate then costs zero Spark
+    jobs on a first call against a 100 TB table. Local files only —
+    anything else (filters, joins, non-file relations, remote storage)
+    returns None and the caller falls back to a real count()."""
+    try:
+        plan = corpus._jdf.queryExecution().optimizedPlan().toString()
+        for line in plan.splitlines():
+            node = line.lstrip(" +-:").split(" ", 1)[0]
+            if node and node not in ("Project", "Relation", "LogicalRelation"):
+                return None
+        files = corpus.inputFiles()
+        if not files or len(files) > 4096:
+            return None
+        import pyarrow.parquet as pq
+        from urllib.parse import urlparse
+
+        total = 0
+        for uri in files:
+            parsed = urlparse(uri)
+            if parsed.scheme not in ("file", ""):
+                return None
+            if not uri.endswith(".parquet"):
+                return None
+            total += pq.read_metadata(parsed.path or uri).num_rows
+        return total
+    except Exception:
+        return None
 
 
 def _gate_count(corpus: DataFrame) -> int:
-    """Corpus row count for the strategy gate, memoized by the analyzed
-    plan's semantic hash so repeated calls (hybrid + eval + bench reruns
-    over the same table) pay the metadata count once. A hash collision
-    can only flip the gate between two PARITY-IDENTICAL plans — the
-    cache affects plan choice, never results — so no sameResult verify
-    is needed (unlike the span-dedup result cache)."""
+    """Corpus row count for the strategy gate, memoized per (application,
+    analyzed-plan semantic hash) with LRU eviction so repeated calls
+    (hybrid + eval + bench reruns over the same table) pay the count
+    once — and the count itself is footer metadata when the plan is a
+    bare file scan (no count() job at all). A hash collision can only
+    flip the gate between two PARITY-IDENTICAL plans — the cache affects
+    plan choice, never results — so no sameResult verify is needed
+    (unlike the span-dedup result cache). Keyed by applicationId (not
+    id(spark)) so a session restart in one Python process can never
+    serve a stale count."""
     try:
-        key = corpus._jdf.queryExecution().analyzed().semanticHash()
+        key = (
+            corpus.sparkSession.sparkContext.applicationId,
+            corpus._jdf.queryExecution().analyzed().semanticHash(),
+        )
     except Exception:  # non-JVM-backed frame: just count
         return corpus.count()
-    if key not in _GATE_COUNTS:
-        if len(_GATE_COUNTS) > 64:
-            _GATE_COUNTS.clear()
-        _GATE_COUNTS[key] = corpus.count()
+    if key in _GATE_COUNTS:
+        _GATE_COUNTS[key] = _GATE_COUNTS.pop(key)  # LRU touch
+    else:
+        while len(_GATE_COUNTS) >= _GATE_COUNTS_CAP:
+            _GATE_COUNTS.pop(next(iter(_GATE_COUNTS)))
+        meta = _metadata_count(corpus)
+        _GATE_COUNTS[key] = corpus.count() if meta is None else meta
     return _GATE_COUNTS[key]
 
 
@@ -177,7 +219,16 @@ def _bm25_scored_full(
             ),
         )
         .groupBy("q_id", "doc_id")
-        .agg(F.round(F.sum("part"), 6).alias("score"))
+        .agg(
+            # each part snapped to 1e-9 fixed-point and summed as
+            # exact longs: shuffle-order summation near a 0.5e-6
+            # boundary can never flip the 6-dp rounded score (the
+            # bigram_nll/pagerank integer-sum pattern); parts are
+            # nonnegative, so HALF_UP == DuckDB half-away
+            F.round(
+                F.sum(F.round(F.col("part") * 1e9).cast("long")) / 1e9, 6
+            ).alias("score")
+        )
     )
 
 
@@ -281,7 +332,16 @@ def _bm25_scored_matched(
             ),
         )
         .groupBy("q_id", "doc_id")
-        .agg(F.round(F.sum("part"), 6).alias("score"))
+        .agg(
+            # each part snapped to 1e-9 fixed-point and summed as
+            # exact longs: shuffle-order summation near a 0.5e-6
+            # boundary can never flip the 6-dp rounded score (the
+            # bigram_nll/pagerank integer-sum pattern); parts are
+            # nonnegative, so HALF_UP == DuckDB half-away
+            F.round(
+                F.sum(F.round(F.col("part") * 1e9).cast("long")) / 1e9, 6
+            ).alias("score")
+        )
     )
 
 

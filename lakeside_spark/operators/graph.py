@@ -26,9 +26,14 @@ local ≡ distributed ≡ the DuckDB recursive-CTE oracle, bit-for-bit
 out-weight sum to be order-independent, which holds for integer-valued
 weights (edge counts, as shipped — sums are exact in double in any
 order); fractional weights could drift an ULP between engines' sum
-orders. Dangling nodes are completed into explicit uniform ``(u, v,
-1/n)`` edges: the uniform-redistribution stochastic completion, kept as
-explicit edges so every engine rounds the same terms. Zero- and
+orders. Dangling nodes get the uniform-redistribution stochastic
+completion: the local path (and the SQL oracle) keep it as explicit
+``(u, v, 1/n)`` edges so every engine rounds the same terms; the
+distributed path collapses it to ONE scalar per iteration — every dst
+receives the identical snapped term ``round(r_u/n * 1e9)`` per dangling
+``u``, so the sum of those terms broadcast to all nodes is bit-identical
+to the explicit-edge form without the |dangling| x |nodes| blowup a
+dangling-heavy graph would otherwise pay. Zero- and
 NULL-weight edges are dropped up front (no transition mass; they would
 otherwise zero an out-weight divisor).
 """
@@ -79,6 +84,60 @@ def _pagerank_local(
             )
         r = {v: _snap(teleport + d * (in9[v] / 1e9), 9) for v in nodes}
     return [(v, _snap(r[v], 6)) for v in nodes]
+
+
+def _dangling_mass9(dangling: DataFrame, ranks: DataFrame, inv_n: float) -> int:
+    """The scalar dangling completion for one iteration: every dst
+    receives the IDENTICAL snapped term round(r_u * (1/n) * 1e9) from
+    each dangling u, so their sum — one integer — replaces the
+    |dangling| x |nodes| explicit uniform edges bit-for-bit. One small
+    aggregation job per iteration, only on graphs that have dangling
+    nodes at all."""
+    row = (
+        dangling.join(ranks, "node")
+        .agg(
+            F.coalesce(
+                F.sum(F.round(F.col("r") * F.lit(inv_n) * 1e9).cast("long")),
+                F.lit(0).cast("long"),
+            ).alias("dang9")
+        )
+        .collect()
+    )
+    return int(row[0]["dang9"])
+
+
+def _dist_step(
+    nodes: DataFrame,
+    trans: DataFrame,
+    ranks: DataFrame,
+    dang9: int,
+    d: float,
+    teleport: float,
+) -> DataFrame:
+    """One distributed power iteration: real-edge contributions in
+    integer 1e-9 units (neighbor-sum order cannot perturb the result in
+    any engine) plus the pre-collected scalar dangling mass injected as
+    a literal — no cross join, no nested-loop join, ever."""
+    contrib = (
+        trans.join(ranks, trans["src"] == ranks["node"])
+        .select(
+            "dst",
+            F.round(F.col("r") * F.col("p") * 1e9).cast("long").alias("c9"),
+        )
+        .groupBy("dst")
+        .agg(F.sum("c9").alias("in9"))
+    )
+    return nodes.join(
+        contrib, nodes["node"] == contrib["dst"], "left"
+    ).select(
+        "node",
+        F.round(
+            F.lit(teleport)
+            + F.lit(d)
+            * ((F.coalesce(F.col("in9"), F.lit(0)) + F.lit(dang9)) / 1e9),
+            9,
+        ).alias("r"),
+    )
 
 
 def pagerank(
@@ -138,44 +197,44 @@ def pagerank(
     outw = e.groupBy("src").agg(F.sum("w").alias("wsum"))
     trans = e.join(outw, "src").select(
         "src", "dst", (F.col("w") / F.col("wsum")).alias("p")
-    )
-    dang_trans = (
-        nodes.join(outw.select(F.col("src").alias("node")), "node", "left_anti")
-        .select(F.col("node").alias("src"))
-        .crossJoin(nodes.select(F.col("node").alias("dst")))
-        .select("src", "dst", F.lit(1.0 / n_nodes).alias("p"))
-    )
-    trans_all = trans.unionByName(dang_trans).persist()
+    ).persist()
+    # Dangling nodes: NOT completed as explicit |dangling| x |nodes|
+    # uniform edges (quadratic on a dangling-heavy graph — the exact
+    # regime the distributed path exists for). Each dst receives the
+    # IDENTICAL snapped per-u term round(r_u * (1/n) * 1e9) from every
+    # dangling u, so the whole completion collapses to one scalar per
+    # iteration — the sum of those snapped terms — broadcast to every
+    # node via a single-row hash join. Bit-identical to the local
+    # path's explicit-edge form (pytest-pinned).
+    dangling = nodes.join(
+        outw.select(F.col("src").alias("node")), "node", "left_anti"
+    ).persist()
 
     d = float(damping)
     teleport = (1.0 - d) / n_nodes
-    ranks = nodes.select("node", F.round(F.lit(1.0 / n_nodes), 9).alias("r"))
+    inv_n = 1.0 / n_nodes
+    ranks = nodes.select("node", F.round(F.lit(inv_n), 9).alias("r"))
 
-    for it in range(iterations):
-        # per-edge contribution in integer 1e-9 units: neighbor-sum order
-        # cannot perturb the result in any engine
-        contrib = (
-            trans_all.join(ranks, trans_all["src"] == ranks["node"])
-            .select(
-                "dst",
-                F.round(F.col("r") * F.col("p") * 1e9).cast("long").alias("c9"),
+    # graphs with no dangling nodes (every node has an out-edge) skip
+    # the per-iteration scalar job entirely
+    has_dangling = bool(dangling.take(1))
+    try:
+        for it in range(iterations):
+            dang9 = (
+                _dangling_mass9(dangling, ranks, inv_n) if has_dangling else 0
             )
-            .groupBy("dst")
-            .agg(F.sum("c9").alias("in9"))
-        )
-        ranks = nodes.join(
-            contrib, nodes["node"] == contrib["dst"], "left"
-        ).select(
-            "node",
-            F.round(
-                F.lit(teleport)
-                + F.lit(d) * (F.coalesce(F.col("in9"), F.lit(0)) / 1e9),
-                9,
-            ).alias("r"),
-        )
-        # truncate lineage every 3rd round: per-round eager checkpoints
-        # only multiply the job count, but unbounded nesting blows up
-        # Catalyst analysis (round-6 lesson)
-        if it % 3 == 2 or it == iterations - 1:
-            ranks = ranks.localCheckpoint(eager=True)
-    return ranks.select("node", F.round(F.col("r"), 6).alias("rank"))
+            ranks = _dist_step(nodes, trans, ranks, dang9, d, teleport)
+            # truncate lineage every 3rd round — every round when the
+            # per-iteration dangling collect re-reads ranks anyway —
+            # per-round eager checkpoints only multiply the job count,
+            # but unbounded nesting blows up Catalyst analysis (the
+            # round-6 lesson)
+            if has_dangling or it % 3 == 2 or it == iterations - 1:
+                ranks = ranks.localCheckpoint(eager=True)
+        return ranks.select("node", F.round(F.col("r"), 6).alias("rank"))
+    finally:
+        # the final eager localCheckpoint severs the returned frame from
+        # these caches — release them (they otherwise leak for the
+        # session lifetime, the minhash_lsh_match lesson)
+        for cached in (nodes, trans, dangling):
+            cached.unpersist()

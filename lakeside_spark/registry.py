@@ -3322,7 +3322,8 @@ WITH tok AS (
   JOIN doclen l ON l.doc_id = t.doc_id
   CROSS JOIN stats s
 ), sc AS (
-  SELECT q_id, doc_id, ROUND(SUM(part), 6) AS score FROM parts
+  SELECT q_id, doc_id, ROUND(SUM(CAST(round(part * 1000000000.0::DOUBLE, 0) AS BIGINT))
+                     / 1000000000.0::DOUBLE, 6) AS score FROM parts
   GROUP BY q_id, doc_id
 ), ranked AS (
   SELECT q_id, doc_id, score,
@@ -3381,7 +3382,8 @@ WITH tok AS (
 ), lex AS (
   SELECT q_id, doc_id,
          ROW_NUMBER() OVER (PARTITION BY q_id
-                            ORDER BY ROUND(SUM(part), 6) DESC, doc_id)
+                            ORDER BY ROUND(SUM(CAST(round(part * 1000000000.0::DOUBLE, 0) AS BIGINT))
+                     / 1000000000.0::DOUBLE, 6) DESC, doc_id)
            AS r_lex
   FROM parts GROUP BY q_id, doc_id
   QUALIFY r_lex <= 20
@@ -3470,13 +3472,15 @@ WITH tok AS (
 ), bm_run AS (
   SELECT q_id, doc_id,
          ROW_NUMBER() OVER (PARTITION BY q_id
-                            ORDER BY ROUND(SUM(part), 6) DESC, doc_id) AS rank
+                            ORDER BY ROUND(SUM(CAST(round(part * 1000000000.0::DOUBLE, 0) AS BIGINT))
+                     / 1000000000.0::DOUBLE, 6) DESC, doc_id) AS rank
   FROM parts GROUP BY q_id, doc_id
   QUALIFY rank <= 10
 ), lex AS (
   SELECT q_id, doc_id,
          ROW_NUMBER() OVER (PARTITION BY q_id
-                            ORDER BY ROUND(SUM(part), 6) DESC, doc_id)
+                            ORDER BY ROUND(SUM(CAST(round(part * 1000000000.0::DOUBLE, 0) AS BIGINT))
+                     / 1000000000.0::DOUBLE, 6) DESC, doc_id)
            AS r_lex
   FROM parts GROUP BY q_id, doc_id
   QUALIFY r_lex <= 20
@@ -4589,18 +4593,19 @@ outw AS (SELECT src, sum(w) AS wsum FROM e GROUP BY src),
 trans AS (
   SELECT src, dst, w / wsum AS p FROM e JOIN outw USING (src)
   UNION ALL
-  SELECT d.node AS src, v.node AS dst, 1.0 / nn.n AS p
+  SELECT d.node AS src, v.node AS dst, 1.0::DOUBLE / nn.n AS p
   FROM nodes d, nodes v, nn
   WHERE d.node NOT IN (SELECT src FROM outw)
 ),
 rec AS (
   WITH RECURSIVE r AS (
-    SELECT node, round(1.0 / nn.n, 9) AS r, 0 AS i FROM nodes, nn
+    SELECT node, round(1.0::DOUBLE / nn.n, 9) AS r, 0 AS i FROM nodes, nn
     UNION ALL
     SELECT node, r, i FROM (
       SELECT nd.node,
-             round((1.0 - 0.85) / nn.n
-                   + 0.85 * (coalesce(agg.in9, 0) / 1000000000.0), 9) AS r,
+             round((1.0::DOUBLE - 0.85::DOUBLE) / nn.n
+                   + 0.85::DOUBLE
+                     * (coalesce(agg.in9, 0) / 1000000000.0::DOUBLE), 9) AS r,
              max(agg.i) OVER () + 1 AS i
       FROM nodes nd
       LEFT JOIN (

@@ -559,6 +559,24 @@ def test_bm25_strategies_agree(spark, sf_dir):
     )
 
 
+def test_bm25_gate_metadata_count(spark, sf_dir):
+    """The strategy gate's first call on a bare file-backed scan reads
+    parquet footers — zero Spark jobs — and agrees with count(); any
+    row-dropping plan (a filter) falls back to a real count."""
+    from lakeside_spark.operators.bm25 import _gate_count, _metadata_count
+    from lakeside_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    meta = _metadata_count(docs)
+    true = docs.count()
+    assert meta == true
+    assert _gate_count(docs) == true
+    # a filtered plan can drop rows: footers can't answer it
+    assert _metadata_count(docs.filter("doc_id >= 5")) is None
+    # LRU memo keyed by (applicationId, semanticHash): repeat hit
+    assert _gate_count(docs) == true
+
+
 def test_retrieval_eval_dense_anchor_and_bounds(spark, sf_dir):
     """retrieval_eval invariants on the driver tables: the dense system
     is scored against its own top-k truth set, so its recall/MRR/nDCG
@@ -1077,6 +1095,53 @@ def test_pagerank_closed_forms(spark):
     assert gz_l == gz_d and set(gz_l) == {"a", "b"}
 
 
+def test_pagerank_dangling_heavy_scalar_completion(spark):
+    # dangling-heavy graph (20 sinks, 4 sources): the distributed path
+    # must redistribute the sinks' mass as ONE scalar per iteration —
+    # never |dangling| x |nodes| explicit uniform edges — and still be
+    # bit-equal to the local explicit-edge pipeline.
+    from pyspark.sql import functions as F
+
+    from lakeside_spark.operators.graph import (
+        _dangling_mass9,
+        _dist_step,
+        pagerank,
+    )
+
+    edges = [("h%d" % i, "hub", 1) for i in range(3)] + [
+        ("hub", "d%d" % i, 1) for i in range(20)
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string, n long")
+    loc = {r["node"]: r["rank"] for r in pagerank(df, strategy="local").collect()}
+    dist = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, strategy="distributed").collect()
+    }
+    assert loc == dist and len(dist) == 24
+    assert abs(sum(dist.values()) - 1.0) < 1e-3
+
+    # plan shape: one iteration's frame contains no cartesian product /
+    # nested-loop join — the dangling completion is a broadcast HASH
+    # join of a single-row aggregate on a literal key
+    nodes = df.select(F.col("src").alias("node")).unionByName(
+        df.select(F.col("dst").alias("node"))
+    ).distinct()
+    outw = df.groupBy("src").agg(F.sum("n").alias("wsum"))
+    trans = df.join(outw, "src").select(
+        "src", "dst", (F.col("n") / F.col("wsum")).alias("p")
+    )
+    dangling = nodes.join(
+        outw.select(F.col("src").alias("node")), "node", "left_anti"
+    )
+    ranks = nodes.select("node", F.round(F.lit(1.0 / 24), 9).alias("r"))
+    dang9 = _dangling_mass9(dangling, ranks, 1.0 / 24)
+    assert dang9 > 0  # the 20 sinks carry real mass
+    step = _dist_step(nodes, trans, ranks, dang9, 0.85, 0.15 / 24)
+    plan = step._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_ts_gap_report_hand_computed(spark):
     from lakeside_spark.operators.fill import gap_report
 
@@ -1193,6 +1258,26 @@ def test_interval_concurrency_chunked_equals_naive(spark):
             for r in interval_concurrency(rdf, chunk_ms=chunk).collect()
         }
         assert chunked == naive, chunk
+
+
+def test_interval_concurrency_far_future_timestamp_bounded(spark):
+    # one corrupt far-future row used to materialize an astronomical
+    # explode(sequence(b0,b1)) chunk range and fail the whole query; the
+    # arithmetic empty-gap accounting keeps cost at active chunks only
+    from lakeside_spark.operators.behavior import interval_concurrency
+
+    rows = [
+        ("svc", 0, 10.0),
+        ("svc", 5, 10.0),
+        ("svc", 4_000_000_000_000_000, 7.0),  # ~year 128739
+    ]
+    df = spark.createDataFrame(
+        rows, "span_name string, timestamp_ms long, value double"
+    )
+    got = interval_concurrency(df, chunk_ms=100).collect()[0]
+    assert got["peak_concurrency"] == 2
+    assert got["busy_ms"] == 15 + 7  # [0,15) union + the lone far span
+    assert got["n_spans"] == 3
 
 
 def test_rfm_segments_planted(spark):
