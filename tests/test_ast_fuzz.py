@@ -1,0 +1,297 @@
+"""Property-based AST→plan compiler fuzz (SURVEY §5).
+
+The fixed registry keys pin hand-picked ASTs; this sweep generates
+hundreds of random filter trees, compute DAGs and formula expressions,
+compiles each BOTH ways — Spark DataFrame plan (ast/filters, ast/compute,
+engine) and DuckDB SQL (ast/sqlgen, the getChartSql twin) — and requires
+value-identical results, mirroring the reference's own JSON→SQL
+generation tests (core/src/test/.../ast) at property-test scale.
+
+Seeded RNG: every trial is reproducible; failures report the trial index
+and the generated AST/SQL so a mismatch can be committed as a fixed
+regression key.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from lakeside_spark import schema as S
+from lakeside_spark.ast import sqlgen
+from lakeside_spark.ast.model import (
+    BaseExpr,
+    BinaryClause,
+    ChartOptions,
+    Compute,
+    Filter,
+    FunctionCall,
+    Label,
+    Literal,
+    NotClause,
+)
+from lakeside_spark.engine import QueryEngine
+from lakeside_spark.registry import DAY, load_telemetry
+
+_T = (
+    "(SELECT epoch_ms(ts) AS timestamp_ms, event_type AS name, value, "
+    "props AS message, CAST(user_id AS VARCHAR) AS user_id, event_id "
+    "FROM events)"
+)
+_EXISTING = {"timestamp_ms", "name", "value", "message", "user_id", "event_id"}
+
+N_FILTER = 120
+N_COMPUTE = 50
+N_FORMULA = 50
+
+
+@pytest.fixture(scope="module")
+def ddb(sf_dir):
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'")
+    return con
+
+
+def _norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return f"{v:.9g}"
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    return v
+
+
+def _key_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
+
+
+def _assert_match(sdf, con, sql, ctx):
+    srows = [tuple(r) for r in sdf.collect()]
+    rel = con.sql(sql)
+    drows = rel.fetchall()
+    assert sorted(sdf.columns) == sorted(rel.columns), (
+        f"{ctx}\ncolumns: {sdf.columns} vs {rel.columns}"
+    )
+    assert len(srows) == len(drows), (
+        f"{ctx}\nrow counts: {len(srows)} vs {len(drows)}\nSQL: {sql}"
+    )
+    assert _key_rows(sdf.columns, srows) == _key_rows(rel.columns, drows), (
+        f"{ctx}\nvalues differ\nSQL: {sql}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# generators
+
+
+_NAMES = ["purchase", "click", "view", "signup", "error", "nosuch"]
+_USERS = [str(i) for i in range(0, 25)] + ["999"]
+_FRAGMENTS = ['"k"', "1", "2", ": 1", "k", '"k": 4']
+_REGEXES = ['"k": [0-9]+', "1[0-9]", "[0-9]+\\}$", "^\\{", "[02468]"]
+_THRESHOLDS = ["0", "5", "50", "100", "250", "499.5", "123.25"]
+
+
+def _leaf(rng: random.Random) -> Filter:
+    kind = rng.random()
+    if kind < 0.05:
+        # filter on a column that does not exist anywhere → FALSE
+        return Filter(k="no_such_tag", v=("x",), op=rng.choice((S.EQ, S.GT)))
+    if kind < 0.30:
+        col = rng.choice((S.NAME, "user_id"))
+        pool = _NAMES if col == S.NAME else _USERS
+        op = rng.choice((S.EQ, S.NOT_EQUALS, S.IN, S.NOT_IN, S.HAS))
+        if op in (S.IN, S.NOT_IN):
+            return Filter(k=col, v=tuple(rng.sample(pool, rng.randint(1, 3))), op=op)
+        if op == S.HAS:
+            return Filter(k=col, op=op)
+        return Filter(k=col, v=(rng.choice(pool),), op=op)
+    if kind < 0.55:
+        op = rng.choice((S.CONTAINS, S.REGEX, S.EXISTS, S.EQ))
+        if op == S.CONTAINS:
+            return Filter(k=S.MESSAGE, v=(rng.choice(_FRAGMENTS),), op=op)
+        if op == S.REGEX:
+            return Filter(k=S.MESSAGE, v=(rng.choice(_REGEXES),), op=op)
+        if op == S.EXISTS:
+            return Filter(k=S.MESSAGE, op=op)
+        return Filter(k=S.MESSAGE, v=('{"k": 7}',), op=op)
+    if kind < 0.93:
+        op = rng.choice((S.GT, S.GE, S.LT, S.LE))
+        return Filter(
+            k=S.VALUE, v=(rng.choice(_THRESHOLDS),), op=op,
+            data_type=S.NUMBER_TYPE,
+        )
+    # quantity-normalized range: both engines compare the SAME
+    # parse_quantity literal (duration → ns, datasize → bytes)
+    dt = rng.choice((S.DURATION_TYPE, S.DATA_SIZE_TYPE))
+    v = rng.choice(("5s", "2ms", "1m")) if dt == S.DURATION_TYPE else rng.choice(
+        ("1kb", "200b", "3mb")
+    )
+    return Filter(k=S.VALUE, v=(v,), op=rng.choice((S.GT, S.LE)), data_type=dt)
+
+
+def _clause(rng: random.Random, depth: int):
+    if depth <= 0 or rng.random() < 0.35:
+        return _leaf(rng)
+    if rng.random() < 0.25:
+        return NotClause(_clause(rng, depth - 1))
+    return BinaryClause(
+        _clause(rng, depth - 1), _clause(rng, depth - 1),
+        rng.choice(("and", "or")),
+    )
+
+
+def _numeric_dag(rng: random.Random, depth: int):
+    if depth <= 0 or rng.random() < 0.30:
+        if rng.random() < 0.5:
+            return Label(S.VALUE, S.NUMBER_TYPE)
+        return Literal(rng.randint(1, 9), S.NUMBER_TYPE)
+    name = rng.choice(("mul", "add", "sub", "div", "strpos"))
+    if name in ("mul", "add"):
+        return FunctionCall(
+            name,
+            tuple(_numeric_dag(rng, depth - 1) for _ in range(rng.randint(2, 3))),
+        )
+    if name == "sub":
+        return FunctionCall(
+            "sub", (_numeric_dag(rng, depth - 1), _numeric_dag(rng, depth - 1))
+        )
+    if name == "div":
+        # literal non-zero denominator: compute-DAG division semantics
+        # are IEEE in both engines, but a data-dependent zero denominator
+        # belongs to the FORMULA engine's missing-row contract, not here
+        return FunctionCall(
+            "div", (_numeric_dag(rng, depth - 1), Literal(rng.randint(2, 9), S.NUMBER_TYPE))
+        )
+    return FunctionCall(
+        "strpos",
+        (Literal(rng.choice(("7", "1", "k", '"')), S.STRING_TYPE),
+         _string_dag(rng, depth - 1)),
+    )
+
+
+def _string_dag(rng: random.Random, depth: int):
+    if depth <= 0 or rng.random() < 0.5:
+        return rng.choice(
+            (Label(S.MESSAGE), Label(S.NAME), Literal("x7", S.STRING_TYPE))
+        )
+    return FunctionCall(
+        "concat",
+        tuple(_string_dag(rng, depth - 1) for _ in range(rng.randint(2, 3))),
+    )
+
+
+def _formula_str(rng: random.Random, depth: int) -> str:
+    if depth <= 0 or rng.random() < 0.40:
+        return rng.choice(("a", "b", "2", "100", "0", "0.5"))
+    op = rng.choice("+-*/")
+    left = _formula_str(rng, depth - 1)
+    right = _formula_str(rng, depth - 1)
+    if op == "/" and not any(c.isalpha() for c in left + right):
+        right = "a"  # const/const division: keep a series in the tree
+    return f"({left} {op} {right})"
+
+
+# ---------------------------------------------------------------------------
+# the three sweeps
+
+
+def test_fuzz_filter_trees(spark, sf_dir, ddb):
+    """Random eq/in/contains/regex/range/has trees nested under
+    and/or/not to depth 4, run as exemplars AND as chart aggregations."""
+    rng = random.Random(1083)
+    tele = load_telemetry(spark, sf_dir)
+    eng = QueryEngine(spark, step_ms=DAY)
+    for i in range(N_FILTER):
+        clause = _clause(rng, 4)
+        if i % 2 == 0:
+            expr = BaseExpr(
+                filter=clause, limit=rng.choice((50, 200, 1000)),
+                order=rng.choice(("DESC", "ASC")),
+            )
+            sdf = eng.run(expr, tele)
+            sql = sqlgen.exemplar_sql(expr, _T, _EXISTING)
+        else:
+            expr = BaseExpr(
+                filter=clause,
+                chart=ChartOptions(
+                    aggregation=rng.choice(
+                        ("count", "sum", "avg", "min", "max", "p50", "p95")
+                    ),
+                    group_bys=rng.choice(((), ("user_id",))),
+                    chart_type=rng.choice(("count", "count", "rate")),
+                ),
+            )
+            sdf = eng.run(expr, tele).withColumn(
+                S.VALUE, F.round(F.col(S.VALUE), 6)
+            )
+            sql = sqlgen.chart_sql(expr, _T, DAY, _EXISTING)
+        _assert_match(sdf, ddb, sql, f"filter trial {i}: {expr.filter}")
+
+
+def test_fuzz_compute_dags(spark, sf_dir, ddb):
+    """Random mul/div/add/sub/concat/strpos DAGs as the computed chart
+    field, with the per-label IS NOT NULL guards both engines share."""
+    rng = random.Random(2083)
+    tele = load_telemetry(spark, sf_dir)
+    eng = QueryEngine(spark, step_ms=DAY)
+    for i in range(N_COMPUTE):
+        fc = _numeric_dag(rng, 3)
+        if isinstance(fc, (Label, Literal)):  # degenerate roll: wrap it
+            fc = FunctionCall("add", (fc, Literal(1, S.NUMBER_TYPE)))
+        expr = BaseExpr(
+            filter=Filter(k="score", op=S.EXISTS, computed=True),
+            compute=Compute(label_name="score", function_call=fc),
+            chart=ChartOptions(
+                aggregation=rng.choice(("avg", "sum", "min", "max")),
+                field_name="score",
+                field_type=S.NUMBER_TYPE,
+            ),
+        )
+        sdf = eng.run(expr, tele).withColumn(S.VALUE, F.round(F.col(S.VALUE), 6))
+        sql = sqlgen.chart_sql(expr, _T, DAY, _EXISTING)
+        _assert_match(sdf, ddb, sql, f"compute trial {i}: {fc}")
+
+
+def test_fuzz_formula_expressions(spark, sf_dir, ddb):
+    """Random formulae over two chart branches, including zero
+    denominators (missing-row semantics) and constant folding."""
+    rng = random.Random(3083)
+    tele = load_telemetry(spark, sf_dir)
+    eng = QueryEngine(spark, step_ms=DAY)
+    from lakeside_spark.ast.formula import formula_labels, parse_formula
+
+    for i in range(N_FORMULA):
+        branches = {}
+        branch_sql = {}
+        for label in ("a", "b"):
+            clause = _clause(rng, 2)
+            agg = rng.choice(("count", "count", "sum"))
+            branches[label] = BaseExpr(
+                filter=clause, chart=ChartOptions(aggregation=agg)
+            )
+            w = sqlgen.clause_to_sql(clause, _EXISTING)
+            fn = "COUNT" if agg == "count" else "SUM"
+            # run_graph's formula input is the per-step global sum of the
+            # chart series — for count/sum branches that equals the
+            # direct per-step aggregate
+            branch_sql[label] = (
+                f"SELECT timestamp_ms - timestamp_ms % {DAY} AS step_ts, "
+                f"CAST({fn}(value) AS DOUBLE) AS value FROM {_T} "
+                f"WHERE {w} GROUP BY 1"
+            )
+        while True:
+            fstr = _formula_str(rng, 3)
+            if any(c in fstr for c in "ab"):
+                break
+        out = eng.run_graph(branches, [fstr], tele)[fstr].withColumn(
+            S.VALUE, F.round(F.col(S.VALUE), 6)
+        )
+        sql = sqlgen.formula_sql(parse_formula(fstr), branch_sql)
+        assert formula_labels(parse_formula(fstr)) <= {"a", "b"}
+        _assert_match(out, ddb, sql, f"formula trial {i}: {fstr}")
