@@ -2683,13 +2683,78 @@ FROM ranked WHERE rank <= 10 GROUP BY 1, 2
 
 
 def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """rows-only: multi-table multi-probe hyperplane-LSH ANN (the 100 TB
+    """Multi-table multi-probe hyperplane-LSH ANN (the 100 TB
     fan-out-bounded path; 4 tables × 1-bit probing, ~0.4 recall@5 on the
-    isotropic panel vs 0.03 for round-5's single exact-bucket table)."""
+    isotropic panel vs 0.03 for round-5's single exact-bucket table).
+    Oracle-exact since round 8: the hyperplanes are a pure function of
+    md5("{salt}:{p}:{i}") parity, so the DuckDB twin re-derives the
+    identical ±1 planes, replays bucket signs / 1-bit probes as string
+    surgery, and scores the same candidate set with exact cosine —
+    recall floors vs the exact baseline stay pytest-pinned."""
     from lakeside_spark.operators.similarity import ann_lsh as _ann_lsh
 
     emb = load_table(spark, sf_dir, "embeddings")
     return _ann_lsh(emb, emb.filter(F.col("vec_id") < 5), k=5, num_planes=4)
+
+
+# Twin oracle: the planes/buckets replay the engine's md5 definition
+# (operators/similarity._hyperplane_matrix — salt 0 hashes "p:i", salted
+# tables "{t}:{p}:{i}"); candidate generation (bucket equality in ANY
+# table, query side probing every 1-bit flip) and the exact-cosine
+# rerank are independent SQL spellings. Bucket-bit sign flips would need
+# a dot product within ~1 ulp of zero — not a realizable input here.
+ANN_LSH_SQL = """
+WITH planes AS (
+  SELECT tt.t, pp.p, ii.i,
+         CASE WHEN CAST('0x' || substr(md5(CASE WHEN tt.t = 0
+                      THEN pp.p || ':' || ii.i
+                      ELSE tt.t || ':' || pp.p || ':' || ii.i END), 1, 4)
+                   AS BIGINT) % 2 = 0
+              THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END AS c
+  FROM range(4) tt(t), range(4) pp(p), range(64) ii(i)
+), dims AS (
+  SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+), bits AS (
+  SELECT d.vec_id, pl.t, pl.p, (SUM(d.x * pl.c) > 0) AS bit
+  FROM dims d JOIN planes pl ON pl.i = d.i
+  GROUP BY 1, 2, 3
+), sigs AS (
+  SELECT vec_id, t,
+         string_agg(CASE WHEN bit THEN '1' ELSE '0' END, '' ORDER BY p) AS sig
+  FROM bits GROUP BY 1, 2
+), cbuck AS (
+  SELECT vec_id AS n_id, 't' || t || ':' || sig AS bucket FROM sigs
+), qprobe AS (
+  SELECT s.vec_id AS q_id,
+         't' || s.t || ':' ||
+         CASE WHEN ff.fl < 0 THEN s.sig
+              ELSE substr(s.sig, 1, ff.fl)
+                   || (CASE WHEN substr(s.sig, ff.fl + 1, 1) = '1'
+                            THEN '0' ELSE '1' END)
+                   || substr(s.sig, ff.fl + 2) END AS bucket
+  FROM sigs s, range(-1, 4) ff(fl)
+  WHERE s.vec_id < 5
+), cand AS (
+  SELECT DISTINCT q.q_id, c.n_id
+  FROM qprobe q JOIN cbuck c USING (bucket)
+  WHERE q.q_id <> c.n_id
+), scored AS (
+  SELECT cd.q_id, cd.n_id,
+         list_cosine_similarity(q.embedding::DOUBLE[],
+                                c.embedding::DOUBLE[]) AS cos
+  FROM cand cd
+  JOIN embeddings q ON q.vec_id = cd.q_id
+  JOIN embeddings c ON c.vec_id = cd.n_id
+), ranked AS (
+  SELECT q_id, n_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+  FROM scored
+)
+SELECT q_id, n_id, ROUND(cos, 6) AS cos, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+"""
 
 
 def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4028,15 +4093,135 @@ GROUP BY doc_id
 
 
 def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """rows-only: REAL byte-pair encoding — merges trained on the corpus
-    vocabulary (deterministic tie-breaks), then applied per doc in an
-    Arrow kernel. Iterative training is not SQL-expressible, so no
-    oracle; invariants (reconstruction, determinism) are pytest-gated."""
+    """REAL byte-pair encoding — merges trained on the corpus vocabulary
+    (deterministic tie-breaks), then applied per doc in an Arrow kernel.
+    Oracle-exact since round 8: the merge sequence is a pure function of
+    the vocabulary, so the DuckDB twin REPLAYS the whole tokenizer as
+    two recursive CTEs — training as iterated best-pair selection +
+    merge application over the symbolized vocab (pair argmax via window,
+    the merge applied with non-overlapping leftmost string replacement
+    on a double-space token encoding), encoding as the per-word
+    lowest-rank/leftmost merge loop — and reproduces the per-doc
+    word/token counts bit-for-bit. Reconstruction/determinism invariants
+    stay pytest-gated."""
     from lakeside_spark.operators.bpe import bpe_encode, bpe_train
 
     docs = load_table(spark, sf_dir, "documents")
     merges = bpe_train(docs, num_merges=200)
     return bpe_encode(docs, merges).select("doc_id", "n_words", "n_tokens")
+
+
+# Twin oracle replaying operators/bpe.py step for step. Representation:
+# a word's symbol sequence is ' tok1  tok2  ... ' — each token flanked
+# by ONE space, TWO spaces between tokens — so replacing
+# ' a  b ' -> ' ab ' merges exactly the non-overlapping leftmost (a,b)
+# occurrences the Python training loop merges (each match consumes one
+# flank from each side, leaving one for the neighbor). Training carries
+# the accumulated merge list as a newline-joined column; encoding
+# re-runs the lowest-rank/leftmost single-merge loop per vocab word.
+TEXT_BPE_TOKENS_SQL = f"""
+WITH RECURSIVE vocab AS (
+  SELECT u.w AS w, COUNT(*) AS cnt FROM (
+    SELECT unnest(list_filter(string_split({_NORM}, ' '), x -> x <> '')) AS w
+    FROM documents
+  ) u GROUP BY 1
+), train AS (
+  SELECT ' ' || array_to_string(
+           list_concat(regexp_extract_all(w, '.'), ['</w>']), '  ') || ' '
+           AS sym,
+         cnt, '' AS merges, 0 AS i
+  FROM vocab v
+  UNION ALL
+  SELECT new_sym AS sym, SUM(cnt) AS cnt, new_merges AS merges, ni AS i
+  FROM (
+    SELECT
+      CASE WHEN rn_sym = 1 THEN
+        replace(sym, ' ' || best_pa || '  ' || best_pb || ' ',
+                     ' ' || best_pa || best_pb || ' ')
+      END AS new_sym,
+      cnt,
+      merges || best_pa || ' ' || best_pb || chr(10) AS new_merges,
+      i + 1 AS ni, rn_sym, best_tot
+    FROM (
+      SELECT sym, cnt, merges, i, pa, pb, tot,
+             first_value(pa) OVER w AS best_pa,
+             first_value(pb) OVER w AS best_pb,
+             first_value(tot) OVER w AS best_tot,
+             row_number() OVER (PARTITION BY sym ORDER BY pa NULLS LAST, pb)
+               AS rn_sym
+      FROM (
+        SELECT sym, cnt, merges, i,
+               split_part(pr, ' ', 1) AS pa, split_part(pr, ' ', 2) AS pb,
+               SUM(CASE WHEN pr IS NOT NULL THEN cnt END)
+                 OVER (PARTITION BY pr) AS tot
+        FROM (
+          SELECT sym, cnt, merges, i,
+                 unnest(list_concat(
+                   list_transform(range(1, len(l)),
+                                  j -> l[j] || ' ' || l[j + 1]),
+                   [CAST(NULL AS VARCHAR)])) AS pr
+          FROM (SELECT sym, cnt, merges, i,
+                       string_split(trim(sym), '  ') AS l
+                FROM train WHERE i < 200) b
+        ) p
+      ) q
+      WINDOW w AS (ORDER BY tot DESC NULLS LAST, pa, pb)
+    ) r
+    WHERE best_tot >= 2 AND rn_sym = 1
+  ) s
+  GROUP BY new_sym, new_merges, ni
+), mtab AS (
+  SELECT split_part(ln, ' ', 1) AS a, split_part(ln, ' ', 2) AS b,
+         CAST(row_number() OVER () - 1 AS BIGINT) AS rnk
+  FROM (
+    SELECT unnest(list_filter(
+             string_split((SELECT merges FROM train ORDER BY i DESC LIMIT 1),
+                          chr(10)), x -> x <> '')) AS ln
+  )
+), enc AS (
+  SELECT w, list_concat(regexp_extract_all(w, '.'), ['</w>']) AS l,
+         0 AS j
+  FROM vocab
+  UNION ALL
+  SELECT w,
+         list_concat(
+           CASE WHEN pos > 1 THEN l[1:pos - 1] ELSE [] END,
+           list_concat([l[pos] || l[pos + 1]],
+                       CASE WHEN pos + 2 <= len(l) THEN l[pos + 2:len(l)]
+                            ELSE [] END)
+         ) AS l,
+         j + 1 AS j
+  FROM (
+    SELECT w, l, j, pos, rnk,
+           row_number() OVER (PARTITION BY w ORDER BY rnk, pos) AS rn
+    FROM (
+      SELECT u.w, u.l, u.j, u.pos, m.rnk
+      FROM (
+        SELECT w, l, j, unnest(range(1, len(l))) AS pos
+        FROM enc WHERE j < 200
+      ) u
+      JOIN mtab m ON m.a = u.l[u.pos] AND m.b = u.l[u.pos + 1]
+    ) c
+  ) d
+  WHERE rn = 1
+), wtok AS (
+  SELECT w, CAST(len(l) AS BIGINT) AS wtok
+  FROM (SELECT w, l, row_number() OVER (PARTITION BY w ORDER BY j DESC) AS rr
+        FROM enc)
+  WHERE rr = 1
+), docw AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split({_NORM}, ' '), x -> x <> '')) AS w
+  FROM documents
+), agg AS (
+  SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+         CAST(SUM(t.wtok) AS BIGINT) AS n_tokens
+  FROM docw d JOIN wtok t USING (w) GROUP BY 1
+)
+SELECT doc_id, CAST(COALESCE(n_words, 0) AS BIGINT) AS n_words,
+       CAST(COALESCE(n_tokens, 0) AS BIGINT) AS n_tokens
+FROM documents LEFT JOIN agg USING (doc_id)
+"""
 
 
 def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6070,15 +6255,67 @@ FROM lin WHERE t = n
 
 
 def ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """rows-only: scalar-quantization ANN (FAISS SQ8) — byte codes per
-    dimension against sample-learned per-dim min/max, dequantized BLAS
-    scoring, 8× compression at near-exact recall (recall-vs-exact
-    pytest-pinned; the middle point between exact cosine_topk and PQ's
-    32×)."""
+    """Scalar-quantization ANN (FAISS SQ8) — byte codes per dimension
+    against sample-learned per-dim min/max, dequantized BLAS scoring,
+    8× compression at near-exact recall (recall-vs-exact pytest-pinned;
+    the middle point between exact cosine_topk and PQ's 32×).
+    Oracle-exact since round 8: the quantizer is MIN/MAX over unit
+    vectors and encode/dequantize/score are pure arithmetic, so the
+    DuckDB twin replays the whole pipeline. Validity condition: the
+    train sample (limit 10000) covers the corpus at every test SF, so
+    the learned bounds ARE the global per-dim bounds the SQL computes —
+    at a larger corpus the quantizer becomes sample-dependent again and
+    the key reverts to its recall contract."""
     from lakeside_spark.operators.similarity import ann_sq8 as _sq8
 
     emb = load_table(spark, sf_dir, "embeddings")
     return _sq8(emb, emb.filter(F.col("vec_id") < 5), k=5)
+
+
+# Twin oracle: unit-normalize, per-dim MIN/[MAX-MIN] quantizer, byte
+# codes round((u-lo)/sp*255) clamped to [0,255], dequantized dot scored
+# against the unit queries — operators/similarity.ann_sq8 step for step.
+# np.rint is half-even vs SQL round half-away: they differ only on exact
+# .5 products, which unit-normalized doubles do not land on.
+ANN_SQ8_SQL = """
+WITH dims AS (
+  SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+), norms AS (
+  SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM dims GROUP BY 1
+), unitd AS (
+  SELECT d.vec_id, d.i,
+         d.x / (CASE WHEN n.nrm = 0 THEN 1.0::DOUBLE ELSE n.nrm END) AS u
+  FROM dims d JOIN norms n USING (vec_id)
+), quant AS (
+  SELECT i, MIN(u) AS lo,
+         CASE WHEN MAX(u) - MIN(u) = 0 THEN 1.0::DOUBLE
+              ELSE MAX(u) - MIN(u) END AS sp
+  FROM unitd GROUP BY 1
+), deq AS (
+  SELECT c.vec_id, c.i, q.lo + c.code / 255.0::DOUBLE * q.sp AS v
+  FROM (
+    SELECT ud.vec_id, ud.i,
+           LEAST(255, GREATEST(0,
+             CAST(round((ud.u - q0.lo) / q0.sp * 255.0::DOUBLE, 0) AS INT)
+           )) AS code
+    FROM unitd ud JOIN quant q0 USING (i)
+  ) c JOIN quant q USING (i)
+), scored AS (
+  SELECT qu.vec_id AS q_id, d.vec_id AS n_id, SUM(qu.u * d.v) AS cos_sq
+  FROM unitd qu JOIN deq d ON d.i = qu.i AND d.vec_id <> qu.vec_id
+  WHERE qu.vec_id < 5
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT q_id, n_id, cos_sq,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY cos_sq DESC, n_id) AS rank
+  FROM scored
+)
+SELECT q_id, n_id, ROUND(cos_sq, 6) AS cos_sq, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+"""
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -6316,8 +6553,9 @@ ORACLES: dict[str, str] = {
     "ts_week_over_week": TS_WEEK_OVER_WEEK_SQL,
     "embedding_label_outliers": EMBEDDING_LABEL_OUTLIERS_SQL,
     "corpus_curate": CORPUS_CURATE_SQL,
-    # dedup_simhash, ann_lsh, ema_smooth: genuinely non-SQL-expressible /
-    # approximate — rows-only check by design
+    "ann_lsh": ANN_LSH_SQL,
+    "ann_sq8": ANN_SQ8_SQL,
+    "text_bpe_tokens": TEXT_BPE_TOKENS_SQL,
     "ts_count": TS_COUNT_SQL,
     "ema_smooth": EMA_SMOOTH_SQL,
     "ts_holt_winters": TS_HOLT_WINTERS_SQL,
