@@ -60,6 +60,51 @@ def _doc_grams(docs: DataFrame, n: int, text_col: str, id_col: str) -> DataFrame
     return src.mapInPandas(kernel, schema="doc_id long, gram string")
 
 
+# Overlap-table cache: decontam_overlap (the screen) and corpus_decontam
+# (the filter pass) over the same corpus/eval tables share ONE gram
+# kernel + broadcast join instead of rebuilding both sides. The cached
+# value is a PERSISTED hits frame (contamination-rate-sized, never the
+# corpus); ≤2 slots with unpersist-on-eviction so nothing leaks for the
+# session lifetime. 32-bit semanticHash keys are verified with
+# plan.sameResult before serving (the span-cache collision rule).
+_OVERLAP_CACHE: dict = {}
+_OVERLAP_CACHE_SLOTS = 2
+
+
+def _overlap_hits(
+    corpus: DataFrame,
+    eval_docs: DataFrame,
+    n: int,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """(doc_id, gram) matched pairs: corpus grams ⋈ broadcast eval grams,
+    memoized per (application, corpus plan, eval plan, n)."""
+    try:
+        ac = corpus._jdf.queryExecution().analyzed()
+        ae = eval_docs._jdf.queryExecution().analyzed()
+        key = (
+            corpus.sparkSession.sparkContext.applicationId,
+            ac.semanticHash(), ae.semanticHash(), n, text_col, id_col,
+        )
+    except Exception:
+        ac = ae = key = None
+    if key is not None:
+        hit = _OVERLAP_CACHE.get(key)
+        if hit is not None and hit[0].sameResult(ac) and hit[1].sameResult(ae):
+            return hit[2]
+    eval_grams = _doc_grams(eval_docs, n, text_col, id_col).select("gram").distinct()
+    corpus_grams = _doc_grams(corpus, n, text_col, id_col)
+    hits = corpus_grams.join(F.broadcast(eval_grams), "gram")
+    if key is not None:
+        hits = hits.persist()
+        while len(_OVERLAP_CACHE) >= _OVERLAP_CACHE_SLOTS:
+            _, old = _OVERLAP_CACHE.popitem()
+            old[2].unpersist()
+        _OVERLAP_CACHE[key] = (ac, ae, hits)
+    return hits
+
+
 def ngram_overlap(
     corpus: DataFrame,
     eval_docs: DataFrame,
@@ -72,9 +117,7 @@ def ngram_overlap(
     Returns (doc_id, n_overlap_grams, first_gram) — first_gram (the
     lexicographic minimum) pins a human-checkable witness per hit.
     """
-    eval_grams = _doc_grams(eval_docs, n, text_col, id_col).select("gram").distinct()
-    corpus_grams = _doc_grams(corpus, n, text_col, id_col)
-    hits = corpus_grams.join(F.broadcast(eval_grams), "gram")
+    hits = _overlap_hits(corpus, eval_docs, n, text_col, id_col)
     return hits.groupBy("doc_id").agg(
         F.count("*").alias("n_overlap_grams"),
         F.min("gram").alias("first_gram"),
@@ -90,7 +133,7 @@ def decontaminate(
 ) -> DataFrame:
     """The filter pass: corpus minus eval docs minus any doc overlapping
     the eval set — a broadcast anti-join, no wide shuffle of doc bodies."""
-    dirty = ngram_overlap(corpus, eval_docs, n, text_col, id_col).select(
+    dirty = _overlap_hits(corpus, eval_docs, n, text_col, id_col).select(
         F.col("doc_id").alias("_dirty_id")
     )
     eval_ids = eval_docs.select(F.col(id_col).alias("_dirty_id"))

@@ -2155,7 +2155,13 @@ def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(
-            ps_named,
+            # explicit hint: the derived-ps side is name-filtered part × 4
+            # suppliers — dim-derived and broadcastable at any SF — but
+            # Catalyst can't estimate the derivation's size and was
+            # measured broadcasting the LINEITEM side instead (fine at
+            # local SFs where the whole fact fits the 10 MB threshold,
+            # exactly wrong at scale)
+            F.broadcast(ps_named),
             (F.col("l_partkey") == F.col("ps_partkey"))
             & (F.col("l_suppkey") == F.col("ps_suppkey")),
         )
@@ -4390,6 +4396,142 @@ SELECT step_ts, name, value, ROUND(ema, 6) AS ema FROM ema
 """
 
 
+def _replay_micro_batches(
+    spark: SparkSession, df: DataFrame, ts_col: str, n_batches: int = 3
+) -> str:
+    """Write ``df`` as ``n_batches`` time-sliced parquet directories under
+    a temp dir — a deterministic recorded micro-batch sequence. Slices
+    are contiguous time ranges (so a keyed stateful fold sees every key's
+    rows in event-time order across batches) and each slice directory's
+    files get strictly increasing mtimes so the file stream source
+    triggers them in order regardless of write latency."""
+    import os
+    import tempfile
+    import time
+
+    bounds = df.agg(
+        F.min(ts_col).alias("lo"), F.max(ts_col).alias("hi")
+    ).collect()[0]
+    lo, hi = bounds["lo"], bounds["hi"]
+    src = tempfile.mkdtemp(prefix="lakeside_replay_")
+    if lo is None:
+        df.limit(0).coalesce(1).write.mode("overwrite").parquet(f"{src}/b0")
+        return src
+    span = max(int(hi) - int(lo) + 1, n_batches)
+    base = time.time()
+    for k in range(n_batches):
+        b_lo = int(lo) + span * k // n_batches
+        b_hi = int(lo) + span * (k + 1) // n_batches
+        part = df.filter((F.col(ts_col) >= b_lo) & (F.col(ts_col) < b_hi))
+        part.coalesce(1).write.mode("overwrite").parquet(f"{src}/b{k}")
+        for root, _dirs, files in os.walk(f"{src}/b{k}"):
+            for fname in files:
+                os.utime(os.path.join(root, fname), (base + k, base + k))
+    return src
+
+
+def _run_replay(spark: SparkSession, src: str, schema: str, twin) -> DataFrame:
+    """Drive a stateful streaming twin over the recorded micro-batches
+    (one file per trigger = one micro-batch) into a memory sink and
+    return the sink table — the hash-checkable final artifact. The sink
+    holds materialized rows, so the temp source dir is deleted before
+    returning."""
+    import shutil
+    import uuid
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    qname = f"replay_{uuid.uuid4().hex[:10]}"
+    q = (
+        twin(stream)
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        shutil.rmtree(src, ignore_errors=True)
+    return spark.table(qname)
+
+
+def streaming_replay_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The driver-visible streaming artifact (SURVEY §G was previously
+    pytest-only): REPLAY the event stream as three recorded time-ordered
+    micro-batches through the applyInPandasWithState funnel twin
+    (streaming/stateful.streaming_funnel — per-user state is two
+    scalars, carried across micro-batch boundaries by the state store),
+    then aggregate the emitted step completions to per-step user counts.
+    Oracle: the batch cascading-window funnel SQL over the same rows —
+    on a watermark-ordered replay the greedy stateful fold is exactly
+    the batch semantics, so the final state table hash-matches."""
+    from lakeside_spark.streaming.stateful import streaming_funnel
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        F.col("event_type").alias("name"),
+    ).filter(
+        F.col("user_id").isNotNull()
+        & F.col("name").isin("view", "click", "purchase")
+    )
+    src = _replay_micro_batches(spark, ev, "ts_ms")
+    out = _run_replay(
+        spark,
+        src,
+        "user_id long, ts_ms long, name string",
+        lambda s: streaming_funnel(
+            s, steps=["view", "click", "purchase"],
+            window_ms=_FUNNEL_WINDOW_MS,
+        ),
+    )
+    steps_df = spark.createDataFrame(
+        [(1, "view"), (2, "click"), (3, "purchase")],
+        "step bigint, step_name string",
+    )
+    counts = out.groupBy("step").agg(F.count("*").alias("n"))
+    return steps_df.join(counts, "step", "left").select(
+        "step",
+        "step_name",
+        F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("users"),
+    )
+
+
+def streaming_replay_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming EMA replay: the daily per-name count series recorded as
+    three time-ordered micro-batches, smoothed by the stateful EMA twin
+    (streaming/stateful.streaming_ema — state is ONE scalar per series
+    in the state store, so the recursion crosses micro-batch boundaries
+    exactly). Every smoothed row is emitted in append mode; oracle: the
+    same recursive-CTE EMA the batch ema_smooth key checks against —
+    streaming and batch provably compute the identical recurrence."""
+    from lakeside_spark.streaming.stateful import streaming_ema
+
+    expr = BaseExpr(
+        filter=Filter(k=S.NAME, op=S.EXISTS),
+        chart=ChartOptions(aggregation="count"),
+    )
+    series = QueryEngine(spark, step_ms=DAY).run(
+        expr, load_telemetry(spark, sf_dir)
+    )
+    src = _replay_micro_batches(spark, series.select("name", "step_ts", "value"), "step_ts")
+    out = _run_replay(
+        spark,
+        src,
+        "name string, step_ts long, value double",
+        lambda s: streaming_ema(s, alpha=0.3),
+    )
+    return out.select(
+        "step_ts", "name", "value", F.round("ema", 6).alias("ema")
+    )
+
+
 def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Each purchase event joined as-of to the user's most recent click
     (operators/asof.py — union+window composition, one keyed shuffle;
@@ -6337,6 +6479,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #         (ts_cardinality, query_cardinality, metrics_rollup, ts_rate
     #         and ts_forecast sit just past the fold to make room — all
     #         hold r4 driver rows).
+    # --- round-8 additions, never driver-judged
+    "streaming_replay_funnel": streaming_replay_funnel,
+    "streaming_replay_ema": streaming_replay_ema,
     # --- never-driver-executed rows-only keys (1-12)
     "ema_smooth": ema_smooth_series,
     "ts_cardinality_sketch": ts_cardinality_sketch,
@@ -6556,6 +6701,10 @@ ORACLES: dict[str, str] = {
     "ann_lsh": ANN_LSH_SQL,
     "ann_sq8": ANN_SQ8_SQL,
     "text_bpe_tokens": TEXT_BPE_TOKENS_SQL,
+    # streaming replays converge on the batch semantics by design:
+    # the oracle IS the batch SQL over the same rows
+    "streaming_replay_funnel": FUNNEL_CONVERSION_SQL,
+    "streaming_replay_ema": EMA_SMOOTH_SQL,
     "ts_count": TS_COUNT_SQL,
     "ema_smooth": EMA_SMOOTH_SQL,
     "ts_holt_winters": TS_HOLT_WINTERS_SQL,
