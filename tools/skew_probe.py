@@ -66,5 +66,85 @@ def main() -> int:
     return 0
 
 
+def behavior_skew(src: str) -> int:
+    """Hot-key skew probe for event_attribution and trace_concurrency:
+    95% of events collapsed onto ONE user (the power-user worst case for
+    the user-keyed range join) / ONE span name (the hot-service worst
+    case for the chunked sweep's (service, day) windows). Times the
+    uniform vs skewed shape on the same row count.
+
+    Usage: python tools/skew_probe.py --behavior [sf_dir]
+    """
+    from pyspark.sql import functions as F
+
+    from lakeside_spark.operators.behavior import (
+        attribution,
+        interval_concurrency,
+    )
+    from lakeside_spark.session import get_spark
+    from lakeside_spark.sources.tables import load_table
+
+    spark = get_spark("behavior-skew-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    ev = (
+        load_table(spark, src, "events")
+        .select(
+            "event_id",
+            F.unix_millis("ts").alias("timestamp_ms"),
+            "user_id",
+            F.col("event_type").alias("name"),
+            "value",
+        )
+        .persist()
+    )
+    n = ev.count()
+    hot_user = ev.withColumn(
+        "user_id",
+        F.when(F.pmod(F.col("event_id"), 100) < 95, F.lit(1)).otherwise(
+            F.col("user_id")
+        ),
+    )
+    hot_span = ev.withColumn(
+        "name",
+        F.when(F.pmod(F.col("event_id"), 100) < 95, F.lit("hotsvc")).otherwise(
+            F.col("name")
+        ),
+    )
+    # a hot span name alone doesn't stress attribution (it keys on user),
+    # and a hot user doesn't stress concurrency (it keys on span name) —
+    # probe each operator under ITS hot key
+    for label, frame, op in (
+        ("uniform", ev, "attribution"),
+        ("hot-user 95%", hot_user, "attribution"),
+        ("uniform", ev, "concurrency"),
+        ("hot-span 95%", hot_span, "concurrency"),
+    ):
+        t0 = time.time()
+        if op == "attribution":
+            # 1h lookback: a 95%-hot user with the default 7-day window is
+            # SEMANTICALLY quadratic (every conversion × every in-window
+            # touch is real output the linear model must credit) — the
+            # probe isolates reducer skew, not that fan-out; the fan-out
+            # mitigation is a touch cap, measured/discussed in SURVEY §6
+            cnt = attribution(frame, lookback_ms=3_600_000).count()
+        else:
+            cnt = interval_concurrency(
+                frame, key_col="name", ts_col="timestamp_ms", dur_col="value"
+            ).count()
+        print(
+            f"{op:12s} {label:14s} {time.time() - t0:6.2f}s"
+            f" ({cnt} rows, {n} events)",
+            flush=True,
+        )
+    return 0
+
+
 if __name__ == "__main__":
+    if "--behavior" in sys.argv:
+        args = [a for a in sys.argv[1:] if not a.startswith("--")]
+        sys.path.insert(0, ".")
+        raise SystemExit(
+            behavior_skew(args[0] if args else "/root/testdata/sf0.1")
+        )
     raise SystemExit(main())
