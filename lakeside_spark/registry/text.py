@@ -1876,3 +1876,56 @@ def text_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakeside_spark.operators.textstats import compression_ratio
 
     return compression_ratio(load_table(spark, sf_dir, "documents"))
+
+
+def text_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing local-match detection (Schleimer et al. 2003 — the MOSS
+    fingerprinting algorithm; operators/winnow.py): char-8-gram md5
+    hashes winnowed by a 4-window rightmost-min selection, document
+    pairs ranked by shared fingerprints (≥2), boilerplate prints with
+    document frequency >64 dropped before pairing. The LOCAL complement
+    to MinHash/SimHash whole-doc similarity: any shared substring of
+    ≥ w+k-1 = 11 normalized chars leaves a common fingerprint by the
+    paper's guarantee. Exact oracle: the md5 grams, window selection and
+    df-cut replay verbatim in SQL."""
+    from lakeside_spark.operators.winnow import winnow_overlap
+
+    docs = load_table(spark, sf_dir, "documents")
+    return winnow_overlap(docs, k=8, w=4, min_shared=2, max_df=64)
+
+
+TEXT_WINNOW_OVERLAP_SQL = f"""
+WITH stripped AS (
+  SELECT doc_id, replace({_NORM}, ' ', '') AS s FROM documents
+), g AS (
+  SELECT doc_id,
+         CAST(unnest(range(1, greatest(len(s) - 6, 1))) AS BIGINT) AS pos,
+         s
+  FROM stripped
+), h AS (
+  SELECT doc_id, pos,
+         CAST('0x' || substr(md5(substr(s, pos, 8)), 1, 15) AS BIGINT) AS h
+  FROM g
+), starts AS (
+  SELECT doc_id,
+         CAST(unnest(range(1, greatest(len(s) - 9, 1))) AS BIGINT) AS ws
+  FROM stripped
+), win AS (
+  SELECT st.doc_id, st.ws, hh.pos, hh.h,
+         row_number() OVER (PARTITION BY st.doc_id, st.ws
+                            ORDER BY hh.h ASC, hh.pos DESC) AS rn
+  FROM starts st
+  JOIN h hh ON hh.doc_id = st.doc_id
+           AND hh.pos BETWEEN st.ws AND st.ws + 3
+), fp AS (
+  SELECT DISTINCT doc_id, h AS fp FROM win WHERE rn = 1
+), ok AS (
+  SELECT fp FROM fp GROUP BY fp HAVING COUNT(*) <= 64
+), pruned AS (
+  SELECT f.doc_id, f.fp FROM fp f JOIN ok USING (fp)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+FROM pruned a JOIN pruned b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING COUNT(*) >= 2
+"""

@@ -2052,3 +2052,39 @@ def test_connected_components_degraded_one_label_per_node(spark):
     ids = [r["doc_id"] for r in out]
     assert len(ids) == len(set(ids)) == 64
     assert all(r["cluster_id"] <= r["doc_id"] for r in out)
+
+
+def test_winnow_overlap_guarantee_and_bounds(spark):
+    """Winnowing (Schleimer 2003): any shared substring of >= w+k-1
+    normalized chars leaves >= 1 common fingerprint; unrelated random
+    texts share none; short docs (< w k-grams) yield no fingerprints."""
+    from lakeside_spark.operators.winnow import (
+        _winnow_fingerprints_py,
+        winnow_overlap,
+    )
+
+    shared = "the quick brown fox jumps over the lazy dog near the river"
+    rows = [
+        (1, "intro text first " + shared + " trailing words here"),
+        (2, "completely different opening " + shared + " and another end"),
+        (3, "zebras wander across vast open plains seeking water holes"),
+        (4, "short"),  # < w+k-1 chars -> no fingerprints at all
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r["id_a"], r["id_b"]): r["n_shared"]
+        for r in winnow_overlap(df, min_shared=1).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 1
+    assert all(3 not in p and 4 not in p for p in pairs)
+    # density: selected prints ~ 2/(w+1) of the gram stream, never more
+    # than the window count
+    fps = _winnow_fingerprints_py(rows[0][1], k=8, w=4)
+    n_grams = len(rows[0][1].replace(" ", "")) - 8 + 1
+    assert 0 < len(fps) <= n_grams - 4 + 1
+    assert _winnow_fingerprints_py("short", 8, 4) == []
+    # rightmost-min tie-break: a repeated text block selects the SAME
+    # hash set regardless of absolute position (positional robustness)
+    a = set(_winnow_fingerprints_py("xxxxxxxxxx " + shared, 8, 4))
+    b = set(_winnow_fingerprints_py("yyyyyyyyyyyyyyyyy " + shared, 8, 4))
+    assert a & b
