@@ -2198,3 +2198,79 @@ SELECT name, n AS n_points, FALSE AS seasonal,
        ROUND(sqrt(sse / (n - 1)), 6) AS rmse
 FROM lin WHERE t = n
 """
+
+
+def ts_threshold_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prometheus-style `for:`-duration alert evaluation: a series fires
+    when it stays above its threshold for >= 3 CONSECUTIVE steps (grid
+    gaps break the run, as absence does in Prometheus). The threshold is
+    scale-free — 105% of the series' own exact median daily count — so
+    the rule transfers across SFs. One chart-agg shuffle, one series
+    window for the median, then gaps-and-islands on the tiny series
+    table (step/DAY - row_number run key); all run arithmetic is integer.
+    Output per alert: fire_ts (the step the `for` clause is satisfied),
+    resolve_ts (first step after the run), breach_steps, peak_value."""
+    from pyspark.sql import Window
+
+    tele = load_telemetry(spark, sf_dir)
+    series = (
+        tele.filter(F.col(S.NAME).isNotNull())
+        .groupBy(
+            (F.col(S.TIMESTAMP) - F.col(S.TIMESTAMP) % F.lit(DAY)).alias(
+                S.STEP_TS
+            ),
+            S.NAME,
+        )
+        .agg(F.count("*").cast("double").alias("value"))
+    )
+    med = Window.partitionBy(S.NAME)
+    breach = series.withColumn(
+        "_thr", F.percentile("value", F.lit(0.5)).over(med) * 1.05
+    ).filter(F.col("value") > F.col("_thr"))
+    w = Window.partitionBy(S.NAME).orderBy(S.STEP_TS)
+    runs = breach.withColumn(
+        "_grp",
+        (F.col(S.STEP_TS) / DAY).cast("long") - F.row_number().over(w),
+    )
+    return (
+        runs.groupBy(S.NAME, "_grp")
+        .agg(
+            F.min(S.STEP_TS).alias("_start"),
+            F.max(S.STEP_TS).alias("_end"),
+            F.count(F.lit(1)).alias("breach_steps"),
+            F.max("value").alias("peak_value"),
+        )
+        .filter(F.col("breach_steps") >= 3)
+        .select(
+            S.NAME,
+            (F.col("_start") + 2 * DAY).alias("fire_ts"),
+            (F.col("_end") + DAY).alias("resolve_ts"),
+            "breach_steps",
+            "peak_value",
+        )
+    )
+
+
+TS_THRESHOLD_ALERT_SQL = f"""
+WITH series AS (
+  SELECT timestamp_ms - timestamp_ms % {DAY} AS step_ts, name,
+         CAST(count(*) AS DOUBLE) AS value
+  FROM {_T} WHERE name IS NOT NULL GROUP BY 1, 2
+), breach AS (
+  SELECT * FROM (
+    SELECT step_ts, name, value,
+           quantile_cont(value, 0.5) OVER (PARTITION BY name) * 1.05 AS thr
+    FROM series
+  ) WHERE value > thr
+), runs AS (
+  SELECT step_ts, name, value,
+         CAST(step_ts / {DAY} AS BIGINT)
+           - row_number() OVER (PARTITION BY name ORDER BY step_ts) AS grp
+  FROM breach
+)
+SELECT name, MIN(step_ts) + 2 * {DAY} AS fire_ts,
+       MAX(step_ts) + {DAY} AS resolve_ts,
+       COUNT(*) AS breach_steps, MAX(value) AS peak_value
+FROM runs GROUP BY name, grp
+HAVING COUNT(*) >= 3
+"""

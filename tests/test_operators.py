@@ -2088,3 +2088,56 @@ def test_winnow_overlap_guarantee_and_bounds(spark):
     a = set(_winnow_fingerprints_py("xxxxxxxxxx " + shared, 8, 4))
     b = set(_winnow_fingerprints_py("yyyyyyyyyyyyyyyyy " + shared, 8, 4))
     assert a & b
+
+
+def test_ts_threshold_alert_hand_computed(spark, sf_dir):
+    """Gaps-and-islands alert rule on a planted series: a 4-day breach
+    run fires once (fire at day 3 of the run, resolve the day after it
+    ends); a 2-day run never fires; a grid GAP splits an otherwise long
+    run (absence breaks firing, as in Prometheus)."""
+    from datetime import datetime, timezone
+
+    from lakeside_spark.registry import QUERIES
+
+    DAY = 86_400_000
+    # build synthetic events: name 'm' with daily counts
+    # days 0-9 counts: [10,10,10, 20,20,20,20, 10, 20,20] and a gap at
+    # day 10, then days 11-13: [20,20,20] -> median 20? median of
+    # [10,10,10,20,20,20,20,10,20,20,20,20,20] = 20 -> thr 21 -> nothing
+    # fires. Use counts relative to a LOW median instead:
+    counts = {0: 5, 1: 5, 2: 5, 3: 5, 4: 5, 5: 9, 6: 9, 7: 9, 8: 9,
+              9: 5, 11: 9, 12: 9, 13: 5}
+    rows = []
+    eid = 0
+    for d, c in counts.items():
+        for _ in range(c):
+            rows.append((
+                eid,
+                datetime.fromtimestamp(d * 86_400, tz=timezone.utc)
+                .replace(tzinfo=None),
+                1, "m", 1.0, "",
+            ))
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    import os, tempfile, shutil
+    tmp = tempfile.mkdtemp(prefix="alert_t_")
+    try:
+        for t in ("region nation customer supplier part orders lineitem "
+                  "documents embeddings").split():
+            os.symlink(f"{sf_dir}/{t}.parquet", f"{tmp}/{t}.parquet")
+        df.coalesce(1).write.parquet(f"{tmp}/events.parquet")
+        out = {
+            (r["name"], r["fire_ts"]): (
+                r["resolve_ts"], r["breach_steps"], r["peak_value"]
+            )
+            for r in QUERIES["ts_threshold_alert"](spark, tmp).collect()
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    # median count = 5 -> thr 5.25; breaches: days 5-8 (run of 4) and
+    # days 11-12 (run of 2, killed by the day-10 gap + day-13 drop)
+    assert out == {("m", 7 * DAY): (9 * DAY, 4, 9.0)}
