@@ -877,3 +877,48 @@ def simhash_best_match(
     )
 
 
+
+
+def ngram_containment_pairs(
+    docs: DataFrame,
+    threshold: float,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact n-gram CONTAINMENT pairs: containment(a,b) =
+    |A∩B| / min(|A|, |B|) ≥ threshold (id_a < id_b).
+
+    The asymmetric complement to Jaccard: a short document quoted
+    wholesale inside a long one has tiny Jaccard (the union is huge) but
+    containment ~1 — the doc-inside-doc duplication Jaccard structurally
+    misses (Broder 1997 distinguishes resemblance from containment for
+    exactly this case). Shape: the shared shingle pass + one
+    shingle-keyed join; at 100 TB candidates come from minhash_lsh_pairs
+    first, same as the Jaccard verify stage.
+    """
+    ex = _shingled_rows(docs, text_col, id_col, n).persist()
+    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("_sa"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("_sb"))
+    cont = F.col("n_common") / F.least(F.col("_sa"), F.col("_sb"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(cont >= threshold)
+        .select(
+            "id_a", "id_b", "n_common", F.round(cont, 6).alias("containment")
+        )
+    )

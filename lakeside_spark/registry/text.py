@@ -1929,3 +1929,34 @@ FROM pruned a JOIN pruned b ON a.fp = b.fp AND a.doc_id < b.doc_id
 GROUP BY 1, 2
 HAVING COUNT(*) >= 2
 """
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup detection: n-gram CONTAINMENT
+    |A∩B| / min(|A|,|B|) ≥ 0.5 pairs (operators/dedup.
+    ngram_containment_pairs — Broder 1997's containment, the measure
+    that catches a short doc quoted wholesale inside a long one where
+    Jaccard stays tiny). Shared shingle pass + one shingle-keyed join;
+    the 100 TB path feeds LSH candidates into the same verify."""
+    from lakeside_spark.operators.dedup import ngram_containment_pairs
+
+    return ngram_containment_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.5
+    )
+
+
+DEDUP_CONTAINMENT_SQL = _SHINGLE_CTE + """
+, ex AS (SELECT doc_id, unnest(shs) AS shingle FROM sh),
+sizes AS (SELECT doc_id, len(shs) AS n_sh FROM sh),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, n_common,
+       ROUND(n_common / least(sa.n_sh, sb.n_sh), 6) AS containment
+FROM common
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE n_common / least(sa.n_sh, sb.n_sh) >= 0.5
+"""

@@ -2141,3 +2141,32 @@ def test_ts_threshold_alert_hand_computed(spark, sf_dir):
     # median count = 5 -> thr 5.25; breaches: days 5-8 (run of 4) and
     # days 11-12 (run of 2, killed by the day-10 gap + day-13 drop)
     assert out == {("m", 7 * DAY): (9 * DAY, 4, 9.0)}
+
+
+def test_containment_catches_doc_inside_doc(spark):
+    """A short doc quoted wholesale in a long one: containment ~1 while
+    Jaccard stays below any dedup threshold — the asymmetric case the
+    resemblance measure structurally misses (Broder 1997)."""
+    from lakeside_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    short = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"word{i} item{i} thing{i}" for i in range(40))
+    rows = [
+        (1, short),
+        (2, filler + " " + short + " " + filler.replace("word", "tail")),
+        (3, "unrelated content entirely different tokens throughout"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cont = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in ngram_containment_pairs(df, threshold=0.5).collect()
+    }
+    assert (1, 2) in cont and cont[(1, 2)] >= 0.9
+    jac = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, threshold=0.0001).collect()
+    }
+    assert jac.get((1, 2), 0.0) < 0.12  # below the dedup threshold
