@@ -244,7 +244,12 @@ def _bm25_scored_matched(
     """(q_id, doc_id, score): matched-postings plan — the corpus token
     stream is cut to query-term matches BEFORE any aggregation, so the
     one shuffle is the matched postings, never the full token table."""
+    from lakeside_spark.operators.textstats import _parallelize_sized
+
     spark = corpus.sparkSession
+    # under-parallel gate, same as the full plan: a single-file corpus
+    # is ONE split and pins the codegen tokenize/explode to one core
+    corpus = _parallelize_sized(corpus)
     qterms = _qterms(queries, text_col, id_col)
     w = words(text_col)
     doclen = corpus.select(
