@@ -31,6 +31,45 @@ from pyspark.sql import functions as F
 from lakeside_spark.functions.vectors import as_double_array
 
 
+def _effective_input_parallelism(df: DataFrame) -> int:
+    """Achievable scan parallelism — NOT just the split count.
+
+    Spark splits a parquet file into byte ranges, but each ROW GROUP is
+    delivered whole by the one split containing its midpoint: a
+    single-row-group file fans out to N splits of which N−1 read nothing
+    (the r8 1000x probe measured a 5M-doc corpus running on one core
+    behind a 29-split scan for exactly this reason). For local parquet
+    inputs, cap the split count by the total row-group count, read from
+    footers driver-side — skipped as soon as the file count alone
+    guarantees enough parallelism, so a real many-file table never pays
+    a footer scan."""
+    parts = df.rdd.getNumPartitions()
+    try:
+        files = df.inputFiles()
+        if not files:
+            return parts
+        want = df.sparkSession.sparkContext.defaultParallelism
+        if len(files) >= min(parts, want):
+            return parts
+        from urllib.parse import urlparse
+
+        import pyarrow.parquet as pq
+
+        groups = 0
+        for uri in files:
+            parsed = urlparse(uri)
+            if parsed.scheme not in ("file", "") or not uri.endswith(
+                ".parquet"
+            ):
+                return parts
+            groups += pq.ParquetFile(parsed.path or uri).num_row_groups
+            if groups >= parts:
+                return parts
+        return min(parts, groups)
+    except Exception:
+        return parts
+
+
 def _parallelize(df: DataFrame) -> DataFrame:
     """Repartition ONLY when the input is under-parallel.
 
@@ -38,11 +77,12 @@ def _parallelize(df: DataFrame) -> DataFrame:
     Arrow kernels; but an unconditional ``repartition(defaultParallelism)``
     is a corpus-sized Exchange at 100 TB — and would SHRINK a
     many-thousand-partition scan down to cluster-core count. Gate on the
-    actual partition count: an already-parallel scan passes through with no
-    Exchange at all, and ``spark.sql.files.maxPartitionBytes`` stays in
-    charge of scan sizing."""
+    ACHIEVABLE parallelism (splits capped by row groups — see
+    _effective_input_parallelism): an already-parallel scan passes through
+    with no Exchange at all, and ``spark.sql.files.maxPartitionBytes``
+    stays in charge of scan sizing."""
     sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() >= sc.defaultParallelism:
+    if _effective_input_parallelism(df) >= sc.defaultParallelism:
         return df
     return df.repartition(sc.defaultParallelism)
 

@@ -473,7 +473,11 @@ def _parallelize_sized(df: DataFrame, bytes_per_task: int = 4 << 20) -> DataFram
             want = max(1, min(want, -(-total // bytes_per_task)))
     except Exception:
         pass
-    if df.rdd.getNumPartitions() >= want:
+    from lakeside_spark.operators.similarity import (
+        _effective_input_parallelism,
+    )
+
+    if _effective_input_parallelism(df) >= want:
         return df
     return df.repartition(want)
 
