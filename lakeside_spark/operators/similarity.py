@@ -21,6 +21,7 @@ use; the operators here never evaluate vectors row-at-a-time.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 
 import numpy as np
@@ -1091,6 +1092,129 @@ def label_centroid_outliers(
     )
 
 
+def _snap9_arr(a: np.ndarray) -> np.ndarray:
+    """Vectorized round-half-away-from-zero of ``a * 1e9`` to int64 —
+    the engine-portable fixed-point snap (Spark F.round / DuckDB round
+    both round ties away from zero). np.rint is half-EVEN, so exact
+    .5 ties are adjusted explicitly; the comparison is on exact float
+    values, so no epsilon games."""
+    v = a * 1e9
+    f = np.floor(v)
+    tie = (v - f) == 0.5
+    r = np.rint(v)
+    if tie.any():
+        r = np.where(tie, np.where(v > 0, f + 1.0, f), r)
+    return r.astype(np.int64)
+
+
+def _snap9_scalar(x: float) -> int:
+    """Scalar twin of _snap9_arr for driver-side recursions."""
+    v = x * 1e9
+    f = math.floor(v)
+    if v - f == 0.5:
+        return int(f + 1) if v > 0 else int(f)
+    return int(round(v))
+
+
+def _moment_pass9(
+    df: DataFrame, vec_col: str, label_col: str
+) -> tuple | None:
+    """Fixed-point twin of _moment_pass for the ORACLE-EXACT linear
+    probe: every per-row moment contribution is snapped to 1e-9
+    fixed-point int64 BEFORE summation, so the reduced moments are
+    integers — summation-order-proof across tasks, engines and retries
+    (the same recipe as the TPC-H fixed-sum money aggregates).
+
+    Same 100 TB shape as _moment_pass: one packed per-TASK partial
+    [n, Σy, yᵀy, Xᵀy (d+1), XᵀX ((d+1)²)] over bias-augmented rows,
+    int64 in the kernel (safe to ~9e10 rows/task at these magnitudes),
+    reduced as decimal(38,0) so the global sums never overflow.
+    Returns (n, sy9, yy9, xty9 list[int], xtx9 (d+1)² ints)."""
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc: np.ndarray | None = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.array(list(pdf[vec_col]), dtype=np.float64)
+            x = np.hstack([m, np.ones((len(m), 1))])
+            y = pdf[label_col].to_numpy(dtype=np.float64)
+            da = x.shape[1]
+            if acc is None:
+                acc = np.zeros(3 + da + da * da, dtype=np.int64)
+            acc[0] += len(x)
+            acc[1] += int(_snap9_arr(y).sum())
+            acc[2] += int(_snap9_arr(y * y).sum())
+            # chunk the per-row outer products: rows x (d+1)² doubles
+            # would be GBs on a full Arrow batch
+            for lo in range(0, len(x), 256):
+                xb = x[lo : lo + 256]
+                yb = y[lo : lo + 256]
+                acc[3 : 3 + da] += _snap9_arr(xb * yb[:, None]).sum(axis=0)
+                acc[3 + da :] += (
+                    _snap9_arr(xb[:, :, None] * xb[:, None, :])
+                    .sum(axis=0)
+                    .ravel()
+                )
+        if acc is not None:
+            yield pd.DataFrame({"p": [acc]})
+
+    red = (
+        _parallelize(
+            df.select(vec_col, label_col).filter(
+                F.col(label_col).isNotNull()
+            )
+        )
+        .mapInPandas(partials, schema="p array<long>")
+        .select(F.posexplode("p").alias("i", "v"))
+        .groupBy("i")
+        .agg(F.sum(F.col("v").cast("decimal(38,0)")).alias("v"))
+        .collect()
+    )
+    if not red:
+        return None
+    packed = [0] * len(red)
+    for r in red:
+        packed[r["i"]] = int(r["v"])
+    da = int((math.isqrt(4 * (len(packed) - 3) + 1) - 1) // 2)
+    assert 3 + da + da * da == len(packed), len(packed)
+    return (
+        packed[0],
+        packed[1],
+        packed[2],
+        packed[3 : 3 + da],
+        packed[3 + da :],
+    )
+
+
+def _ge_solve_det(a: list[list[float]], b: list[float]) -> list[float]:
+    """Deterministic ridge-system solve: Gaussian elimination WITHOUT
+    pivoting (the matrix is SPD — Gram + ridge — so pivoting is
+    unnecessary and its absence keeps the op sequence trivially
+    replayable), then back-substitution whose inner products are
+    1e-9-snapped integer sums (order-free). Every floating-point
+    operation is a fixed left-to-right IEEE sequence, so a DuckDB
+    recursive CTE running the same expressions reproduces w
+    bit-for-bit."""
+    da = len(b)
+    m = [row[:] + [b[i]] for i, row in enumerate(a)]
+    for k in range(da - 1):
+        akk = m[k][k]
+        mk = m[k]
+        for i in range(k + 1, da):
+            mi = m[i]
+            aik = mi[k]
+            for j in range(da + 1):
+                mi[j] = mi[j] - (aik * mk[j] / akk)
+    w = [0.0] * da
+    for i in range(da - 1, -1, -1):
+        s9 = 0
+        for j in range(i + 1, da):
+            s9 += _snap9_scalar(m[i][j] * w[j])
+        w[i] = (m[i][da] - s9 / 1e9) / m[i][i]
+    return w
+
+
 def _moment_pass(
     df: DataFrame, vec_col: str, label_col: str | None = None
 ) -> tuple | None:
@@ -1409,39 +1533,68 @@ def embedding_linear_probe(
     map-only Arrow kernel. R²/SSE come from the SAME moments (SSE =
     yᵀy − 2wᵀXᵀy + wᵀXᵀXw), so the metrics cost no extra pass.
 
-    Output: (vec_id, label, pred, resid) per vector; r2 is attached as
-    a constant column so a single report row carries the probe quality.
-    rows-only: a matrix solve is not SQL-expressible; the pytest pins
-    predictions against the numpy closed form and R² bounds."""
+    Output: (vec_id, label, pred, resid) per labeled vector; r2 is
+    attached as a constant column so a single report row carries the
+    probe quality. ORACLE-EXACT (r8, upgraded from rows-only): the
+    moments are 1e-9 fixed-point integer sums (_moment_pass9,
+    order-free), the solve is a deterministic no-pivot Gaussian
+    elimination with snapped back-substitution (_ge_solve_det), and
+    predictions/R² are snapped integer dot products — every float op is
+    a fixed IEEE sequence a DuckDB recursive CTE replays bit-for-bit
+    (EMB_LINEAR_PROBE_SQL). The independent anchor vs the numpy closed
+    form stays in the pytest (the snapped moments sit within ~1e-9
+    relative of the float ones, so predictions agree to ~1e-7)."""
     spark = emb.sparkSession
     empty_schema = (
         f"{id_col} bigint, {label_col} double, pred double, resid double, "
         "r2 double"
     )
-    moments = _moment_pass(emb, vec_col, label_col)
+    moments = _moment_pass9(emb, vec_col, label_col)
     if moments is None or moments[0] == 0:
         return spark.createDataFrame([], schema=empty_schema)
-    n, sy, yy, xty, xtx = moments
-    da = len(xty)
-    # ridge: don't penalize the bias term
-    reg = np.eye(da) * l2
-    reg[-1, -1] = 0.0
-    w = np.linalg.solve(xtx + reg, xty)
-    # SSE from moments is a difference of large numbers: cancellation on
-    # near-perfectly-linear labels can nudge it below 0 — clamp R² to its
-    # documented [0, 1] bound (same as pca_reduce's evr clamp)
-    sse = float(yy - 2.0 * w @ xty + w @ xtx @ w)
-    sst = float(yy - sy * sy / n)
-    r2 = float(np.clip(1.0 - sse / sst, 0.0, 1.0)) if sst > 0 else 0.0
-    bc = spark.sparkContext.broadcast((w, r2))
+    n, sy9, yy9, xty9, xtx9 = moments
+    da = len(xty9)
+    # augmented system: A = XᵀX/1e9 + ridge (bias unpenalized), b = Xᵀy
+    a = [[0.0] * da for _ in range(da)]
+    b = [0.0] * da
+    for i in range(da):
+        for j in range(da):
+            v = xtx9[i * da + j] / 1e9
+            if i == j and i < da - 1:
+                v = v + l2
+            a[i][j] = v
+        b[i] = xty9[i] / 1e9
+    w = _ge_solve_det(a, b)
+    # R² from the same moments, every contraction a snapped integer sum:
+    # SSE = yᵀy − 2wᵀXᵀy + wᵀ(XᵀX)w. Cancellation on near-perfectly-
+    # linear labels can nudge SSE below 0 — clamp R² to [0, 1].
+    yy = yy9 / 1e9
+    sy = sy9 / 1e9
+    q9 = 0
+    p9 = 0
+    for i in range(da):
+        s9 = 0
+        for j in range(da):
+            s9 += _snap9_scalar((xtx9[i * da + j] / 1e9) * w[j])
+        q9 += _snap9_scalar(w[i] * (s9 / 1e9))
+        p9 += _snap9_scalar(w[i] * (xty9[i] / 1e9))
+    sse = (yy - 2.0 * (p9 / 1e9)) + (q9 / 1e9)
+    sst = yy - ((sy * sy) / n)
+    r2 = min(max(1.0 - sse / sst, 0.0), 1.0) if sst > 0 else 0.0
+    wv = np.array(w)
+    bias9 = _snap9_scalar(w[-1])
+    bc = spark.sparkContext.broadcast((wv, bias9, r2))
 
     def predict(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        w_, r2_ = bc.value
+        w_, bias9_, r2_ = bc.value
         for pdf in batches:
             if not len(pdf):
                 continue
             m = np.array(list(pdf[vec_col]), dtype=np.float64)
-            pred = m @ w_[:-1] + w_[-1]
+            pred9 = _snap9_arr(m * w_[None, :-1]).sum(
+                axis=1, dtype=np.int64
+            ) + np.int64(bias9_)
+            pred = pred9 / 1e9
             y = pdf[label_col].to_numpy(dtype=np.float64)
             yield pd.DataFrame(
                 {
@@ -1453,8 +1606,17 @@ def embedding_linear_probe(
                 }
             )
 
-    return emb.select(id_col, vec_col, label_col).mapInPandas(
-        predict, schema=empty_schema
+    return (
+        emb.select(id_col, vec_col, label_col)
+        .filter(F.col(label_col).isNotNull())
+        .mapInPandas(predict, schema=empty_schema)
+        .select(
+            id_col,
+            label_col,
+            F.round("pred", 6).alias("pred"),
+            F.round("resid", 6).alias("resid"),
+            F.round("r2", 6).alias("r2"),
+        )
     )
 
 

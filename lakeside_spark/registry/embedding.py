@@ -499,18 +499,150 @@ def embedding_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def embedding_linear_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """rows-only: closed-form ridge linear probe predicting the label
-    column from frozen embeddings (Alain & Bengio 2016 — the standard
+    """Closed-form ridge linear probe predicting the label column from
+    frozen embeddings (Alain & Bengio 2016 — the standard
     representation-quality diagnostic). ONE packed moment pass
     (per-task [n, Σy, yᵀy, Xᵀy, XᵀX] partials, element-wise reduce),
     driver (d+1)² solve, broadcast map-only predictions with R² from
-    the same moments (operators/similarity.embedding_linear_probe;
-    closed-form-equality pytest-pinned)."""
+    the same moments (operators/similarity.embedding_linear_probe).
+    ORACLE-EXACT since r8: moments are 1e-9 fixed-point integer sums,
+    the solve is a deterministic no-pivot Gaussian elimination with
+    snapped back-substitution, and EMB_LINEAR_PROBE_SQL replays the
+    identical IEEE op sequence as DuckDB recursive CTEs (the
+    pagerank/Holt-Winters recipe applied to a matrix solve); the
+    independent numpy-closed-form anchor stays in the pytest."""
     from lakeside_spark.operators.similarity import (
         embedding_linear_probe as _probe,
     )
 
     return _probe(load_table(spark, sf_dir, "embeddings"))
+
+
+# The deterministic ridge solve replayed in SQL: fixed-point integer
+# moments -> no-pivot Gaussian elimination as a recursive CTE (window
+# functions pull the pivot row/column from the single allowed recursive
+# reference) -> back-substitution carrying the solved coefficients as a
+# growing list -> snapped-dot-product predictions and moment-derived R².
+# Dimensions hardcoded to the 64-dim embedding column (da = 65 with the
+# bias term), like every other embedding oracle here.
+EMB_LINEAR_PROBE_SQL = """
+WITH RECURSIVE
+base AS MATERIALIZED (
+  SELECT vec_id, list_append(CAST(embedding AS DOUBLE[]), 1.0::DOUBLE) AS x,
+         CAST(label AS DOUBLE) AS y
+  FROM embeddings WHERE label IS NOT NULL
+),
+idx AS (SELECT UNNEST(range(65)) AS i),
+mom AS MATERIALIZED (
+  SELECT ii.i AS i, jj.i AS j,
+         SUM(CAST(round(b.x[ii.i+1] * b.x[jj.i+1] * 1e9) AS HUGEINT)) AS m9
+  FROM base b, idx ii, idx jj
+  GROUP BY 1, 2
+),
+xty AS MATERIALIZED (
+  SELECT ii.i AS i,
+         SUM(CAST(round(b.x[ii.i+1] * b.y * 1e9) AS HUGEINT)) AS t9
+  FROM base b, idx ii GROUP BY 1
+),
+scal AS (
+  SELECT COUNT(*) AS n,
+         SUM(CAST(round(y * 1e9) AS HUGEINT)) AS sy9,
+         SUM(CAST(round(y * y * 1e9) AS HUGEINT)) AS yy9
+  FROM base
+),
+aug AS (
+  SELECT i, j,
+         CAST(m9 AS DOUBLE)/1e9
+           + (CASE WHEN i = j AND i < 64 THEN 0.001::DOUBLE
+              ELSE 0.0::DOUBLE END) AS a
+  FROM mom
+  UNION ALL
+  SELECT i, 65 AS j, CAST(t9 AS DOUBLE)/1e9 AS a FROM xty
+),
+ge AS (
+  SELECT 0 AS k, i, j, a FROM aug
+  UNION ALL
+  SELECT k+1, i, j,
+         CASE WHEN i <= k THEN a ELSE a - (aik * akj / akk) END
+  FROM (
+    SELECT k, i, j, a,
+      MAX(CASE WHEN j = k THEN a END) OVER (PARTITION BY i) AS aik,
+      MAX(CASE WHEN i = k THEN a END) OVER (PARTITION BY j) AS akj,
+      MAX(CASE WHEN i = k AND j = k THEN a END) OVER () AS akk
+    FROM ge WHERE k < 64
+  ) s
+),
+urows AS MATERIALIZED (
+  SELECT i, list(a ORDER BY j) AS row_all
+  FROM ge WHERE k = 64 GROUP BY i
+),
+bs AS (
+  SELECT 0 AS t, [ (r.row_all[66] - 0.0::DOUBLE) / r.row_all[65] ] AS ws
+  FROM urows r WHERE r.i = 64
+  UNION ALL
+  SELECT t+1,
+    list_prepend(
+      ( (r.row_all[66]
+         - CAST(list_sum(list_transform(range(t+1),
+             k -> CAST(round(r.row_all[(64 - t) + k + 1] * ws[k+1] * 1e9)
+                       AS HUGEINT))) AS DOUBLE) / 1e9
+        ) / r.row_all[64 - t] ),
+      ws) AS ws
+  FROM bs, urows r
+  WHERE bs.t < 64 AND r.i = 63 - bs.t
+),
+wvec AS MATERIALIZED (SELECT ws FROM bs WHERE t = 64),
+mrows AS MATERIALIZED (
+  SELECT i, list(CAST(m9 AS DOUBLE)/1e9 ORDER BY j) AS mv FROM mom GROUP BY i
+),
+wx AS (
+  SELECT m.i,
+    CAST(list_sum(list_transform(range(65),
+        k -> CAST(round(m.mv[k+1] * w.ws[k+1] * 1e9) AS HUGEINT)))
+      AS DOUBLE)/1e9 AS v,
+    w.ws[m.i+1] AS wi
+  FROM mrows m, wvec w
+),
+qp AS (
+  SELECT CAST(SUM(CAST(round(wi * v * 1e9) AS HUGEINT)) AS DOUBLE)/1e9 AS q
+  FROM wx
+),
+pp AS (
+  SELECT CAST(SUM(CAST(round(w.ws[x.i+1] * (CAST(x.t9 AS DOUBLE)/1e9) * 1e9)
+              AS HUGEINT)) AS DOUBLE)/1e9 AS p
+  FROM xty x, wvec w
+),
+r2v AS (
+  SELECT CASE
+    WHEN (CAST(s.yy9 AS DOUBLE)/1e9
+          - ((CAST(s.sy9 AS DOUBLE)/1e9 * (CAST(s.sy9 AS DOUBLE)/1e9)) / s.n))
+         <= 0
+    THEN 0.0::DOUBLE
+    ELSE LEAST(GREATEST(
+      1.0::DOUBLE
+      - (((CAST(s.yy9 AS DOUBLE)/1e9 - 2.0::DOUBLE * pp.p) + qp.q)
+         / (CAST(s.yy9 AS DOUBLE)/1e9
+            - ((CAST(s.sy9 AS DOUBLE)/1e9 * (CAST(s.sy9 AS DOUBLE)/1e9))
+               / s.n)))
+      , 0.0::DOUBLE), 1.0::DOUBLE)
+    END AS r2
+  FROM scal s, qp, pp
+),
+preds AS (
+  SELECT b.vec_id, b.y AS label,
+    CAST(list_sum(list_transform(range(64),
+          k -> CAST(round(b.x[k+1] * w.ws[k+1] * 1e9) AS HUGEINT)))
+        + CAST(round(w.ws[65] * 1e9) AS HUGEINT)
+      AS DOUBLE) / 1e9 AS pred
+  FROM base b, wvec w
+)
+SELECT p.vec_id,
+       p.label,
+       (round(p.pred, 6) + 0.0::DOUBLE) AS pred,
+       (round(p.label - p.pred, 6) + 0.0::DOUBLE) AS resid,
+       (round(r.r2, 6) + 0.0::DOUBLE) AS r2
+FROM preds p, r2v r
+"""
 
 
 def embedding_pca_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:

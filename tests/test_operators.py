@@ -1919,9 +1919,12 @@ def test_stickiness_sketch_tracks_exact(spark, sf_dir):
 
 
 def test_linear_probe_matches_closed_form(spark, sf_dir):
-    """The distributed moment-pass ridge probe must equal the numpy
-    closed form computed on the collected data — coefficients enter via
-    predictions, R² via the constant column."""
+    """The deterministic fixed-point probe (snapped integer moments +
+    no-pivot GE solve — the r8 oracle-exact path) must still track the
+    numpy closed form computed on the collected data: this is the
+    INDEPENDENT anchor the twin-oracle replay rests on. Snapped moments
+    sit within ~1e-9 relative of the float ones, so predictions agree
+    to ~1e-7; outputs are rounded to 6dp, hence the 1e-5 bound."""
     import numpy as np
 
     from lakeside_spark.operators.similarity import embedding_linear_probe
@@ -1946,9 +1949,9 @@ def test_linear_probe_matches_closed_form(spark, sf_dir):
     got = embedding_linear_probe(emb).collect()
     assert len(got) == len(rows)
     for r in got:
-        assert abs(r["pred"] - ref_pred[r["vec_id"]]) < 1e-6, r["vec_id"]
-        assert abs(r["resid"] - (r["label"] - r["pred"])) < 1e-9
-        assert abs(r["r2"] - ref_r2) < 1e-6
+        assert abs(r["pred"] - ref_pred[r["vec_id"]]) < 1e-5, r["vec_id"]
+        assert abs(r["resid"] - (r["label"] - r["pred"])) < 2e-6
+        assert abs(r["r2"] - ref_r2) < 1e-5
     assert 0.0 <= got[0]["r2"] <= 1.0
 
 
