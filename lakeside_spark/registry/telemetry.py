@@ -476,6 +476,97 @@ WHERE n >= 3
 """
 
 
+def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series autocorrelation function at hourly lags 1..24 — the
+    seasonality/periodicity detector that tells a user WHICH period
+    ts_seasonal / ts_holt_winters should model (a daily cycle shows as
+    the lag-24 peak). Pearson correlation of (x_t, x_{t+lag}) pairs
+    (pandas ``Series.autocorr`` semantics), pairing strictly on the
+    step grid so reporting gaps never misalign the lag — the same
+    timestamp-guard ts_week_over_week uses. One chart-budget shuffle
+    builds the series; the 24-way lag fan-out and self-join run on the
+    tiny aggregate (series × 24 rows), and the correlation comes from
+    exact integer sums so no engine's accumulation order can drift."""
+    expr = BaseExpr(
+        filter=Filter(k=S.NAME, op=S.EXISTS),
+        chart=ChartOptions(aggregation="count"),
+    )
+    series = QueryEngine(spark, step_ms=HOUR).run(expr, load_telemetry(spark, sf_dir))
+    a = series.select(
+        S.NAME,
+        S.STEP_TS,
+        F.col(S.VALUE).cast("long").alias("x"),
+    ).withColumn("lag", F.explode(F.sequence(F.lit(1), F.lit(24))))
+    b = series.select(
+        F.col(S.NAME).alias("name_b"),
+        F.col(S.STEP_TS).alias("ts_b"),
+        F.col(S.VALUE).cast("long").alias("y"),
+    )
+    j = a.join(
+        b,
+        (F.col(S.NAME) == F.col("name_b"))
+        & (F.col("ts_b") == F.col(S.STEP_TS) + F.col("lag") * HOUR),
+    )
+    agg = j.groupBy(S.NAME, "lag").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    cov = F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col(
+        "sy"
+    ).cast("double") / nd
+    vx = F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col(
+        "sx"
+    ).cast("double") / nd
+    vy = F.col("syy").cast("double") - F.col("sy").cast("double") * F.col(
+        "sy"
+    ).cast("double") / nd
+    return agg.filter((F.col("n") >= 3) & (vx * vy > 0)).select(
+        S.NAME,
+        F.col("lag").cast("int").alias("lag"),
+        "n",
+        F.round(cov / F.sqrt(vx * vy), 6).alias("acf"),
+    )
+
+
+TS_AUTOCORRELATION_SQL = f"""
+WITH series AS (
+  SELECT timestamp_ms - timestamp_ms % {HOUR} AS step_ts, name,
+         CAST(count(value) AS BIGINT) AS v
+  FROM {_T} WHERE name IS NOT NULL GROUP BY 1, 2
+), j AS (
+  SELECT a.name AS name, ff.lag AS lag, a.v AS x, b.v AS y
+  FROM series a, range(1, 25) ff(lag)
+  JOIN series b
+    ON b.name = a.name AND b.step_ts = a.step_ts + ff.lag * {HOUR}
+), agg AS (
+  SELECT name, lag, COUNT(*) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM j GROUP BY 1, 2
+)
+SELECT name, CAST(lag AS INT) AS lag, n,
+       ROUND((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+                  / CAST(n AS DOUBLE))
+             / SQRT((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                         / CAST(n AS DOUBLE))
+                    * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+                           / CAST(n AS DOUBLE))), 6) AS acf
+FROM agg
+WHERE n >= 3
+  AND (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+           / CAST(n AS DOUBLE))
+      * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+             / CAST(n AS DOUBLE)) > 0
+"""
+
+
 def ts_step_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-series changepoint via CUSUM: the step whose cumulative
     deviation from the series mean is largest in magnitude, with the
@@ -1578,6 +1669,119 @@ LOG_PATTERNS_SQL = f"""
 SELECT name, regexp_replace(message, '[0-9]+', '#', 'g') AS template,
        COUNT(*) AS n, MIN(message) AS example
 FROM {_T} WHERE message IS NOT NULL GROUP BY 1, 2
+"""
+
+
+def log_template_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template-distribution drift: which log templates rose or fell
+    between the first and second half of the time range — the
+    post-deploy "new error shape" detector built on log_patterns'
+    template catalog. Per (name, template): early/late counts, the
+    add-one-smoothed rate-ratio lift, and the 2×2 chi-square score.
+    One map-only normalize + one template-sized conditional agg; the
+    range midpoint and half totals are single-row aggregates attached
+    as broadcasts. All scores are one fixed arithmetic expression over
+    exact integer counts, so both engines compute identical doubles."""
+    tele = load_telemetry(spark, sf_dir).filter(F.col(S.MESSAGE).isNotNull())
+    t = tele.select(
+        S.NAME,
+        F.regexp_replace(S.MESSAGE, "[0-9]+", "#").alias("template"),
+        F.col(S.TIMESTAMP).alias("ts"),
+    )
+    bounds = t.agg(
+        F.expr(f"(min(ts) + max(ts)) DIV 2").alias("mid")
+    )
+    flagged = t.crossJoin(F.broadcast(bounds)).withColumn(
+        "early", (F.col("ts") <= F.col("mid")).cast("long")
+    )
+    per_t = flagged.groupBy(S.NAME, "template").agg(
+        F.sum("early").alias("cnt_early"),
+        F.sum(F.lit(1) - F.col("early")).alias("cnt_late"),
+    )
+    totals = per_t.agg(
+        F.sum("cnt_early").alias("tot_early"),
+        F.sum("cnt_late").alias("tot_late"),
+    )
+    j = per_t.crossJoin(F.broadcast(totals))
+    a = F.col("cnt_early").cast("double")
+    b = F.col("cnt_late").cast("double")
+    c = F.col("tot_early").cast("double") - a
+    d = F.col("tot_late").cast("double") - b
+    num = a * d - b * c
+    denom = (a + b) * (c + d) * (a + c) * (b + d)
+    n_all = F.col("tot_early").cast("double") + F.col("tot_late").cast(
+        "double"
+    )
+    lift = (
+        (F.col("cnt_late").cast("double") + 1.0)
+        / (F.col("tot_late").cast("double") + 2.0)
+    ) / (
+        (F.col("cnt_early").cast("double") + 1.0)
+        / (F.col("tot_early").cast("double") + 2.0)
+    )
+    return j.select(
+        S.NAME,
+        "template",
+        "cnt_early",
+        "cnt_late",
+        F.round(lift, 6).alias("lift"),
+        F.when(denom > 0, F.round(num * num * n_all / denom, 6)).alias(
+            "chi2"
+        ),
+    )
+
+
+LOG_TEMPLATE_DRIFT_SQL = f"""
+WITH t AS (
+  SELECT name, regexp_replace(message, '[0-9]+', '#', 'g') AS template,
+         timestamp_ms AS ts
+  FROM {_T} WHERE message IS NOT NULL
+), bounds AS (
+  SELECT (min(ts) + max(ts)) // 2 AS mid FROM t
+), per_t AS (
+  SELECT name, template,
+         CAST(SUM(CASE WHEN ts <= mid THEN 1 ELSE 0 END) AS BIGINT)
+             AS cnt_early,
+         CAST(SUM(CASE WHEN ts <= mid THEN 0 ELSE 1 END) AS BIGINT)
+             AS cnt_late
+  FROM t, bounds GROUP BY 1, 2
+), totals AS (
+  SELECT CAST(SUM(cnt_early) AS BIGINT) AS tot_early,
+         CAST(SUM(cnt_late) AS BIGINT) AS tot_late
+  FROM per_t
+)
+SELECT name, template, cnt_early, cnt_late,
+       ROUND(((CAST(cnt_late AS DOUBLE) + 1.0::DOUBLE)
+                 / (CAST(tot_late AS DOUBLE) + 2.0::DOUBLE))
+             / ((CAST(cnt_early AS DOUBLE) + 1.0::DOUBLE)
+                 / (CAST(tot_early AS DOUBLE) + 2.0::DOUBLE)), 6) AS lift,
+       CASE WHEN (CAST(cnt_early AS DOUBLE) + CAST(cnt_late AS DOUBLE))
+                 * ((CAST(tot_early AS DOUBLE) - CAST(cnt_early AS DOUBLE))
+                    + (CAST(tot_late AS DOUBLE) - CAST(cnt_late AS DOUBLE)))
+                 * (CAST(cnt_early AS DOUBLE)
+                    + (CAST(tot_early AS DOUBLE) - CAST(cnt_early AS DOUBLE)))
+                 * (CAST(cnt_late AS DOUBLE)
+                    + (CAST(tot_late AS DOUBLE) - CAST(cnt_late AS DOUBLE)))
+                 > 0
+            THEN ROUND((CAST(cnt_early AS DOUBLE)
+                          * (CAST(tot_late AS DOUBLE) - CAST(cnt_late AS DOUBLE))
+                        - CAST(cnt_late AS DOUBLE)
+                          * (CAST(tot_early AS DOUBLE) - CAST(cnt_early AS DOUBLE)))
+                       * (CAST(cnt_early AS DOUBLE)
+                          * (CAST(tot_late AS DOUBLE) - CAST(cnt_late AS DOUBLE))
+                        - CAST(cnt_late AS DOUBLE)
+                          * (CAST(tot_early AS DOUBLE) - CAST(cnt_early AS DOUBLE)))
+                       * (CAST(tot_early AS DOUBLE) + CAST(tot_late AS DOUBLE))
+                       / ((CAST(cnt_early AS DOUBLE) + CAST(cnt_late AS DOUBLE))
+                          * ((CAST(tot_early AS DOUBLE) - CAST(cnt_early AS DOUBLE))
+                             + (CAST(tot_late AS DOUBLE) - CAST(cnt_late AS DOUBLE)))
+                          * (CAST(cnt_early AS DOUBLE)
+                             + (CAST(tot_early AS DOUBLE) - CAST(cnt_early AS DOUBLE)))
+                          * (CAST(cnt_late AS DOUBLE)
+                             + (CAST(tot_late AS DOUBLE) - CAST(cnt_late AS DOUBLE)))),
+                       6)
+            ELSE NULL END AS chi2
+FROM per_t, totals
 """
 
 

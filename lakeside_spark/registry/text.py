@@ -629,6 +629,97 @@ QUALIFY rank <= 100
 """
 
 
+def text_msttr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-diversity signal: whole-doc type-token ratio plus MSTTR
+    (mean segmental TTR, Johnson 1944 — the length-robust variant:
+    plain TTR collapses as documents grow, so quality filters that
+    threshold raw TTR systematically bias against long documents).
+    TTR over each complete 100-word segment, averaged; a complete
+    segment is exactly one whose word count is 100, so no length join
+    is needed. Exactness: mean-of-segment-TTRs = Σdistinct/(k·100) —
+    a single division of exact integers, order-free. One posexplode +
+    two word-keyed aggs (doc- and segment-grained), map-side combined;
+    everything stays in whole-stage codegen."""
+    from lakeside_spark.functions.text import words
+    from lakeside_spark.operators.textstats import _parallelize_sized
+
+    docs = _parallelize_sized(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    ex = (
+        docs.select(
+            "doc_id", F.posexplode(words(F.col("text"))).alias("pos", "word")
+        )
+        # normalized text has no interior empties; '' only appears for
+        # the whole-doc-empty split('','') = [''] case, which DuckDB's
+        # list_filter drops entirely — so positions stay aligned
+        .filter(F.col("word") != "")
+    )
+    per_doc = ex.groupBy("doc_id").agg(
+        F.count("*").alias("n_words"),
+        F.countDistinct("word").alias("n_distinct"),
+    )
+    seg = (
+        ex.groupBy("doc_id", F.floor(F.col("pos") / 100).alias("seg"))
+        .agg(
+            F.count("*").alias("c"),
+            F.countDistinct("word").alias("d"),
+        )
+        .filter(F.col("c") == 100)
+    )
+    seg_agg = seg.groupBy("doc_id").agg(
+        F.count("*").alias("n_segments"), F.sum("d").alias("sum_d")
+    )
+    return per_doc.join(seg_agg, "doc_id", "left").select(
+        "doc_id",
+        "n_words",
+        F.coalesce("n_segments", F.lit(0)).alias("n_segments"),
+        F.round(
+            F.col("n_distinct").cast("double")
+            / F.col("n_words").cast("double"),
+            6,
+        ).alias("ttr"),
+        F.round(
+            F.col("sum_d").cast("double")
+            / (F.col("n_segments").cast("double") * 100.0),
+            6,
+        ).alias("msttr"),
+    )
+
+
+TEXT_MSTTR_SQL = f"""
+WITH ex AS (
+  SELECT doc_id,
+         generate_subscripts(w, 1) - 1 AS pos,
+         unnest(w) AS word
+  FROM (
+    SELECT doc_id,
+           list_filter(string_split({_NORM}, ' '), x -> x <> '') AS w
+    FROM documents
+  )
+), per_doc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+         CAST(COUNT(DISTINCT word) AS BIGINT) AS n_distinct
+  FROM ex GROUP BY 1
+), seg AS (
+  SELECT doc_id, pos // 100 AS seg, COUNT(*) AS c,
+         CAST(COUNT(DISTINCT word) AS BIGINT) AS d
+  FROM ex GROUP BY 1, 2 HAVING COUNT(*) = 100
+), seg_agg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_segments,
+         CAST(SUM(d) AS BIGINT) AS sum_d
+  FROM seg GROUP BY 1
+)
+SELECT p.doc_id, p.n_words,
+       COALESCE(s.n_segments, 0) AS n_segments,
+       ROUND(CAST(p.n_distinct AS DOUBLE) / CAST(p.n_words AS DOUBLE), 6)
+           AS ttr,
+       ROUND(CAST(s.sum_d AS DOUBLE)
+             / (CAST(s.n_segments AS DOUBLE) * 100.0::DOUBLE), 6) AS msttr
+FROM per_doc p LEFT JOIN seg_agg s USING (doc_id)
+"""
+
+
 def corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sample (hash gate, no RNG): 50% of en,
     20% of de, 10% of everything else — a mixture-weighting pass that is

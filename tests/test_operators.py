@@ -2173,3 +2173,137 @@ def test_containment_catches_doc_inside_doc(spark):
         for r in ngram_jaccard_pairs(df, threshold=0.0001).collect()
     }
     assert jac.get((1, 2), 0.0) < 0.12  # below the dedup threshold
+
+
+def test_ts_autocorrelation_matches_pandas(spark, sf_dir):
+    """ACF rows must equal pandas' Series.autocorr semantics (Pearson of
+    grid-aligned lag pairs) recomputed from the same hourly series —
+    the independent anchor for the integer-sum formula."""
+    import numpy as np
+    import pandas as pd
+
+    from lakeside_spark.registry import QUERIES
+
+    HOUR = 3_600_000
+    got = {
+        (r["name"], r["lag"]): (r["n"], r["acf"])
+        for r in QUERIES["ts_autocorrelation"](spark, sf_dir).collect()
+    }
+    assert got, "no ACF rows at this SF"
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            F.col("event_type").alias("name"),
+            (F.unix_millis("ts") - F.unix_millis("ts") % HOUR).alias("step"),
+        )
+        .groupBy("name", "step")
+        .count()
+        .collect()
+    )
+    series: dict[str, dict[int, int]] = {}
+    for r in ev:
+        series.setdefault(r["name"], {})[r["step"]] = r["count"]
+    checked = 0
+    for (name, lag), (n, acf) in got.items():
+        s = series[name]
+        pairs = [
+            (v, s[t + lag * HOUR]) for t, v in s.items() if t + lag * HOUR in s
+        ]
+        assert len(pairs) == n, (name, lag)
+        x = pd.Series([p[0] for p in pairs], dtype=float)
+        y = pd.Series([p[1] for p in pairs], dtype=float)
+        ref = x.corr(y)
+        assert abs(acf - ref) < 1e-6, (name, lag, acf, ref)
+        checked += 1
+    assert checked == len(got)
+    # every series with enough overlap and variance must be present
+    for name, s in series.items():
+        pairs = [(v, s[t + HOUR]) for t, v in s.items() if t + HOUR in s]
+        if len(pairs) >= 3:
+            x = np.array([p[0] for p in pairs], dtype=float)
+            y = np.array([p[1] for p in pairs], dtype=float)
+            if x.var() > 0 and y.var() > 0:
+                assert (name, 1) in got, name
+
+
+def test_log_template_drift_hand_computed(spark, sf_dir):
+    """Drift rows must equal a direct pandas recomputation: digit-masked
+    templates, midpoint split, add-one-smoothed lift, 2x2 chi-square."""
+    import re
+
+    from lakeside_spark.registry import QUERIES
+
+    got = {
+        (r["name"], r["template"]): r
+        for r in QUERIES["log_template_drift"](spark, sf_dir).collect()
+    }
+    assert got
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            F.col("event_type").alias("name"),
+            F.col("props").alias("message"),
+            F.unix_millis("ts").alias("ts"),
+        )
+        .filter(F.col("message").isNotNull())
+        .collect()
+    )
+    mid = (min(r["ts"] for r in rows) + max(r["ts"] for r in rows)) // 2
+    cnt: dict[tuple, list[int]] = {}
+    for r in rows:
+        key = (r["name"], re.sub(r"[0-9]+", "#", r["message"]))
+        c = cnt.setdefault(key, [0, 0])
+        c[0 if r["ts"] <= mid else 1] += 1
+    te = sum(c[0] for c in cnt.values())
+    tl = sum(c[1] for c in cnt.values())
+    assert set(got) == set(cnt)
+    for key, (a, b) in cnt.items():
+        g = got[key]
+        assert (g["cnt_early"], g["cnt_late"]) == (a, b), key
+        lift = ((b + 1.0) / (tl + 2.0)) / ((a + 1.0) / (te + 2.0))
+        assert abs(g["lift"] - lift) < 1e-6, key
+        c, d = te - a, tl - b
+        denom = float((a + b) * (c + d) * (a + c) * (b + d))
+        if denom > 0:
+            chi2 = (a * d - b * c) ** 2 * (te + tl) / denom
+            assert abs(g["chi2"] - chi2) < max(1e-6, abs(chi2) * 1e-9), key
+        else:
+            assert g["chi2"] is None, key
+
+
+def test_text_msttr_hand_computed(spark, sf_dir):
+    """TTR / MSTTR must equal a direct Python recomputation with the
+    corpus word convention (lower, collapse whitespace, split) —
+    including the invariant that MSTTR only covers complete 100-word
+    segments and is NULL below one segment."""
+    import re
+
+    from lakeside_spark.registry import QUERIES
+
+    got = {r["doc_id"]: r for r in QUERIES["text_msttr"](spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    expected = 0
+    for r in docs:
+        if r["text"] is None:
+            assert r["doc_id"] not in got
+            continue
+        w = [
+            t
+            for t in re.sub(r"\s+", " ", r["text"].lower().strip()).split(" ")
+            if t
+        ]
+        if not w:
+            assert r["doc_id"] not in got
+            continue
+        expected += 1
+        g = got[r["doc_id"]]
+        assert g["n_words"] == len(w)
+        assert abs(g["ttr"] - len(set(w)) / len(w)) < 1e-6
+        k = len(w) // 100
+        assert g["n_segments"] == k
+        if k == 0:
+            assert g["msttr"] is None
+        else:
+            segs = [len(set(w[i * 100 : (i + 1) * 100])) for i in range(k)]
+            assert abs(g["msttr"] - sum(segs) / (k * 100)) < 1e-6
+    assert len(got) == expected
