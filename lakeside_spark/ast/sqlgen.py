@@ -273,11 +273,15 @@ def formula_sql(ast, branches: dict[str, str]) -> str:
             return f"(SELECT {S.STEP_TS}, {S.VALUE} FROM ({branches[node.name]}))"
         left, right = rec(node.e1), rec(node.e2)
         if isinstance(left, float) and isinstance(right, float):
+            # NB: constant/0 raises ZeroDivisionError here exactly like
+            # eval_formula's Python fold — emitting NaN instead would
+            # produce invalid SQL (CAST(nan AS DOUBLE)) and silently
+            # diverge from the engine on this branch
             return {
                 "add": left + right,
                 "sub": left - right,
                 "mul": left * right,
-                "div": left / right if right != 0 else float("nan"),
+                "div": left / right,
             }[node.op]
         if isinstance(right, float):
             if node.op == "div" and right == 0:

@@ -105,17 +105,14 @@ def _metadata_count(corpus: DataFrame) -> int | None:
         files = corpus.inputFiles()
         if not files or len(files) > 4096:
             return None
-        import pyarrow.parquet as pq
-        from urllib.parse import urlparse
+        from lakeside_spark.sources.footers import local_parquet_meta
 
         total = 0
         for uri in files:
-            parsed = urlparse(uri)
-            if parsed.scheme not in ("file", ""):
+            meta = local_parquet_meta(uri)
+            if meta is None:
                 return None
-            if not uri.endswith(".parquet"):
-                return None
-            total += pq.read_metadata(parsed.path or uri).num_rows
+            total += meta.num_rows
         return total
     except Exception:
         return None
@@ -171,6 +168,12 @@ def _bm25_scored_full(
     term) shuffle, vocabulary df off it, idf resolved on the bounded
     query-term set (broadcast qterms into the df table, never the
     reverse)."""
+    from lakeside_spark.operators.textstats import _parallelize_sized
+
+    # under-parallel gate, same as the matched plan: a single-file
+    # corpus is ONE split and pins the codegen tokenize/explode to one
+    # core (the r8 probe bug class)
+    corpus = _parallelize_sized(corpus)
     tf = (
         corpus.select(
             F.col(id_col).alias("doc_id"), F.explode(words(text_col)).alias("term")

@@ -99,7 +99,9 @@ def _overlap_hits(
     if key is not None:
         hits = hits.persist()
         while len(_OVERLAP_CACHE) >= _OVERLAP_CACHE_SLOTS:
-            _, old = _OVERLAP_CACHE.popitem()
+            # evict OLDEST first (popitem() is LIFO and would pin the
+            # first-inserted entry forever under slot rotation)
+            old = _OVERLAP_CACHE.pop(next(iter(_OVERLAP_CACHE)))
             old[2].unpersist()
         _OVERLAP_CACHE[key] = (ac, ae, hits)
     return hits

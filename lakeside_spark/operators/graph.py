@@ -192,6 +192,9 @@ def pagerank(
     )
     n_nodes = nodes.count()
     if n_nodes == 0:
+        # the try/finally below is not reached on this path — release
+        # the cache here or the empty frame pins storage for the session
+        nodes.unpersist()
         return spark.createDataFrame([], "node string, rank double")
 
     outw = e.groupBy("src").agg(F.sum("w").alias("wsum"))

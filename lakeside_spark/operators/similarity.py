@@ -52,18 +52,26 @@ def _effective_input_parallelism(df: DataFrame) -> int:
         want = df.sparkSession.sparkContext.defaultParallelism
         if len(files) >= min(parts, want):
             return parts
-        from urllib.parse import urlparse
-
-        import pyarrow.parquet as pq
+        # the row-group cap only describes a partitioning INHERITED from
+        # the file scan: once the plan contains a shuffle-introducing
+        # node (Repartition, Join, Aggregate, ...) the partition count
+        # is real and must be trusted — only scan-partition-preserving
+        # nodes may sit above the relation
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        preserving = ("Project", "Filter", "Generate", "MapInPandas",
+                      "Relation", "LogicalRelation")
+        for line in plan.splitlines():
+            node = line.lstrip(" +-:").split(" ", 1)[0]
+            if node and node not in preserving:
+                return parts
+        from lakeside_spark.sources.footers import local_parquet_meta
 
         groups = 0
         for uri in files:
-            parsed = urlparse(uri)
-            if parsed.scheme not in ("file", "") or not uri.endswith(
-                ".parquet"
-            ):
+            meta = local_parquet_meta(uri)
+            if meta is None:
                 return parts
-            groups += pq.ParquetFile(parsed.path or uri).num_row_groups
+            groups += meta.num_row_groups
             if groups >= parts:
                 return parts
         return min(parts, groups)

@@ -1618,8 +1618,12 @@ WITH RECURSIVE vocab AS (
     FROM (
       SELECT u.w, u.l, u.j, u.pos, m.rnk
       FROM (
+        -- no fixed merge-count cap: each merge shrinks l by exactly 1,
+        -- so len(l) > 1 both terminates the recursion and matches the
+        -- Python encoder's unbounded loop at ANY word length (a fixed
+        -- j-cap would diverge on words needing more merges than it)
         SELECT w, l, j, unnest(range(1, len(l))) AS pos
-        FROM enc WHERE j < 200
+        FROM enc WHERE len(l) > 1
       ) u
       JOIN mtab m ON m.a = u.l[u.pos] AND m.b = u.l[u.pos + 1]
     ) c

@@ -28,6 +28,9 @@ from lakeside_spark.schema import load_telemetry
 from lakeside_spark.sources.partsupp import PARTSUPP_CTE
 from lakeside_spark.sources.tables import load_table
 
+# q9 broadcast-gate memo: filtered-part count per (applicationId, sf_dir)
+_Q9_PART_COUNT: dict[tuple[str, str], int] = {}
+
 
 
 # ---------------------------------------------------------------------------
@@ -830,15 +833,26 @@ def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     ps_named = ps.join(
         F.broadcast(part.select("p_partkey")), F.col("ps_partkey") == F.col("p_partkey")
     )
+    # explicit-but-GATED hint: Catalyst can't estimate the derived-ps
+    # side's size and was measured broadcasting the LINEITEM fact
+    # instead (fine at local SFs where the whole fact fits the 10 MB
+    # threshold, exactly wrong at scale). The derived side is
+    # name-filtered part × 4 suppliers — it grows LINEARLY with the
+    # part table, so an unconditional hint would itself be wrong at
+    # large SF (forcing a broadcast past the 8 GB / 512M-row limits).
+    # Gate on the filtered-part count (cheap pushdown dim scan,
+    # memoized per session+sf like the supplier count): hint only while
+    # 4×parts stays comfortably broadcastable; past the gate the fact
+    # no longer fits 10 MB either, so AQE cannot repeat the measured
+    # fact-broadcast mistake.
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _Q9_PART_COUNT:
+        _Q9_PART_COUNT[key] = part.count()
+    if _Q9_PART_COUNT[key] * 4 <= 5_000_000:
+        ps_named = F.broadcast(ps_named)
     return (
         li.join(
-            # explicit hint: the derived-ps side is name-filtered part × 4
-            # suppliers — dim-derived and broadcastable at any SF — but
-            # Catalyst can't estimate the derivation's size and was
-            # measured broadcasting the LINEITEM side instead (fine at
-            # local SFs where the whole fact fits the 10 MB threshold,
-            # exactly wrong at scale)
-            F.broadcast(ps_named),
+            ps_named,
             (F.col("l_partkey") == F.col("ps_partkey"))
             & (F.col("l_suppkey") == F.col("ps_suppkey")),
         )

@@ -295,3 +295,20 @@ def test_fuzz_formula_expressions(spark, sf_dir, ddb):
         sql = sqlgen.formula_sql(parse_formula(fstr), branch_sql)
         assert formula_labels(parse_formula(fstr)) <= {"a", "b"}
         _assert_match(out, ddb, sql, f"formula trial {i}: {fstr}")
+
+
+def test_formula_constant_div_by_zero_raises_in_both_twins():
+    """A constant-folded zero denominator must fail identically in the
+    engine (eval_formula's Python fold) and the SQL emitter — the
+    emitter used to fold it to NaN and emit invalid SQL
+    (CAST(nan AS DOUBLE)), silently diverging on this branch."""
+    import pytest
+
+    from lakeside_spark.ast import sqlgen
+    from lakeside_spark.ast.formula import eval_formula, parse_formula
+
+    ast = parse_formula("(1 / (3 - 3)) + a")
+    with pytest.raises(ZeroDivisionError):
+        sqlgen.formula_sql(ast, {"a": "SELECT 1 AS step_ts, 1.0 AS value"})
+    with pytest.raises(ZeroDivisionError):
+        eval_formula(ast, {})
