@@ -1468,6 +1468,44 @@ def streaming_replay_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_replay_service_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming service-graph replay (third driver-visible streaming
+    artifact, after funnel and EMA): the trace span stream recorded as
+    three time-ordered micro-batches, driven through the
+    applyInPandasWithState span-adjacency twin
+    (streaming/stateful.streaming_service_edges — state is two scalars
+    per trace, so an edge crossing a micro-batch boundary is emitted
+    exactly once by the state store), then rolled up to the
+    (src, dst, n, avg_gap) service map. Oracle: the batch
+    TRACE_SERVICE_GRAPH_SQL — time-contiguous slices keep each trace's
+    rows in event-time order across batches and the twin sorts
+    (ts, event_id) within each batch, i.e. exactly the batch window
+    order, so the edge multiset hash-matches the batch panel."""
+    from lakeside_spark.streaming.stateful import streaming_service_edges
+
+    tr = S.load_traces(spark, sf_dir).select(
+        "user_id", S.TIMESTAMP, S.SPAN_NAME, "event_id"
+    )
+    src = _replay_micro_batches(spark, tr, S.TIMESTAMP)
+    out = _run_replay(
+        spark,
+        src,
+        "user_id string, timestamp_ms long, span_name string, event_id long",
+        lambda s: streaming_service_edges(
+            s,
+            key_col="user_id",
+            ts_col=S.TIMESTAMP,
+            name_col=S.SPAN_NAME,
+        ),
+    )
+    return out.groupBy(
+        F.col("src").alias("src_span"), F.col("dst").alias("dst_span")
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("gap_ms"), 6).alias("avg_gap_ms"),
+    )
+
+
 def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Each purchase event joined as-of to the user's most recent click
     (operators/asof.py — union+window composition, one keyed shuffle;
