@@ -28,6 +28,8 @@ from lakeside_spark.ast.model import (
     BinaryClause,
     ChartOptions,
     Compute,
+    ExtractedField,
+    Extractor,
     Filter,
     FunctionCall,
     Label,
@@ -47,6 +49,7 @@ _EXISTING = {"timestamp_ms", "name", "value", "message", "user_id", "event_id"}
 N_FILTER = 120
 N_COMPUTE = 50
 N_FORMULA = 50
+N_EXTRACT = 40
 
 
 @pytest.fixture(scope="module")
@@ -312,3 +315,62 @@ def test_formula_constant_div_by_zero_raises_in_both_twins():
         sqlgen.formula_sql(ast, {"a": "SELECT 1 AS step_ts, 1.0 AS value"})
     with pytest.raises(ZeroDivisionError):
         eval_formula(ast, {})
+
+
+# ---------------------------------------------------------------------------
+# extractor-stage sweep (the remaining AST surface: getExtractSql /
+# RegexpStage parity — random named-group extractions feeding filters,
+# aggregations and group-bys)
+
+_EXTRACT_POOL = [
+    ('"k": ([0-9]+)', (("kn", S.NUMBER_TYPE),)),
+    ('"k": (1[0-9]+)', (("kn", S.NUMBER_TYPE),)),  # partial match: gate drops the rest
+    ('([0-9]+)\\}$', (("kn", S.NUMBER_TYPE),)),
+    ('"k": ([0-9])([0-9]+)', (("d1", S.STRING_TYPE), ("rest", S.NUMBER_TYPE))),
+    ('\\{("k"): ([0-9]+)', (("tag", S.STRING_TYPE), ("kn", S.NUMBER_TYPE))),
+    ('"k": ([02468]+)', (("kn", S.NUMBER_TYPE),)),
+]
+
+
+def test_fuzz_extract_stage(spark, sf_dir, ddb):
+    """Random regex named-field extractions over the message column,
+    used three ways — as the aggregated chart field, as a numeric range
+    filter, and as a synthetic group-by tag — value-checked against the
+    sqlgen staging emitter. Number-typed groups always use [0-9]+ (an
+    empty match would CAST('' AS DOUBLE) = error in DuckDB vs NULL in
+    Spark — a semantics hole, not an engine bug)."""
+    rng = random.Random(3083)
+    tele = load_telemetry(spark, sf_dir)
+    eng = QueryEngine(spark, step_ms=DAY)
+    for i in range(N_EXTRACT):
+        regex, fields = rng.choice(_EXTRACT_POOL)
+        ext = Extractor(
+            regex=regex,
+            fields=tuple(ExtractedField(n, t) for n, t in fields),
+        )
+        num_fields = [n for n, t in fields if t == S.NUMBER_TYPE]
+        str_fields = [n for n, t in fields if t == S.STRING_TYPE]
+        roll = rng.random()
+        if roll < 0.4 and num_fields:
+            fname = rng.choice(num_fields)
+            flt = Filter(k=fname, op=S.EXISTS, extracted=True)
+            chart = ChartOptions(
+                aggregation=rng.choice(("avg", "sum", "min", "max")),
+                field_name=fname, field_type=S.NUMBER_TYPE,
+            )
+        elif roll < 0.7 and num_fields:
+            fname = rng.choice(num_fields)
+            flt = Filter(
+                k=fname, v=(rng.choice(("10", "50", "80")),),
+                op=rng.choice((S.GT, S.LE)), extracted=True,
+                data_type=S.NUMBER_TYPE,
+            )
+            chart = ChartOptions(aggregation="count")
+        else:
+            gname = rng.choice(str_fields or [n for n, _ in fields])
+            flt = Filter(k=gname, op=S.EXISTS, extracted=True)
+            chart = ChartOptions(aggregation="count", group_bys=(gname,))
+        expr = BaseExpr(filter=flt, extractor=ext, chart=chart)
+        sdf = eng.run(expr, tele).withColumn(S.VALUE, F.round(F.col(S.VALUE), 6))
+        sql = sqlgen.chart_sql(expr, _T, DAY, _EXISTING)
+        _assert_match(sdf, ddb, sql, f"extract trial {i}: {regex} {flt}")
