@@ -177,6 +177,11 @@ HEADLINE = [
     "ts_gap_report",
 ]
 
+# the explicit list fixes a stable measurement order for cross-round
+# comparability; any key added to the registry after it was written is
+# appended automatically so new operators are never silently un-benched
+HEADLINE += [k for k in QUERIES if k not in HEADLINE]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

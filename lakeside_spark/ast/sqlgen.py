@@ -276,13 +276,14 @@ def formula_sql(ast, branches: dict[str, str]) -> str:
             # NB: constant/0 raises ZeroDivisionError here exactly like
             # eval_formula's Python fold — emitting NaN instead would
             # produce invalid SQL (CAST(nan AS DOUBLE)) and silently
-            # diverge from the engine on this branch
+            # diverge from the engine on this branch. Lambdas keep the
+            # division lazy so folding sub(2, 0) etc. never divides.
             return {
-                "add": left + right,
-                "sub": left - right,
-                "mul": left * right,
-                "div": left / right,
-            }[node.op]
+                "add": lambda: left + right,
+                "sub": lambda: left - right,
+                "mul": lambda: left * right,
+                "div": lambda: left / right,
+            }[node.op]()
         if isinstance(right, float):
             if node.op == "div" and right == 0:
                 return (
