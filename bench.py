@@ -179,8 +179,10 @@ HEADLINE = [
 
 # the explicit list fixes a stable measurement order for cross-round
 # comparability; any key added to the registry after it was written is
-# appended automatically so new operators are never silently un-benched
-HEADLINE += [k for k in QUERIES if k not in HEADLINE]
+# appended automatically (SORTED — registry order re-rotates per round,
+# which would move the tail keys' warm-cache context between rounds) so
+# new operators are never silently un-benched
+HEADLINE += sorted(k for k in QUERIES if k not in HEADLINE)
 
 
 def main() -> None:
@@ -238,7 +240,16 @@ def main() -> None:
     con = duckdb.connect()
     for t in ALL_TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
-    oracle_subset = [q for q in HEADLINE if q in ORACLES and q in per_query]
+    # streaming_replay_* keys stay OUT of the cross-engine subset: their
+    # wall is micro-batch runtime (triggers, state store, checkpoint),
+    # not plan cost, and would skew the spark/duckdb ratio by the very
+    # overhead the comparison is not about; the vs-prev tripwire below
+    # iterates per_query and still covers them round-over-round
+    oracle_subset = [
+        q for q in HEADLINE
+        if q in ORACLES and q in per_query
+        and not q.startswith("streaming_replay_")
+    ]
     spark_subset_wall = sum(per_query[q] for q in oracle_subset)
     duck_total = 0.0
     duck_query: dict[str, float] = {}
@@ -279,14 +290,6 @@ def main() -> None:
     prev_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_PREV.json")
     regressions: list[dict] = []
     for name in oracle_subset:
-        if name.startswith("streaming_replay_"):
-            # the replay keys run REAL micro-batch streaming machinery
-            # (3 triggers, state store, checkpoint, temp-parquet source)
-            # against a BATCH SQL oracle — the ~4-8s wall is the
-            # streaming runtime, not plan cost, and would trip the
-            # vs-oracle arm every round; the 2x-vs-prev arm below still
-            # catches genuine regressions in these keys
-            continue
         s, d = per_query.get(name), duck_query.get(name)
         if s and d and s > 1.5 and s / max(d, 1e-9) > 5.0:
             regressions.append(
