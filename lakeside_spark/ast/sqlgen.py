@@ -27,6 +27,8 @@ Every emission rule mirrors one Spark compilation rule:
 
 from __future__ import annotations
 
+import re
+
 from lakeside_spark import schema as S
 from lakeside_spark.ast.filters import _normalized_value
 from lakeside_spark.ast.model import (
@@ -45,6 +47,11 @@ _NORMALIZED_TYPES = {S.DURATION_TYPE, S.DATA_SIZE_TYPE, S.NUMBER_TYPE}
 
 def _quote(v: str) -> str:
     return "'" + v.replace("'", "''") + "'"
+
+
+# mirror of engine._PERCENTILE_RE (kept textually identical; a drift here
+# is exactly the coverage hole the round-8 advice flagged)
+_ENGINE_PERCENTILE_RE = re.compile(r"^p(\d{1,2}(\.\d+)?)$")
 
 
 def _dbl(x: float) -> str:
@@ -227,8 +234,11 @@ def chart_sql(
         value = f"COUNT({target})"
     elif agg in (S.SUM, S.AVG, S.MIN, S.MAX):
         value = f"{agg.upper()}({target})"
-    elif agg.startswith("p") and agg[1:].isdigit():
-        value = f"quantile_cont({target}, {_dbl(int(agg[1:]) / 100.0)})"
+    elif _ENGINE_PERCENTILE_RE.match(agg):
+        # same regex as engine._PERCENTILE_RE so the twin accepts every
+        # aggregation the Spark side does (decimals like p99.9 included)
+        q = float(_ENGINE_PERCENTILE_RE.match(agg).group(1)) / 100.0
+        value = f"quantile_cont({target}, {_dbl(q)})"
     else:
         raise ValueError(f"Invalid aggregation {agg}")
     value = f"CAST({value} AS DOUBLE)"

@@ -71,6 +71,18 @@ _OVERLAP_CACHE: dict = {}
 _OVERLAP_CACHE_SLOTS = 2
 
 
+def clear_overlap_cache() -> None:
+    """Drop all cached gram-overlap tables (use after rewriting an input
+    parquet at the same path mid-session — plan-equality keys cannot see
+    on-disk changes)."""
+    while _OVERLAP_CACHE:
+        old = _OVERLAP_CACHE.pop(next(iter(_OVERLAP_CACHE)))
+        try:
+            old[2].unpersist()
+        except Exception:
+            pass
+
+
 def _overlap_hits(
     corpus: DataFrame,
     eval_docs: DataFrame,
@@ -102,7 +114,13 @@ def _overlap_hits(
             # evict OLDEST first (popitem() is LIFO and would pin the
             # first-inserted entry forever under slot rotation)
             old = _OVERLAP_CACHE.pop(next(iter(_OVERLAP_CACHE)))
-            old[2].unpersist()
+            try:
+                old[2].unpersist()
+            except Exception:
+                # the frame is being discarded anyway; after a SparkSession
+                # restart in the same process the stale entry's DataFrame
+                # belongs to a stopped context and unpersist() raises
+                pass
         _OVERLAP_CACHE[key] = (ac, ae, hits)
     return hits
 
@@ -118,6 +136,12 @@ def ngram_overlap(
 
     Returns (doc_id, n_overlap_grams, first_gram) — first_gram (the
     lexicographic minimum) pins a human-checkable witness per hit.
+
+    Staleness caveat: the shared gram-overlap table is memoized per
+    (application, corpus plan, eval plan) — rewriting the parquet at the
+    same path mid-session returns the cached result (same contract as the
+    chunking span cache). Call :func:`clear_overlap_cache` after rewriting
+    inputs in place.
     """
     hits = _overlap_hits(corpus, eval_docs, n, text_col, id_col)
     return hits.groupBy("doc_id").agg(
@@ -134,7 +158,10 @@ def decontaminate(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """The filter pass: corpus minus eval docs minus any doc overlapping
-    the eval set — a broadcast anti-join, no wide shuffle of doc bodies."""
+    the eval set — a broadcast anti-join, no wide shuffle of doc bodies.
+
+    Shares :func:`ngram_overlap`'s memoized hits table and inherits its
+    staleness caveat (see :func:`clear_overlap_cache`)."""
     dirty = _overlap_hits(corpus, eval_docs, n, text_col, id_col).select(
         F.col("doc_id").alias("_dirty_id")
     )

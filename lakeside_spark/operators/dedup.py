@@ -701,6 +701,7 @@ def hamming_pairs(
     bits: int,
     hash_col: str = "simhash",
     id_col: str = "doc_id",
+    allow_quadratic: bool = False,
 ) -> DataFrame:
     """All (id_a, id_b, hamming) pairs within ``max_hamming`` over an
     ``(<id_col>, <hash_col>)`` frame of ``bits``-bit signatures. Exact
@@ -713,10 +714,11 @@ def hamming_pairs(
     verifies. This is the multi-index-hashing scale path: the only
     shuffle is the chunk join, and a chunk key touches n/2^bits of the
     corpus. When chunks get narrower than 8 bits (large max_hamming
-    relative to the signature width) banding stops pruning and we fall
-    back to the all-pairs join — at that point the threshold itself is
-    the problem, not the algorithm. The fallback is O(n²) and warns
-    loudly: at corpus scale the caller must tighten the budget (so
+    relative to the signature width) banding stops pruning — at that
+    point the threshold itself is the problem, not the algorithm. That
+    budget is a HARD ERROR unless ``allow_quadratic=True`` explicitly
+    opts into the O(n²) all-pairs join (tolerable only on a corpus known
+    to be small): at corpus scale the caller must tighten the budget (so
     bits // (max_hamming+1) >= 8) or widen the signature.
     """
     sh = hashes.select(F.col(id_col).alias("doc_id"), F.col(hash_col).alias("__h"))
@@ -774,13 +776,21 @@ def hamming_pairs(
         return cand.select("id_a", "id_b", hamming.alias("hamming")).filter(
             F.col("hamming") <= max_hamming
         )
+    if not allow_quadratic:
+        raise ValueError(
+            f"hamming_pairs: max_hamming={max_hamming} on a {bits}-bit "
+            f"signature leaves {band_bits}-bit bands (<8): pigeonhole "
+            "banding cannot prune, so the only plan is the O(n²) all-pairs "
+            "join. Tighten the budget so bits // (max_hamming+1) >= 8, "
+            "widen the signature, or pass allow_quadratic=True to opt into "
+            "the all-pairs join on a corpus known to be small."
+        )
     import warnings
 
     warnings.warn(
         f"hamming_pairs: max_hamming={max_hamming} on a {bits}-bit signature "
-        f"leaves {band_bits}-bit bands (<8): pigeonhole banding cannot prune, "
-        "falling back to the O(n²) all-pairs join. Tighten the budget so "
-        "bits // (max_hamming+1) >= 8 before running at corpus scale.",
+        f"leaves {band_bits}-bit bands (<8): running the explicitly requested "
+        "O(n²) all-pairs join (allow_quadratic=True).",
         stacklevel=2,
     )
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("__h").alias("ha"))
@@ -879,25 +889,22 @@ def simhash_best_match(
 
 
 
-def ngram_containment_pairs(
-    docs: DataFrame,
-    threshold: float,
-    n: int = 3,
-    text_col: str = "text",
-    id_col: str = "doc_id",
+def _containment_pairs_from_shingles(
+    ex: DataFrame, threshold: float, candidates: DataFrame | None = None
 ) -> DataFrame:
-    """Exact n-gram CONTAINMENT pairs: containment(a,b) =
-    |A∩B| / min(|A|, |B|) ≥ threshold (id_a < id_b).
-
-    The asymmetric complement to Jaccard: a short document quoted
-    wholesale inside a long one has tiny Jaccard (the union is huge) but
-    containment ~1 — the doc-inside-doc duplication Jaccard structurally
-    misses (Broder 1997 distinguishes resemblance from containment for
-    exactly this case). Shape: the shared shingle pass + one
-    shingle-keyed join; at 100 TB candidates come from minhash_lsh_pairs
-    first, same as the Jaccard verify stage.
-    """
-    ex = _shingled_rows(docs, text_col, id_col, n).persist()
+    """Containment pairs from (doc_id, shingle) rows. With ``candidates``
+    (an (id_a, id_b) frame), the shingle pair join runs ONLY over
+    candidate docs and the output is semi-joined back to the candidate
+    pairs — the bounded verify stage of the scale path."""
+    if candidates is not None:
+        cand_ids = (
+            candidates.select(F.col("id_a").alias("__cand_id"))
+            .union(candidates.select(F.col("id_b").alias("__cand_id")))
+            .distinct()
+        )
+        ex = ex.join(
+            F.broadcast(cand_ids), F.col("doc_id") == F.col("__cand_id"), "leftsemi"
+        )
     sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a, b = ex.alias("a"), ex.alias("b")
     inter = (
@@ -911,6 +918,8 @@ def ngram_containment_pairs(
         )
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
+    if candidates is not None:
+        inter = inter.join(candidates, ["id_a", "id_b"], "leftsemi")
     sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("_sa"))
     sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("_sb"))
     cont = F.col("n_common") / F.least(F.col("_sa"), F.col("_sb"))
@@ -922,3 +931,65 @@ def ngram_containment_pairs(
             "id_a", "id_b", "n_common", F.round(cont, 6).alias("containment")
         )
     )
+
+
+def ngram_containment_pairs(
+    docs: DataFrame,
+    threshold: float,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    strategy: str = "auto",
+    exact_max_docs: int = 50_000,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """n-gram CONTAINMENT pairs: containment(a,b) =
+    |A∩B| / min(|A|, |B|) ≥ threshold (id_a < id_b).
+
+    The asymmetric complement to Jaccard: a short document quoted
+    wholesale inside a long one has tiny Jaccard (the union is huge) but
+    containment ~1 — the doc-inside-doc duplication Jaccard structurally
+    misses (Broder 1997 distinguishes resemblance from containment for
+    exactly this case).
+
+    strategy="exact": the full shingle-keyed pair join — exact, but its
+    cost is bounded only by true containment-pair volume, which on a
+    boilerplate-heavy corpus is quadratic in the duplicate mass.
+    strategy="lsh": candidates from the shared MinHash band join with
+    ONE-row bands (bands = num_hashes, the most containment-favorable
+    banding: a pair is a candidate if ANY single minhash collides, so
+    recall = 1-(1-J)^num_hashes — ~1.0 when the contained doc is ≥25% of
+    the container, degrading for extreme size ratios; that recall trade
+    is the documented price of the scale path, exactly as in
+    minhash_lsh_pairs), verified with exact containment over candidate
+    docs only. "auto" probes the corpus size with one agg over the
+    cached shingle rows and takes "lsh" above ``exact_max_docs``.
+
+    Shingle rows persist for the session lifetime (same contract as
+    ngram_jaccard_pairs — the pass is shared by signatures and verify).
+    """
+    ex = _shingled_rows(docs, text_col, id_col, n).persist()
+    if strategy == "auto":
+        n_docs = ex.agg(F.approx_count_distinct("doc_id")).first()[0]
+        strategy = "exact" if n_docs <= exact_max_docs else "lsh"
+    if strategy == "exact":
+        return _containment_pairs_from_shingles(ex, threshold)
+    # lsh: one-row bands — every minhash position is its own band key
+    sig = minhash_signatures(
+        docs, num_hashes, n, text_col, id_col, shingle_rows=ex
+    )
+    banded = sig.select(
+        "doc_id", F.explode(_band_keys(F.col("sig"), num_hashes, 1)).alias("band")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+        .persist()
+    )
+    return _containment_pairs_from_shingles(ex, threshold, candidates=candidates)

@@ -2175,6 +2175,40 @@ def test_containment_catches_doc_inside_doc(spark):
     assert jac.get((1, 2), 0.0) < 0.12  # below the dedup threshold
 
 
+def test_containment_lsh_gate(spark):
+    """Above the corpus-size gate the auto strategy flips to LSH
+    candidates + bounded verify: output ⊆ exact, the planted
+    contained-doc pair is recovered with the identical containment
+    value, and the verify's pair join is candidate-bounded (LeftSemi in
+    the plan) — no full shingle-pair join at scale."""
+    from lakeside_spark.operators.dedup import ngram_containment_pairs
+
+    filler = " ".join(f"word{i} item{i} thing{i}" for i in range(40))
+    short = " ".join(f"quote{i} body{i}" for i in range(25))
+    rows = [
+        (1, short),
+        (2, filler + " " + short),
+        (3, "unrelated stuff entirely different tokens throughout here"),
+        (4, " ".join(f"decoy{i} filler{i}" for i in range(30))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in ngram_containment_pairs(
+            df, threshold=0.5, strategy="exact"
+        ).collect()
+    }
+    # exact_max_docs=0 forces the auto probe over the gate
+    gated = ngram_containment_pairs(df, threshold=0.5, exact_max_docs=0)
+    plan = gated._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan, plan
+    got = {
+        (r["id_a"], r["id_b"]): r["containment"] for r in gated.collect()
+    }
+    assert set(got) <= set(exact)
+    assert (1, 2) in got and got[(1, 2)] == exact[(1, 2)]
+
+
 def test_ts_autocorrelation_matches_pandas(spark, sf_dir):
     """ACF rows must equal pandas' Series.autocorr semantics (Pearson of
     grid-aligned lag pairs) recomputed from the same hourly series —
