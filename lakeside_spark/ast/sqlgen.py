@@ -49,9 +49,9 @@ def _quote(v: str) -> str:
     return "'" + v.replace("'", "''") + "'"
 
 
-# mirror of engine._PERCENTILE_RE (kept textually identical; a drift here
-# is exactly the coverage hole the round-8 advice flagged)
-_ENGINE_PERCENTILE_RE = re.compile(r"^p(\d{1,2}(\.\d+)?)$")
+# the single source of truth lives in engine (engine does not import
+# sqlgen, so no cycle); re-exported under the local name the emitter uses
+from lakeside_spark.engine import _PERCENTILE_RE as _ENGINE_PERCENTILE_RE
 
 
 def _dbl(x: float) -> str:

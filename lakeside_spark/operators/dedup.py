@@ -801,14 +801,32 @@ def hamming_pairs(
     )
 
 
-def simhash_pairs(docs: DataFrame, max_hamming: int = 8, **kw) -> DataFrame:
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int = 6,
+    allow_quadratic: bool = False,
+    **kw,
+) -> DataFrame:
     """Near-dup pairs with hamming(simhash) ≤ max_hamming over the 60-bit
-    text SimHash. Exact (recall 1) — see hamming_pairs for the banding."""
-    return hamming_pairs(simhash64(docs, **kw), max_hamming, bits=60)
+    text SimHash. Exact (recall 1) — see hamming_pairs for the banding.
+
+    Default budget is 6: 60 // 7 = 8-bit bands, the minimum banding_pairs
+    accepts without the O(n²) escape hatch. A wider budget needs
+    ``allow_quadratic=True`` (forwarded to hamming_pairs), which is only
+    sane on a corpus known to be small (e.g. a ground-truth comparison)."""
+    return hamming_pairs(
+        simhash64(docs, **kw),
+        max_hamming,
+        bits=60,
+        allow_quadratic=allow_quadratic,
+    )
 
 
 def simhash_best_match(
-    docs: DataFrame, max_hamming: int = 8, **kw
+    docs: DataFrame,
+    max_hamming: int = 6,
+    allow_quadratic: bool = False,
+    **kw,
 ) -> DataFrame:
     """Each doc's BEST simhash near-dup (min hamming, min partner id) —
     the bounded form a dedup pipeline consumes: on a self-similar corpus
@@ -828,6 +846,7 @@ def simhash_best_match(
     list — verified by the parity pytest."""
     sh = simhash64(docs, **kw)
     w = Window.partitionBy("simhash")
+    del kw  # everything below uses sh; allow_quadratic forwards explicitly
     annotated = (
         sh.withColumn("__mn", F.min("doc_id").over(w))
         .withColumn("__sz", F.count(F.lit(1)).over(w))
@@ -842,7 +861,7 @@ def simhash_best_match(
     reps = annotated.filter(F.col("doc_id") == F.col("__mn")).select(
         "doc_id", "simhash"
     )
-    rp = hamming_pairs(reps, max_hamming, bits=60)
+    rp = hamming_pairs(reps, max_hamming, bits=60, allow_quadratic=allow_quadratic)
     rep_best = (
         rp.select(
             F.col("id_a").alias("rep"),

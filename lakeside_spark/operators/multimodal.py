@@ -341,9 +341,12 @@ def phash_pairs(
     max_hamming: int = 6,
     binary_col: str = "media",
     id_col: str = "doc_id",
+    allow_quadratic: bool = False,
 ) -> DataFrame:
     """Image near-dup pairs: pHash signatures into the shared pigeonhole-
-    banded hamming join (exact at the given budget, no all-pairs scan)."""
+    banded hamming join (exact at the given budget, no all-pairs scan).
+    Budgets beyond 6 leave <8-bit bands on the 63-bit signature and need
+    ``allow_quadratic=True`` (forwarded to hamming_pairs)."""
     from lakeside_spark.operators.dedup import hamming_pairs
 
     return hamming_pairs(
@@ -352,6 +355,7 @@ def phash_pairs(
         bits=63,
         hash_col="phash",
         id_col=id_col,
+        allow_quadratic=allow_quadratic,
     )
 
 

@@ -178,7 +178,12 @@ def test_banded_simhash_matches_all_pairs(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     banded = {(r["id_a"], r["id_b"], r["hamming"]) for r in simhash_pairs(docs, 6).collect()}
-    full = {(r["id_a"], r["id_b"], r["hamming"]) for r in simhash_pairs(docs, 60).collect()}
+    # ground-truth side: the all-pairs join is exactly what the
+    # allow_quadratic escape hatch exists for (small test corpus)
+    full = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_pairs(docs, 60, allow_quadratic=True).collect()
+    }
     assert banded == {x for x in full if x[2] <= 6}
 
 
@@ -220,7 +225,10 @@ def test_identical_docs_have_zero_hamming(spark):
 
     rows = [(1, "the quick brown fox jumps"), (2, "the quick brown fox jumps"), (3, "completely different words here entirely")]
     df = spark.createDataFrame(rows, "doc_id long, text string")
-    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_pairs(df, max_hamming=60).collect()}
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_pairs(df, max_hamming=60, allow_quadratic=True).collect()
+    }
     assert pairs[(1, 2)] == 0
     assert pairs.get((1, 3), 61) > 0
 
@@ -1370,7 +1378,10 @@ def test_phash_image_near_dup(spark):
     assert hashes[1] == hashes[2]
     assert all(0 <= h < 2**63 for h in hashes.values())
 
-    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in phash_pairs(df, max_hamming=10).collect()}
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in phash_pairs(df, max_hamming=10, allow_quadratic=True).collect()
+    }
     assert pairs[(1, 2)] == 0
     assert (1, 3) in pairs and 0 < pairs[(1, 3)] <= 10
     assert (1, 4) not in pairs and (2, 4) not in pairs
@@ -1384,7 +1395,7 @@ def test_phash_image_near_dup(spark):
     assert pairs == want
 
 
-def test_hamming_pairs_custom_id_col_and_fallback_warning(spark):
+def test_hamming_pairs_custom_id_col(spark):
     from lakeside_spark.operators.dedup import hamming_pairs
 
     df = spark.createDataFrame(
@@ -1393,12 +1404,40 @@ def test_hamming_pairs_custom_id_col_and_fallback_warning(spark):
     # custom id column flows through the banded join (was hard-coded doc_id)
     pairs = hamming_pairs(df, max_hamming=1, bits=64, hash_col="h", id_col="img_id")
     assert {(r["id_a"], r["id_b"]) for r in pairs.collect()} == {(1, 2)}
-    # a budget too wide for the signature falls back all-pairs AND warns
+
+
+def test_hamming_pairs_banding_impossible_raises(spark):
+    """A budget leaving <8-bit bands is a hard error — the silent O(n²)
+    fallback was removed; opting in requires allow_quadratic=True."""
+    import pytest
+
+    from lakeside_spark.operators.dedup import hamming_pairs, simhash_pairs
+
+    df = spark.createDataFrame(
+        [(1, 0b1111), (2, 0b1110), (3, 0b0000)], "img_id long, h long"
+    )
+    with pytest.raises(ValueError, match="all-pairs"):
+        hamming_pairs(df, max_hamming=12, bits=64, hash_col="h", id_col="img_id")
+    # the public simhash wrappers surface the same guard
+    docs = spark.createDataFrame([(1, "a b c"), (2, "a b d")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="allow_quadratic"):
+        simhash_pairs(docs, max_hamming=20)
+
+
+def test_hamming_pairs_allow_quadratic_warns_and_is_correct(spark):
     import warnings
 
+    from lakeside_spark.operators.dedup import hamming_pairs
+
+    df = spark.createDataFrame(
+        [(1, 0b1111), (2, 0b1110), (3, 0b0000)], "img_id long, h long"
+    )
     with warnings.catch_warnings(record=True) as caught:
         warnings.simplefilter("always")
-        wide = hamming_pairs(df, max_hamming=12, bits=64, hash_col="h", id_col="img_id")
+        wide = hamming_pairs(
+            df, max_hamming=12, bits=64, hash_col="h", id_col="img_id",
+            allow_quadratic=True,
+        )
         assert any("all-pairs" in str(w.message) for w in caught)
     got = {(r["id_a"], r["id_b"]): r["hamming"] for r in wide.collect()}
     assert got == {(1, 2): 1, (1, 3): 4, (2, 3): 3}
