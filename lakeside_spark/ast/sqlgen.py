@@ -218,7 +218,12 @@ def chart_sql(
     conjuncts, subs, names = _staging(expr, existing)
     conjuncts.append(clause_to_sql(expr.filter, names, subs))
 
-    if chart.field_name and chart.field_name != S.VALUE:
+    if expr.dataset == S.DATASET_METRICS and chart.rollup:
+        # metrics arrive pre-rolled-up; the chart re-aggregates the
+        # ingest-side rollup column (engine._run_chart metrics branch,
+        # reference BaseExpr.scala:376-395)
+        target = f"rollup_{chart.rollup}"
+    elif chart.field_name and chart.field_name != S.VALUE:
         target = subs.get(chart.field_name, chart.field_name)
         target = f"CAST({target} AS DOUBLE)"
         if chart.field_type == S.DURATION_TYPE:
@@ -229,11 +234,26 @@ def chart_sql(
     else:
         target = S.VALUE
 
+    group_bys = tuple(g for g in chart.group_bys if g in names)
     agg = chart.aggregation
     if agg == S.COUNT:
         value = f"COUNT({target})"
     elif agg in (S.SUM, S.AVG, S.MIN, S.MAX):
         value = f"{agg.upper()}({target})"
+    elif agg == S.CARDINALITY_ESTIMATE_AGGREGATION:
+        # ces consumes the group_bys as the ':'-joined distinct key and
+        # emits one global estimate per step (engine._run_chart /
+        # reference HLLAggregator); exact mode = COUNT(DISTINCT …).
+        # concat_ws skips NULL arguments identically in both engines.
+        if group_bys:
+            key = "concat_ws(':', " + ", ".join(
+                subs.get(g, g) for g in group_bys
+            ) + ")"
+        else:
+            # distinct over per-engine string renderings of a double —
+            # formats differ but both are injective, so the COUNT matches
+            key = f"CAST({target} AS VARCHAR)"
+        value = f"COUNT(DISTINCT {key})"
     elif _ENGINE_PERCENTILE_RE.match(agg):
         # same regex as engine._PERCENTILE_RE so the twin accepts every
         # aggregation the Spark side does (decimals like p99.9 included)
@@ -242,18 +262,27 @@ def chart_sql(
     else:
         raise ValueError(f"Invalid aggregation {agg}")
     value = f"CAST({value} AS DOUBLE)"
-    # rate↔count transform (engine._chart_transform, non-metrics dataset)
-    if expr.dataset != S.DATASET_METRICS and chart.chart_type == "rate":
-        value = f"({value} / {_dbl(step_ms / 1000.0)})"
+    # rate↔count transform (engine._chart_transform / reference
+    # getTransformerFunc ASTUtils.scala:190-219): metrics normalize the
+    # stored metric_type to the requested chart_type; raw datasets only
+    # divide counts down to a rate
+    step_seconds = _dbl(step_ms / 1000.0)
+    if expr.dataset == S.DATASET_METRICS:
+        ct, mt = chart.chart_type, expr.metric_type
+        if ct == "count" and mt == "rate":
+            value = f"({value} * {step_seconds})"
+        elif ct == "rate" and mt == "count":
+            value = f"({value} / {step_seconds})"
+    elif chart.chart_type == "rate":
+        value = f"({value} / {step_seconds})"
 
     keys = [f"{S.TIMESTAMP} - {S.TIMESTAMP} % {step_ms} AS {S.STEP_TS}"]
-    if S.NAME in existing:
-        keys.append(S.NAME)
-    keys += [
-        f"{subs[g]} AS {g}" if g in subs else g
-        for g in chart.group_bys
-        if g in names
-    ]
+    if agg == S.CARDINALITY_ESTIMATE_AGGREGATION:
+        pass  # global per step: group_bys feed the key, not the grouping
+    else:
+        if S.NAME in existing:
+            keys.append(S.NAME)
+        keys += [f"{subs[g]} AS {g}" if g in subs else g for g in group_bys]
     group = ", ".join(str(i + 1) for i in range(len(keys)))
     # + 0.0 normalizes IEEE negative zero: Spark's round goes through
     # BigDecimal (which has no -0) while DuckDB's ROUND preserves -0.0 —

@@ -374,3 +374,151 @@ def test_fuzz_extract_stage(spark, sf_dir, ddb):
         sdf = eng.run(expr, tele).withColumn(S.VALUE, F.round(F.col(S.VALUE), 6))
         sql = sqlgen.chart_sql(expr, _T, DAY, _EXISTING)
         _assert_match(sdf, ddb, sql, f"extract trial {i}: {regex} {flt}")
+
+
+# ---------------------------------------------------------------------------
+# chart-surface sweep (the full getChartSql matrix: every aggregation ×
+# group-by sets × step sizes × rate↔count transform ASTUtils.scala:190-219
+# × metrics rollup re-aggregation BaseExpr.scala:376-395 × salted
+# two-phase — the one compiler path the filter/compute/extract sweeps
+# reach only at fixed step/agg choices)
+
+N_CHART_EVENTS = 150
+N_CHART_METRICS = 60
+
+_CHART_AGGS = (
+    "count", "sum", "avg", "min", "max",
+    "p10", "p25", "p50", "p75", "p90", "p95", "p99", "p99.9", "p0.5",
+    "ces",
+)
+_CHART_STEPS = (3_600_000, 21_600_000, DAY, 97_000)
+
+_HOUR = 3_600_000
+_TM = (
+    f"(SELECT timestamp_ms - timestamp_ms % {_HOUR} AS timestamp_ms, name, "
+    f"SUM(value) AS rollup_sum, COUNT(value) AS rollup_count, "
+    f"MIN(value) AS rollup_min, MAX(value) AS rollup_max "
+    f"FROM {_T} GROUP BY 1, 2)"
+)
+_M_EXISTING = {
+    "timestamp_ms", "name",
+    "rollup_sum", "rollup_count", "rollup_min", "rollup_max",
+}
+
+
+def _assert_chart_match(sdf, con, sql, ctx):
+    """Exact on keys; value matches to one ulp at the round(6) grain —
+    the normalized-field ÷ rate-transform stack (user_id/1000/3600)
+    lands true values ON rounding ties, where Spark's BigDecimal
+    HALF_UP and DuckDB's ROUND legitimately split a last-digit ulp."""
+    rel = con.sql(sql)
+    assert sorted(sdf.columns) == sorted(rel.columns), (
+        f"{ctx}\ncolumns: {sdf.columns} vs {rel.columns}"
+    )
+
+    def keyed(cols, rows):
+        keycols = sorted(c for c in cols if c != S.VALUE)
+        vi = cols.index(S.VALUE)
+        return {
+            tuple(_norm(r[cols.index(c)]) for c in keycols): r[vi] for r in rows
+        }
+
+    sv = keyed(sdf.columns, [tuple(r) for r in sdf.collect()])
+    dv = keyed(list(rel.columns), rel.fetchall())
+    assert set(sv) == set(dv), (
+        f"{ctx}\nkey sets differ: {sorted(set(sv) ^ set(dv))[:5]}\nSQL: {sql}"
+    )
+    for k, s in sv.items():
+        d = dv[k]
+        if s is None or d is None:
+            assert s is None and d is None, f"{ctx}\n{k}: {s} vs {d}\nSQL: {sql}"
+        else:
+            assert math.isclose(s, d, rel_tol=1e-12, abs_tol=1.5e-6), (
+                f"{ctx}\n{k}: {s} vs {d}\nSQL: {sql}"
+            )
+
+
+def test_fuzz_chart_surface_events(spark, sf_dir, ddb):
+    """Random chart ASTs over the raw-events dataset: aggregation pool
+    including decimal percentiles and ces, optional normalized field
+    target (duration ns→ms / datasize →KB), group-by sets, four step
+    sizes, count↔rate transform, and the salted two-phase plan (which
+    must be value-identical to the single-phase plan)."""
+    rng = random.Random(4083)
+    tele = load_telemetry(spark, sf_dir)
+    for i in range(N_CHART_EVENTS):
+        step = rng.choice(_CHART_STEPS)
+        salt = rng.choice((1, 1, 4))
+        agg = rng.choice(_CHART_AGGS)
+        roll = rng.random()
+        if roll < 0.70:
+            fname, ftype = None, None
+        else:
+            fname = "user_id"  # digit strings: casts cleanly to double
+            ftype = rng.choice((S.NUMBER_TYPE, S.DURATION_TYPE, S.DATA_SIZE_TYPE))
+        group_bys = rng.choice(((), (), ("user_id",)))
+        if fname == "user_id" and group_bys:
+            group_bys = ()  # grouping by the aggregated field is degenerate
+        expr = BaseExpr(
+            filter=_clause(rng, 2),
+            chart=ChartOptions(
+                aggregation=agg,
+                group_bys=group_bys,
+                chart_type=rng.choice(("count", "rate")),
+                field_name=fname,
+                field_type=ftype,
+            ),
+        )
+        eng = QueryEngine(spark, step_ms=step, salt_partitions=salt)
+        sdf = eng.run(expr, tele).withColumn(S.VALUE, F.round(F.col(S.VALUE), 6))
+        sql = sqlgen.chart_sql(expr, _T, step, _EXISTING)
+        _assert_chart_match(
+            sdf, ddb, sql,
+            f"chart trial {i}: agg={agg} step={step} salt={salt} "
+            f"field={fname}/{ftype} groups={group_bys} "
+            f"type={expr.chart.chart_type} filter={expr.filter}",
+        )
+
+
+def test_fuzz_chart_surface_metrics(spark, sf_dir, ddb):
+    """Random chart ASTs over the METRICS dataset: ingest-side rollup_*
+    columns re-aggregated at the query step, with the metrics-specific
+    chart_type × metric_type rate↔count normalization matrix (the one
+    transform branch the events sweep cannot reach)."""
+    rng = random.Random(5083)
+    tele = load_telemetry(spark, sf_dir)
+    metrics = tele.groupBy(
+        (F.col(S.TIMESTAMP) - F.col(S.TIMESTAMP) % F.lit(_HOUR)).alias(S.TIMESTAMP),
+        F.col(S.NAME),
+    ).agg(
+        F.sum(S.VALUE).alias("rollup_sum"),
+        F.count(S.VALUE).alias("rollup_count"),
+        F.min(S.VALUE).alias("rollup_min"),
+        F.max(S.VALUE).alias("rollup_max"),
+    )
+    for i in range(N_CHART_METRICS):
+        step = rng.choice((DAY, 21_600_000))
+        name_filter = rng.choice((
+            Filter(k=S.NAME, op=S.EXISTS),
+            Filter(k=S.NAME, v=("purchase", "click"), op=S.IN),
+            Filter(k=S.NAME, v=("error",), op=S.NOT_EQUALS),
+        ))
+        expr = BaseExpr(
+            dataset=S.DATASET_METRICS,
+            filter=name_filter,
+            metric_type=rng.choice(("rate", "count", "gauge")),
+            chart=ChartOptions(
+                aggregation=rng.choice(("sum", "avg", "min", "max", "count")),
+                rollup=rng.choice(("sum", "count", "min", "max")),
+                chart_type=rng.choice(("count", "rate")),
+            ),
+        )
+        eng = QueryEngine(spark, step_ms=step, salt_partitions=rng.choice((1, 4)))
+        sdf = eng.run(expr, metrics).withColumn(S.VALUE, F.round(F.col(S.VALUE), 6))
+        sql = sqlgen.chart_sql(expr, _TM, step, _M_EXISTING)
+        _assert_chart_match(
+            sdf, ddb, sql,
+            f"metrics chart trial {i}: agg={expr.chart.aggregation} "
+            f"rollup={expr.chart.rollup} ct={expr.chart.chart_type} "
+            f"mt={expr.metric_type} step={step} filter={name_filter}",
+        )
