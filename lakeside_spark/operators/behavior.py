@@ -299,6 +299,7 @@ def attribution(
     ts_col: str = "timestamp_ms",
     name_col: str = "name",
     tiebreak_col: str = "event_id",
+    max_touches: int | None = None,
 ) -> DataFrame:
     """Multi-touch conversion attribution: credit each ``conversion``
     event to the ``channels`` touchpoints the same user produced in the
@@ -307,6 +308,22 @@ def attribution(
     latest), linear (split evenly). Conversions with no in-window touch
     are credited to the 'direct' channel, so the three models each
     conserve total conversion count.
+
+    ``max_touches`` caps attribution at the N most RECENT touches per
+    conversion (ties broken by ``tiebreak_col``). This is the semantic
+    mitigation for power-user skew: the uncapped range join's fan-out is
+    touches×conversions per user — genuinely quadratic in per-user
+    in-window activity, and real output the linear model must credit.
+    The capped plan never materializes that fan-out: each touch gets a
+    per-user sequence index, one stream window hands every conversion
+    the index L of its latest strictly-earlier touch, and the join
+    explodes only the N index values (L-N+1..L) into a bounded equi-join
+    — O(N) rows per conversion at ANY user heat, all JVM-side. The
+    N-most-recent-overall ∩ lookback window equals the most recent ≤N
+    WITHIN the window (touches older than an out-of-window touch are
+    out of window too), so first_touch becomes "first of the capped
+    window", linear splits over ≤N, and both still conserve exactly one
+    conversion of credit. None (default) keeps the uncapped range join.
 
     Credit is integer MICRO-units (first/last: 1e6 per conversion;
     linear: round(1e6/n) per touch) summed exactly, divided once at the
@@ -334,19 +351,77 @@ def attribution(
         F.col(name_col).alias("channel"),
         F.col(tiebreak_col).alias("t_id"),
     )
-    j = (
-        conv.alias("c")
-        .join(
-            touch.alias("t"),
-            on=(
-                (F.col("t._u") == F.col("c._u"))
-                & (F.col("t.t_ts") >= F.col("c.conv_ts") - F.lit(lookback_ms))
-                & (F.col("t.t_ts") < F.col("c.conv_ts"))
-            ),
-            how="left",
+    if max_touches is None:
+        j = (
+            conv.alias("c")
+            .join(
+                touch.alias("t"),
+                on=(
+                    (F.col("t._u") == F.col("c._u"))
+                    & (
+                        F.col("t.t_ts")
+                        >= F.col("c.conv_ts") - F.lit(lookback_ms)
+                    )
+                    & (F.col("t.t_ts") < F.col("c.conv_ts"))
+                ),
+                how="left",
+            )
+            .select("c.conv_id", "t.channel", "t.t_ts", "t.t_id")
         )
-        .select("c.conv_id", "t.channel", "t.t_ts", "t.t_id")
-    )
+    else:
+        # capped plan: per-user touch sequence index, stream window for
+        # each conversion's latest-earlier-touch index L, then a bounded
+        # explode(L-N+1..L) equi-join — never the touches×conversions
+        # range-join fan-out
+        w_idx = Window.partitionBy("_u").orderBy("t_ts", "t_id")
+        touch_idx = touch.withColumn("__idx", F.row_number().over(w_idx))
+        stream = touch_idx.select(
+            "_u",
+            F.col("t_ts").alias("__ts"),
+            F.lit(1).alias("__ord"),  # strict <: same-ts touches sort AFTER
+            F.col("t_id").alias("__tid"),
+            "__idx",
+            F.lit(None).cast("long").alias("conv_id"),
+            F.lit(None).cast("long").alias("conv_ts"),
+        ).unionByName(
+            conv.select(
+                "_u",
+                F.col("conv_ts").alias("__ts"),
+                F.lit(0).alias("__ord"),
+                F.col("conv_id").alias("__tid"),
+                F.lit(None).cast("long").alias("__idx"),
+                "conv_id",
+                "conv_ts",
+            )
+        )
+        w_stream = (
+            Window.partitionBy("_u")
+            .orderBy("__ts", "__ord", "__tid")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        conv_l = stream.withColumn(
+            "__L", F.last("__idx", ignorenulls=True).over(w_stream)
+        ).filter(F.col("__ord") == 0)
+        pairs = (
+            conv_l.filter(F.col("__L").isNotNull())
+            .select(
+                "_u",
+                "conv_id",
+                "conv_ts",
+                F.explode(
+                    F.sequence(
+                        F.greatest(
+                            F.col("__L") - F.lit(max_touches - 1), F.lit(1)
+                        ),
+                        F.col("__L"),
+                    )
+                ).alias("__idx"),
+            )
+            .join(touch_idx, ["_u", "__idx"])
+            .filter(F.col("t_ts") >= F.col("conv_ts") - F.lit(lookback_ms))
+            .select("conv_id", "channel", "t_ts", "t_id")
+        )
+        j = conv.select("conv_id").join(pairs, "conv_id", "left")
     wf = Window.partitionBy("conv_id").orderBy(
         F.asc("t_ts"), F.asc("t_id")
     )

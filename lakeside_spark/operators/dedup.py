@@ -960,7 +960,6 @@ def ngram_containment_pairs(
     id_col: str = "doc_id",
     strategy: str = "auto",
     exact_max_docs: int = 50_000,
-    num_hashes: int = 16,
 ) -> DataFrame:
     """n-gram CONTAINMENT pairs: containment(a,b) =
     |A∩B| / min(|A|, |B|) ≥ threshold (id_a < id_b).
@@ -974,41 +973,64 @@ def ngram_containment_pairs(
     strategy="exact": the full shingle-keyed pair join — exact, but its
     cost is bounded only by true containment-pair volume, which on a
     boilerplate-heavy corpus is quadratic in the duplicate mass.
-    strategy="lsh": candidates from the shared MinHash band join with
-    ONE-row bands (bands = num_hashes, the most containment-favorable
-    banding: a pair is a candidate if ANY single minhash collides, so
-    recall = 1-(1-J)^num_hashes — ~1.0 when the contained doc is ≥25% of
-    the container, degrading for extreme size ratios; that recall trade
-    is the documented price of the scale path, exactly as in
-    minhash_lsh_pairs), verified with exact containment over candidate
-    docs only. "auto" probes the corpus size with one agg over the
-    cached shingle rows and takes "lsh" above ``exact_max_docs``.
+    strategy="prefix": frequency-ordered PREFIX FILTERING (the lossless
+    set-similarity-join candidate scheme of Chaudhuri/Ganti/Kaushik,
+    ICDE 2006, and Bayardo et al., WWW 2007). For a true pair with
+    sizes sa ≤ sb, the overlap is ≥ ⌈t·sa⌉, so at most ⌊(1-t)·sa⌋ of
+    the SMALLER doc's shingles fall outside it — its ⌊(1-t)·sa⌋+1
+    globally-rarest shingles must include a shared one. Candidates =
+    (doc prefix shingles) ⋈ (all shingles of other docs): recall is
+    EXACTLY 1 at ANY size ratio — a paragraph inside a book is caught
+    through the paragraph's own short prefix, the case one-row-band
+    MinHash candidates structurally under-recall (P ≈ 1-(1-ρ)^k → ~15%
+    at ρ=0.01). Cost is candidate-bounded: prefixes are rarest-first,
+    so high-df boilerplate shingles almost never enter a prefix and the
+    join volume is Σ_s df_prefix(s)·df(s), collapsing toward true-pair
+    volume. Candidates then feed the same bounded exact verify.
+    "auto" probes the corpus size with one agg over the cached shingle
+    rows and takes "prefix" above ``exact_max_docs``.
 
     Shingle rows persist for the session lifetime (same contract as
-    ngram_jaccard_pairs — the pass is shared by signatures and verify).
+    ngram_jaccard_pairs — the pass is shared by prefixes and verify).
+    The candidate frame is NOT persisted: both of its consumers sit in
+    one final plan, where Catalyst reuses the candidate exchange, and
+    recomputation starts from the persisted shingles anyway.
     """
     ex = _shingled_rows(docs, text_col, id_col, n).persist()
     if strategy == "auto":
         n_docs = ex.agg(F.approx_count_distinct("doc_id")).first()[0]
-        strategy = "exact" if n_docs <= exact_max_docs else "lsh"
+        strategy = "exact" if n_docs <= exact_max_docs else "prefix"
     if strategy == "exact":
         return _containment_pairs_from_shingles(ex, threshold)
-    # lsh: one-row bands — every minhash position is its own band key
-    sig = minhash_signatures(
-        docs, num_hashes, n, text_col, id_col, shingle_rows=ex
-    )
-    banded = sig.select(
-        "doc_id", F.explode(_band_keys(F.col("sig"), num_hashes, 1)).alias("band")
-    )
-    a, b = banded.alias("a"), banded.alias("b")
-    candidates = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    if strategy != "prefix":
+        raise ValueError(
+            f"ngram_containment_pairs: unknown strategy {strategy!r} "
+            "(one of 'auto', 'exact', 'prefix'; the one-row-band MinHash "
+            "path was replaced by lossless prefix filtering)"
         )
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    df_counts = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    w_rank = Window.partitionBy("doc_id").orderBy("__df", "shingle")
+    w_doc = Window.partitionBy("doc_id")
+    ranked = (
+        ex.join(df_counts, "shingle")
+        .withColumn("__rn", F.row_number().over(w_rank))
+        .withColumn("__sz", F.count(F.lit(1)).over(w_doc))
+    )
+    prefix = ranked.filter(
+        F.col("__rn")
+        <= F.floor(F.lit(1.0 - threshold) * F.col("__sz")).cast("long") + 1
+    ).select("doc_id", "shingle")
+    p, f = prefix.alias("p"), ex.alias("f")
+    candidates = (
+        p.join(
+            f,
+            (F.col("p.shingle") == F.col("f.shingle"))
+            & (F.col("p.doc_id") != F.col("f.doc_id")),
+        )
+        .select(
+            F.least("p.doc_id", "f.doc_id").alias("id_a"),
+            F.greatest("p.doc_id", "f.doc_id").alias("id_b"),
+        )
         .distinct()
-        .persist()
     )
     return _containment_pairs_from_shingles(ex, threshold, candidates=candidates)

@@ -574,10 +574,13 @@ def event_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     model conserves total conversions. Credit is exact integer
     micro-units (linear = round(1e6/n) per touch) summed then divided
     once — no float accumulation order in either engine. One user-keyed
-    range join + one conversion-keyed window + one tiny agg."""
+    range join + one conversion-keyed window + one tiny agg. Capped at
+    the 5 most recent touches per conversion (max_touches) — the
+    power-user-skew bound: post-join volume is ≤5 rows per conversion
+    regardless of per-user activity."""
     from lakeside_spark.operators.behavior import attribution
 
-    return attribution(load_telemetry(spark, sf_dir))
+    return attribution(load_telemetry(spark, sf_dir), max_touches=5)
 
 
 EVENT_ATTRIBUTION_SQL = f"""
@@ -589,11 +592,18 @@ WITH conv AS (
          event_id AS t_id
   FROM {_T} WHERE name IN ('view', 'click', 'signup')
     AND user_id IS NOT NULL
-), j AS (
+), j0 AS (
   SELECT c.conv_id, t.channel, t.t_ts, t.t_id
   FROM conv c LEFT JOIN touch t
     ON t.u = c.u AND t.t_ts >= c.conv_ts - 604800000
    AND t.t_ts < c.conv_ts
+), j AS (
+  -- max_touches=5: keep only the 5 most recent touches per conversion
+  SELECT conv_id, channel, t_ts, t_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY conv_id
+                                 ORDER BY t_ts DESC, t_id DESC) AS __rl
+    FROM j0
+  ) WHERE t_id IS NULL OR __rl <= 5
 ), ranked AS (
   SELECT conv_id, COALESCE(channel, 'direct') AS channel,
          channel IS NULL AS is_direct,

@@ -2032,7 +2032,8 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ngram_containment_pairs — Broder 1997's containment, the measure
     that catches a short doc quoted wholesale inside a long one where
     Jaccard stays tiny). Shared shingle pass + one shingle-keyed join;
-    the 100 TB path feeds LSH candidates into the same verify."""
+    the 100 TB path feeds lossless prefix-filter candidates (recall 1 at
+    any size ratio) into the same bounded verify."""
     from lakeside_spark.operators.dedup import ngram_containment_pairs
 
     return ngram_containment_pairs(

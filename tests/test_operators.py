@@ -659,6 +659,46 @@ def test_attribution_models_hand_computed(spark):
         assert abs(total - 4.0) < 1e-5, (m, total)
 
 
+def test_attribution_max_touches_cap_conserves(spark):
+    """The power-user cap keeps only the N most recent touches per
+    conversion: first_touch becomes first-of-the-window, linear splits
+    over ≤N, and every model still conserves exactly one conversion of
+    credit per conversion."""
+    from lakeside_spark.operators.behavior import attribution
+
+    # one user: 12 touches (view at odd ts, click at even) then purchase
+    rows = [("u", t, "view" if t % 2 else "click", t) for t in range(1, 13)]
+    rows += [("u", 100, "purchase", 100), ("v", 50, "purchase", 101)]
+    ev = spark.createDataFrame(
+        rows, "user_id string, timestamp_ms long, name string, event_id long"
+    )
+    got = {
+        (r["model"], r["channel"]): (r["credit"], r["n_conversions"])
+        for r in attribution(ev, max_touches=5).collect()
+    }
+    # capped window = touches at ts 8..12 (5 most recent):
+    # first-of-window = ts 8 (click), last = ts 12 (click);
+    # linear: view x2 (9,11), click x3 (8,10,12) at 200000 micro each
+    assert got == {
+        ("first_touch", "click"): (1.0, 1),
+        ("first_touch", "direct"): (1.0, 1),
+        ("last_touch", "click"): (1.0, 1),
+        ("last_touch", "direct"): (1.0, 1),
+        ("linear", "view"): (0.4, 1),
+        ("linear", "click"): (0.6, 1),
+        ("linear", "direct"): (1.0, 1),
+    }, got
+    for m in ("first_touch", "last_touch", "linear"):
+        total = sum(v[0] for (mm, _), v in got.items() if mm == m)
+        assert abs(total - 2.0) < 1e-5, (m, total)
+    # cap >= touch count is a no-op: identical to the uncapped output
+    capped = {
+        tuple(r) for r in attribution(ev, max_touches=100).collect()
+    }
+    uncapped = {tuple(r) for r in attribution(ev).collect()}
+    assert capped == uncapped
+
+
 def test_vocab_topk_deterministic_ties(spark):
     from lakeside_spark.operators.decontam import vocab_topk
 
@@ -2214,9 +2254,9 @@ def test_containment_catches_doc_inside_doc(spark):
     assert jac.get((1, 2), 0.0) < 0.12  # below the dedup threshold
 
 
-def test_containment_lsh_gate(spark):
-    """Above the corpus-size gate the auto strategy flips to LSH
-    candidates + bounded verify: output ⊆ exact, the planted
+def test_containment_prefix_gate(spark):
+    """Above the corpus-size gate the auto strategy flips to prefix-
+    filter candidates + bounded verify: output ⊆ exact, the planted
     contained-doc pair is recovered with the identical containment
     value, and the verify's pair join is candidate-bounded (LeftSemi in
     the plan) — no full shingle-pair join at scale."""
@@ -2380,3 +2420,32 @@ def test_text_msttr_hand_computed(spark, sf_dir):
             segs = [len(set(w[i * 100 : (i + 1) * 100])) for i in range(k)]
             assert abs(g["msttr"] - sum(segs) / (k * 100)) < 1e-6
     assert len(got) == expected
+
+
+def test_containment_prefix_recalls_extreme_size_ratio(spark):
+    """The headline case the one-row-band MinHash candidates missed: a
+    paragraph contained in a ~100x larger document (size ratio ρ≈0.01,
+    where band-collision recall was ~15%). Prefix filtering is lossless
+    at ANY ratio — the planted pair must surface with the containment
+    value the exact path computes."""
+    from lakeside_spark.operators.dedup import ngram_containment_pairs
+
+    para = " ".join(f"needle{i} token{i}" for i in range(15))  # ~28 shingles
+    book = " ".join(f"page{i} word{i} body{i}" for i in range(1000))
+    rows = [
+        (1, para),
+        (2, book[: len(book) // 2] + " " + para + " " + book[len(book) // 2 :]),
+        (3, " ".join(f"other{i} stuff{i}" for i in range(500))),
+        (4, " ".join(f"decoy{i} filler{i}" for i in range(400))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in ngram_containment_pairs(df, 0.8, strategy="exact").collect()
+    }
+    assert (1, 2) in exact and exact[(1, 2)] >= 0.9  # the planted pair
+    pref = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in ngram_containment_pairs(df, 0.8, strategy="prefix").collect()
+    }
+    assert pref == exact  # lossless: identical pairs AND values

@@ -117,11 +117,19 @@ def behavior_skew(src: str) -> int:
     for label, frame, op in (
         ("uniform", ev, "attribution"),
         ("hot-user 95%", hot_user, "attribution"),
+        ("hot-user cap5", hot_user, "attribution-capped"),
         ("uniform", ev, "concurrency"),
         ("hot-span 95%", hot_span, "concurrency"),
     ):
         t0 = time.time()
-        if op == "attribution":
+        if op == "attribution-capped":
+            # max_touches=5: the touch-per-conversion cap — post-join
+            # volume bounded at 5 rows/conversion regardless of how hot
+            # the user is; the remaining cost is the range join itself
+            cnt = attribution(
+                frame, lookback_ms=3_600_000, max_touches=5
+            ).count()
+        elif op == "attribution":
             # 1h lookback: a 95%-hot user with the default 7-day window is
             # SEMANTICALLY quadratic (every conversion × every in-window
             # touch is real output the linear model must credit) — the
