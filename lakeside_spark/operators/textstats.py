@@ -547,6 +547,7 @@ def collocations(
     k: int = 100,
     text_col: str = "text",
     id_col: str = "doc_id",
+    driver_gate: int = 2_000_000,
 ) -> DataFrame:
     """Top-k word collocations by pointwise mutual information:
     PMI(a,b) = ln(c_ab · N / (c_a · c_b)) over adjacent word pairs —
@@ -578,7 +579,54 @@ def collocations(
 
     counts = _pmi_count_table(docs, text_col).persist()
     spark = docs.sparkSession
+    out_schema = "a string, b string, c_ab bigint, pmi double"
     try:
+        # Fast path: the SCORED table is vocabulary-sized (bigram types
+        # with c ≥ min_count), not corpus-sized — when it fits under the
+        # gate, ONE take() both decides and delivers (unigrams, sentinel
+        # and qualifying bigrams together) and the scoring + top-k run
+        # driver-side. That makes the whole operator a single Spark job;
+        # the second distributed job (Python-worker scoring pass +
+        # sort-limit over ~1k rows) was pure scheduling latency — ~1s of
+        # the key's 1.9s at sf0.1. Above the gate (web-scale bigram
+        # vocabularies) the distributed path below keeps the exact same
+        # expression shape.
+        rel = counts.filter(F.col("b").isNull() | (F.col("c") >= min_count))
+        rows = rel.take(driver_gate + 1)
+        if len(rows) <= driver_gate:
+            import math
+            from decimal import ROUND_HALF_UP, Decimal
+
+            n_bg = 0
+            u: dict = {}
+            bi = []
+            for r in rows:
+                if r["b"] is None:
+                    if r["a"] is None:
+                        n_bg = r["c"]
+                    else:
+                        u[r["a"]] = r["c"]
+                else:
+                    bi.append(r)
+            if not u:
+                return spark.createDataFrame([], schema=out_schema)
+            n_ = float(n_bg)
+            scored_rows = []
+            for r in bi:
+                # identical IEEE op order to the kernel/oracle:
+                # (c_ab·N) / (c_a·c_b), one ln; round = Spark's BigDecimal
+                # HALF_UP via Decimal(repr(·)) (np.round is half-even)
+                pmi = math.log(
+                    float(r["c"]) * n_ / (float(u[r["a"]]) * float(u[r["b"]]))
+                )
+                pmi6 = float(
+                    Decimal(repr(pmi)).quantize(
+                        Decimal("0.000001"), rounding=ROUND_HALF_UP
+                    )
+                )
+                scored_rows.append((r["a"], r["b"], r["c"], pmi6))
+            scored_rows.sort(key=lambda t: (-t[3], t[0], t[1]))
+            return spark.createDataFrame(scored_rows[:k], schema=out_schema)
         # ONE collect materializes the cache and returns BOTH the sentinel
         # (N, the total-bigram normalizer the round-5 plan spent a third
         # corpus pass on) and the unigram table — which the scoring kernel

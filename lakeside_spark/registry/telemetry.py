@@ -1332,18 +1332,50 @@ SELECT step_ts, name, value, ROUND(ema, 6) AS ema FROM ema
 """
 
 
+def _stamp_replay_dirs(src: str) -> None:
+    """Give every batch subdirectory's files strictly increasing mtimes
+    (in subdirectory name order) so the file stream source triggers them
+    in recorded order regardless of write latency."""
+    import os
+    import time
+
+    base = time.time()
+    for k, sub in enumerate(sorted(os.listdir(src))):
+        subdir = os.path.join(src, sub)
+        if not os.path.isdir(subdir):
+            continue
+        for root, _dirs, files in os.walk(subdir):
+            for fname in files:
+                os.utime(os.path.join(root, fname), (base + k, base + k))
+
+
+def _write_replay_batches(spark: SparkSession, frames: list) -> str:
+    """Record an EXPLICIT micro-batch sequence: one parquet dir per
+    frame, mtime-ordered — the general form behind the time-sliced
+    recorder, used directly when batches must be out of order (the
+    late-data/watermark-eviction key)."""
+    import tempfile
+
+    src = tempfile.mkdtemp(prefix="lakeside_replay_")
+    for k, part in enumerate(frames):
+        part.coalesce(1).write.mode("overwrite").parquet(f"{src}/b{k}")
+    _stamp_replay_dirs(src)
+    return src
+
+
 def _replay_micro_batches(
-    spark: SparkSession, df: DataFrame, ts_col: str, n_batches: int = 3
+    spark: SparkSession, df: DataFrame, ts_col: str, n_batches: int = 2
 ) -> str:
     """Write ``df`` as ``n_batches`` time-sliced parquet directories under
     a temp dir — a deterministic recorded micro-batch sequence. Slices
     are contiguous time ranges (so a keyed stateful fold sees every key's
-    rows in event-time order across batches) and each slice directory's
-    files get strictly increasing mtimes so the file stream source
-    triggers them in order regardless of write latency."""
-    import os
+    rows in event-time order across batches). ONE write job: rows are
+    tagged with their slice index and written partitionBy — the per-slice
+    loop paid n_batches separate jobs (r8 verdict item 9). Default is the
+    MINIMUM batch count that still proves state crosses a micro-batch
+    boundary (2); each extra batch costs ~1s of trigger overhead per
+    replay key at sf0.1 and proves nothing more."""
     import tempfile
-    import time
 
     bounds = df.agg(
         F.min(ts_col).alias("lo"), F.max(ts_col).alias("hi")
@@ -1352,17 +1384,23 @@ def _replay_micro_batches(
     src = tempfile.mkdtemp(prefix="lakeside_replay_")
     if lo is None:
         df.limit(0).coalesce(1).write.mode("overwrite").parquet(f"{src}/b0")
+        _stamp_replay_dirs(src)
         return src
     span = max(int(hi) - int(lo) + 1, n_batches)
-    base = time.time()
-    for k in range(n_batches):
-        b_lo = int(lo) + span * k // n_batches
-        b_hi = int(lo) + span * (k + 1) // n_batches
-        part = df.filter((F.col(ts_col) >= b_lo) & (F.col(ts_col) < b_hi))
-        part.coalesce(1).write.mode("overwrite").parquet(f"{src}/b{k}")
-        for root, _dirs, files in os.walk(f"{src}/b{k}"):
-            for fname in files:
-                os.utime(os.path.join(root, fname), (base + k, base + k))
+    slice_idx = F.least(
+        F.lit(n_batches - 1),
+        ((F.col(ts_col) - F.lit(int(lo))) * n_batches / F.lit(span)).cast(
+            "long"
+        ),
+    )
+    (
+        df.withColumn("__b", slice_idx)
+        .repartition("__b")
+        .write.mode("overwrite")
+        .partitionBy("__b")
+        .parquet(src)
+    )
+    _stamp_replay_dirs(src)
     return src
 
 
@@ -1504,6 +1542,81 @@ def streaming_replay_service_graph(spark: SparkSession, sf_dir: str) -> DataFram
         F.count("*").alias("n"),
         F.round(F.avg("gap_ms"), 6).alias("avg_gap_ms"),
     )
+
+
+def streaming_replay_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark EVICTION made driver-visible (the one streaming contract
+    the first three replay keys don't exercise): the day-windowed count
+    aggregation replayed over deliberately OUT-OF-ORDER recorded
+    micro-batches — batch 0 omits a marked subset of early rows
+    (event_id % 7 == 0 in the first third of the timeline), batch 1
+    jumps to the end of the timeline plus a flush row 3 days past max
+    (advancing the 1-hour watermark beyond every real window), batch 2
+    finally delivers the withheld early rows, which are now ALL later
+    than the watermark and provably dropped by the state store
+    (reference: TimeGroupedSketchAggregator.scala:200-228's
+    late-datapoint cutoff). Oracle: the batch day-count SQL over the
+    ON-TIME rows only — the hash matches iff exactly the late subset was
+    evicted, nothing more, nothing less."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            F.unix_millis("ts").alias("ts_ms"),
+            F.col("event_type").alias("name"),
+            "event_id",
+        )
+        .filter(F.col("name").isNotNull())
+    )
+    bounds = ev.agg(F.min("ts_ms").alias("lo"), F.max("ts_ms").alias("hi")).first()
+    lo, hi = bounds["lo"], bounds["hi"]
+    if lo is None:
+        return spark.createDataFrame(
+            [], "step_ts long, name string, n_events bigint"
+        )
+    t1 = lo + (hi - lo) // 3
+    t2 = lo + 2 * (hi - lo) // 3
+    is_late = (F.col("ts_ms") < t1) & (F.col("event_id") % 7 == 0)
+    flush = spark.createDataFrame(
+        [(hi + 3 * DAY, "__flush", -1)], "ts_ms long, name string, event_id long"
+    )
+    src = _write_replay_batches(
+        spark,
+        [
+            ev.filter((F.col("ts_ms") < t2) & ~is_late),
+            ev.filter(F.col("ts_ms") >= t2).unionByName(flush),
+            ev.filter(is_late),
+        ],
+    )
+
+    def twin(s: DataFrame) -> DataFrame:
+        et = s.withColumn("et", F.timestamp_millis(F.col("ts_ms")))
+        return (
+            et.withWatermark("et", "1 hour")
+            .groupBy(F.window("et", "1 day"), "name")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                F.unix_millis("window.start").alias("step_ts"),
+                "name",
+                "n_events",
+            )
+        )
+
+    out = _run_replay(spark, src, "ts_ms long, name string, event_id long", twin)
+    return out.filter(F.col("name") != "__flush")
+
+
+STREAMING_REPLAY_LATE_DATA_SQL = f"""
+WITH b AS (SELECT timestamp_ms, name, event_id FROM {_T}
+           WHERE name IS NOT NULL),
+bounds AS (SELECT MIN(timestamp_ms) AS lo, MAX(timestamp_ms) AS hi FROM b),
+ontime AS (
+  SELECT timestamp_ms, name FROM b, bounds
+  WHERE NOT (timestamp_ms < lo + (hi - lo) // 3 AND event_id % 7 = 0)
+)
+SELECT timestamp_ms - timestamp_ms % {DAY} AS step_ts, name,
+       COUNT(*) AS n_events
+FROM ontime GROUP BY 1, 2
+"""
 
 
 def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:

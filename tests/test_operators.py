@@ -2449,3 +2449,19 @@ def test_containment_prefix_recalls_extreme_size_ratio(spark):
         for r in ngram_containment_pairs(df, 0.8, strategy="prefix").collect()
     }
     assert pref == exact  # lossless: identical pairs AND values
+
+
+def test_collocations_driver_path_equals_distributed(spark, sf_dir):
+    """The vocabulary-sized fast path (driver-side scoring, one Spark
+    job) must be value-identical to the distributed scoring path —
+    including the HALF_UP 6dp rounding and the (pmi desc, a, b) tie
+    order."""
+    from lakeside_spark.operators.textstats import collocations
+
+    docs = load_table(spark, sf_dir, "documents")
+    fast = [tuple(r) for r in collocations(docs, min_count=2, k=50).collect()]
+    slow = [
+        tuple(r)
+        for r in collocations(docs, min_count=2, k=50, driver_gate=0).collect()
+    ]
+    assert fast == slow and len(fast) > 0

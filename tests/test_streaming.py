@@ -462,3 +462,49 @@ def test_streaming_index_match_matches_batch(spark, sf_dir):
     finally:
         shutil.rmtree(src_dir, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_streaming_replay_late_data_evicts(spark, sf_dir):
+    """The watermark-eviction replay key: its output must equal the
+    day-counts over ON-TIME rows only (late subset excluded) and must
+    DIFFER from the all-rows counts — i.e. the out-of-order batch was
+    provably dropped by the state store, not silently aggregated."""
+    from pyspark.sql import functions as F
+
+    from lakeside_spark.registry import QUERIES
+    from lakeside_spark.sources.tables import load_table
+
+    got = {
+        (r["step_ts"], r["name"]): r["n_events"]
+        for r in QUERIES["streaming_replay_late_data"](spark, sf_dir).collect()
+    }
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            F.unix_millis("ts").alias("ts_ms"),
+            F.col("event_type").alias("name"),
+            "event_id",
+        )
+        .filter(F.col("name").isNotNull())
+    )
+    b = ev.agg(F.min("ts_ms").alias("lo"), F.max("ts_ms").alias("hi")).first()
+    t1 = b["lo"] + (b["hi"] - b["lo"]) // 3
+    is_late = (F.col("ts_ms") < t1) & (F.col("event_id") % 7 == 0)
+    day = 86_400_000
+    ontime = {
+        (r["step_ts"], r["name"]): r["n"]
+        for r in ev.filter(~is_late)
+        .groupBy((F.col("ts_ms") - F.col("ts_ms") % day).alias("step_ts"), "name")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    allrows = {
+        (r["step_ts"], r["name"]): r["n"]
+        for r in ev.groupBy(
+            (F.col("ts_ms") - F.col("ts_ms") % day).alias("step_ts"), "name"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == ontime
+    assert got != allrows  # the late subset really was evicted

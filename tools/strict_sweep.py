@@ -8,6 +8,7 @@ Usage:
     python tools/strict_sweep.py                 # all oracle keys
     python tools/strict_sweep.py tpch_q4 tpch_q5 # just these keys
     python tools/strict_sweep.py --top50         # only keys in driver slots 1-50
+    python tools/strict_sweep.py --slots 51-100  # an arbitrary slot range (1-based)
 
 Prints one line per key and a final summary; exits non-zero on any mismatch.
 """
@@ -50,7 +51,13 @@ def main() -> int:
 
     oracles = e.oracle_sql()
     queries = e.queries()
-    if "--top50" in sys.argv:
+    if "--slots" in sys.argv:
+        spec = sys.argv[sys.argv.index("--slots") + 1]
+        lo, _, hi = spec.partition("-")
+        lo_i, hi_i = int(lo), int(hi or lo)
+        keys = [k for k in list(queries)[lo_i - 1 : hi_i] if k in oracles]
+        args = [a for a in args if a != spec]
+    elif "--top50" in sys.argv:
         keys = [k for k in list(queries)[:50] if k in oracles]
     elif args:
         keys = args
