@@ -1195,6 +1195,56 @@ def _moment_pass9(
     )
 
 
+def _cov_moments9(df: DataFrame, vec_col: str) -> tuple | None:
+    """Fixed-point covariance moments for the ORACLE-EXACT eigensolve
+    keys (PCA/whitening): per-row contributions snapped to 1e-9 int64
+    BEFORE summation (round-half-away, _snap9_arr), reduced as
+    decimal(38,0) — summation-order-proof, the same recipe as
+    _moment_pass9 minus the label/bias. Returns (n, s9[d], g9[d,d])."""
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc: np.ndarray | None = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.array(list(pdf[vec_col]), dtype=np.float64)
+            d = m.shape[1]
+            if acc is None:
+                acc = np.zeros(1 + d + d * d, dtype=np.int64)
+            acc[0] += len(m)
+            acc[1 : 1 + d] += _snap9_arr(m).sum(axis=0)
+            for lo in range(0, len(m), 256):
+                mb = m[lo : lo + 256]
+                acc[1 + d :] += (
+                    _snap9_arr(mb[:, :, None] * mb[:, None, :])
+                    .sum(axis=0)
+                    .ravel()
+                )
+        if acc is not None:
+            yield pd.DataFrame({"p": [acc]})
+
+    red = (
+        _parallelize(df.select(vec_col))
+        .mapInPandas(partials, schema="p array<long>")
+        .select(F.posexplode("p").alias("i", "v"))
+        .groupBy("i")
+        .agg(F.sum(F.col("v").cast("decimal(38,0)")).alias("v"))
+        .collect()
+    )
+    if not red:
+        return None
+    packed = [0] * len(red)
+    for r in red:
+        packed[r["i"]] = int(r["v"])
+    d = int((math.isqrt(4 * (len(packed) - 1) + 1) - 1) // 2)
+    assert 1 + d + d * d == len(packed), len(packed)
+    return (
+        packed[0],
+        np.array(packed[1 : 1 + d], dtype=np.int64),
+        np.array(packed[1 + d :], dtype=np.int64).reshape(d, d),
+    )
+
+
 def _ge_solve_det(a: list[list[float]], b: list[float]) -> list[float]:
     """Deterministic ridge-system solve: Gaussian elimination WITHOUT
     pivoting (the matrix is SPD — Gram + ridge — so pivoting is
@@ -1320,30 +1370,45 @@ def embedding_whitening(
     assume comparable scales.
 
     100 TB shape: covariance is ONE map-combine pass — each Arrow batch
-    emits its (count, Σx, XᵀX as d² doubles) partials, a d²-sized
-    single-row reduce reaches the driver, eigendecomposition runs on the
-    d×d matrix there (numpy, O(d³) — microseconds at embedding dims),
-    and the transform broadcasts back for a map-only apply. Nothing
-    corpus-sized ever shuffles; the one Exchange is the single-row
-    partial reduce. rows-only: eigendecomposition is not
-    SQL-expressible; the whitened-covariance≈I invariant is
-    pytest-pinned.
+    emits its (count, Σx, XᵀX) 1e-9 fixed-point integer partials, a
+    d²-sized single-row reduce reaches the driver, eigendecomposition
+    runs on the d×d matrix there, and the transform broadcasts back for
+    a map-only apply. Nothing corpus-sized ever shuffles; the one
+    Exchange is the single-row partial reduce.
+
+    ORACLE-EXACT since r10: the eigensolve is the fixed-iteration
+    SNAPPED parallel Jacobi (operators/eigh_replay — every rotation
+    coefficient and matrix entry 1e-12 fixed point, every step a basic
+    IEEE op), W = U diag(1/√(λ+eps)) Uᵀ assembled with order-free
+    integer-snapped matmuls, and the per-row transform is a 1e-9
+    snapped-product integer sum — EMB_WHITENING_SQL replays the whole
+    pipeline as DuckDB recursive CTEs. Accuracy vs np.linalg.eigh
+    (~1e-9) stays pytest-pinned separately.
 
     Output: (vec_id, embedding) with the whitened array<double>.
     """
+    from lakeside_spark.operators.eigh_replay import (
+        _snap12_arr,
+        eigh_pipeline,
+    )
+
     spark = emb.sparkSession
-    moments = _moment_pass(emb, vec_col)
+    moments = _cov_moments9(emb, vec_col)
     if moments is None or moments[0] == 0:
         return spark.createDataFrame(
             [], schema=f"{id_col} bigint, {vec_col} array<double>"
         )
-    n, s, g = moments
-    mu = s / n
-    cov = g / n - np.outer(mu, mu)
+    n, s9, g9 = moments
+    mu, lam, v, _lam12, _sc = eigh_pipeline(n, s9, g9)
     # ZCA: W = U diag(1/sqrt(λ+eps)) Uᵀ — symmetric, stays near the
-    # original basis (unlike PCA whitening's rotation)
-    lam, u = np.linalg.eigh(cov)
-    w = (u * (1.0 / np.sqrt(np.maximum(lam, 0) + eps))) @ u.T
+    # original basis; sign/order of U's columns cancel in U f(λ) Uᵀ, so
+    # the raw Jacobi V is used directly
+    dk = 1.0 / np.sqrt(np.maximum(lam, 0.0) + eps)
+    dm = _snap12_arr(v * dk[None, :])
+    w9 = (
+        _snap9_arr(dm[:, None, :] * v[None, :, :]).sum(axis=2, dtype=np.int64)
+    )
+    w = w9.astype(np.float64) / 1e9
     bc = spark.sparkContext.broadcast((mu, w))
 
     def apply_w(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1352,7 +1417,17 @@ def embedding_whitening(
             if not len(pdf):
                 continue
             m = np.array(list(pdf[vec_col]), dtype=np.float64)
-            out = (m - mu_) @ w_.T
+            t = m - mu_
+            outs = []
+            for lo in range(0, len(t), 256):
+                tb = t[lo : lo + 256]
+                outs.append(
+                    _snap9_arr(tb[:, None, :] * w_[None, :, :]).sum(
+                        axis=2, dtype=np.int64
+                    )
+                    / 1e9
+                )
+            out = np.vstack(outs)
             yield pd.DataFrame(
                 {id_col: pdf[id_col].to_numpy(np.int64), vec_col: list(out)}
             )
@@ -1641,35 +1716,60 @@ def embedding_pca_reduce(
     pairs with ann_sq8 for a 32× end-to-end shrink).
 
     100 TB shape: identical to embedding_whitening — one per-task packed
-    moment pass ([n, Σx, XᵀX]) reduced element-wise, driver eigh on the
-    d×d covariance, then a map-only broadcast projection. The explained
-    variance ratio rides along as a constant column so the caller sees
-    what the reduction kept. rows-only: eigendecomposition is not
-    SQL-expressible; orthogonality/variance-ordering/EVR invariants are
-    pytest-pinned."""
+    moment pass ([n, Σx, XᵀX]) reduced element-wise, driver eigensolve
+    on the d×d covariance, then a map-only broadcast projection. The
+    explained variance ratio rides along as a constant column so the
+    caller sees what the reduction kept.
+
+    ORACLE-EXACT since r10: the eigensolve is the snapped parallel
+    Jacobi (operators/eigh_replay); eigenpairs sort by (snapped λ desc,
+    column index asc), each eigenvector's sign is pinned so its
+    largest-|entry| component (smallest index on ties) is positive, EVR
+    is a ratio of snapped-integer eigenvalue sums, and the projection a
+    1e-9 snapped-product integer sum — EMB_PCA_REDUCE_SQL replays all
+    of it. Accuracy vs np.linalg.eigh stays pytest-pinned."""
+    from lakeside_spark.operators.eigh_replay import eigh_pipeline
+
     spark = emb.sparkSession
     empty_schema = f"{id_col} bigint, {vec_col} array<double>, evr double"
-    moments = _moment_pass(emb, vec_col)
+    moments = _cov_moments9(emb, vec_col)
     if moments is None or moments[0] == 0:
         return spark.createDataFrame([], schema=empty_schema)
-    n, s, g = moments
-    mu = s / n
-    cov = g / n - np.outer(mu, mu)
+    n, s9, g9 = moments
+    mu, _lam, v, lam12, _sc = eigh_pipeline(n, s9, g9)
     d = len(mu)
-    lam, u = np.linalg.eigh(cov)
-    order = np.argsort(-lam)
-    lam, u = lam[order], u[:, order]
+    order = sorted(range(d), key=lambda j: (-int(lam12[j]), j))
     k = min(out_dim, d)
-    evr = float(np.clip(lam[:k].sum() / max(lam.sum(), 1e-300), 0.0, 1.0))
-    bc = spark.sparkContext.broadcast((mu, u[:, :k], evr))
+    cols = []
+    for j in order[:k]:
+        col = v[:, j]
+        kstar = int(np.argmax(np.abs(col)))  # first max on ties
+        cols.append(-col if col[kstar] < 0.0 else col)
+    uk = np.stack(cols, axis=1)
+    den = int(lam12.sum())
+    num = sum(int(lam12[j]) for j in order[:k])
+    evr = (
+        0.0 if den <= 0 else min(max(float(num) / float(den), 0.0), 1.0)
+    )
+    bc = spark.sparkContext.broadcast((mu, uk, evr))
 
     def project(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        mu_, uk, evr_ = bc.value
+        mu_, uk_, evr_ = bc.value
         for pdf in batches:
             if not len(pdf):
                 continue
             m = np.array(list(pdf[vec_col]), dtype=np.float64)
-            out = (m - mu_) @ uk
+            t = m - mu_
+            outs = []
+            for lo in range(0, len(t), 256):
+                tb = t[lo : lo + 256]
+                outs.append(
+                    _snap9_arr(tb[:, :, None] * uk_[None, :, :]).sum(
+                        axis=1, dtype=np.int64
+                    )
+                    / 1e9
+                )
+            out = np.vstack(outs)
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].to_numpy(np.int64),

@@ -478,24 +478,22 @@ def embedding_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def embedding_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """rows-only: ZCA whitening of the embedding column — one
-    map-combine covariance pass (d²-sized partials), driver
+    """ZCA whitening of the embedding column — one map-combine
+    fixed-point covariance pass (d²-sized integer partials), driver
     eigendecomposition, broadcast map-only transform
-    (operators/similarity.embedding_whitening; whitened-covariance≈I
-    invariant pytest-pinned)."""
+    (operators/similarity.embedding_whitening). ORACLE-EXACT since r10:
+    the eigensolve is the snapped parallel Jacobi
+    (operators/eigh_replay) and EMB_WHITENING_SQL replays it as a
+    DuckDB recursive CTE — output exploded to (vec_id, dim, val) scalar
+    rows so the hash compare sees plain doubles."""
     from lakeside_spark.operators.similarity import (
         embedding_whitening as _whiten,
     )
 
     out = _whiten(load_table(spark, sf_dir, "embeddings"))
-    # Driver contract: serialize the array column — the harness's pandas
-    # sort_values canonicalizer cannot factorize list-valued cells.
     return out.select(
-        "vec_id",
-        F.to_json(F.transform("embedding", lambda x: F.round(x, 6))).alias(
-            "embedding"
-        ),
-    )
+        "vec_id", F.posexplode("embedding").alias("dim", "val")
+    ).withColumn("val", F.round("val", 6))
 
 
 def embedding_linear_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -646,24 +644,25 @@ FROM preds p, r2v r
 
 
 def embedding_pca_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """rows-only: PCA reduction of the embedding column to 16 dims
+    """PCA reduction of the embedding column to 16 dims
     (store-smaller/search-faster; pairs with ann_sq8 for ~32x end-to-end
-    shrink). Same one-moment-pass + driver-eigh + map-only-projection
-    shape as embedding_whitening; explained-variance ratio rides along
-    (operators/similarity.embedding_pca_reduce; invariants
-    pytest-pinned)."""
+    shrink). Same one-moment-pass + driver-eigensolve +
+    map-only-projection shape as embedding_whitening; explained-variance
+    ratio rides along. ORACLE-EXACT since r10 via the snapped parallel
+    Jacobi replay (operators/eigh_replay, EMB_PCA_REDUCE_SQL) — output
+    exploded to (vec_id, dim, val, evr) scalar rows."""
     from lakeside_spark.operators.similarity import (
         embedding_pca_reduce as _pca,
     )
 
     out = _pca(load_table(spark, sf_dir, "embeddings"))
-    # Driver contract: serialize the array column (see embedding_whitening).
-    return out.select(
-        "vec_id",
-        F.to_json(F.transform("embedding", lambda x: F.round(x, 6))).alias(
-            "embedding"
-        ),
-        F.round("evr", 6).alias("evr"),
+    return (
+        out.select(
+            "vec_id", "evr", F.posexplode("embedding").alias("dim", "val")
+        )
+        .withColumn("val", F.round("val", 6))
+        .withColumn("evr", F.round("evr", 6))
+        .select("vec_id", "dim", "val", "evr")
     )
 
 

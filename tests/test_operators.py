@@ -2059,9 +2059,13 @@ def test_pca_reduce_invariants(spark, sf_dir):
     for r in rows:
         g = np.array(got[r["vec_id"]]["embedding"])
         assert len(g) == 16
-        # eigenvectors are sign-ambiguous: compare per-component magnitude
-        assert np.allclose(np.abs(g), np.abs(ref[r["vec_id"]]), atol=1e-8)
-        assert abs(got[r["vec_id"]]["evr"] - ref_evr) < 1e-9
+        # eigenvectors are sign-ambiguous: compare per-component magnitude.
+        # tolerance 5e-6, not 1e-8: the r10 ORACLE-EXACT pipeline snaps
+        # the covariance moments to 1e-9 fixed point, and that
+        # perturbation amplifies by 1/eigengap (~2.5e-5 here) in the
+        # eigenvectors — the price of a bit-replayable eigensolve
+        assert np.allclose(np.abs(g), np.abs(ref[r["vec_id"]]), atol=5e-6)
+        assert abs(got[r["vec_id"]]["evr"] - ref_evr) < 1e-8
     # full-dim reduction is an isometry up to centering: distances
     # preserved (out_dim derived from the fixture, not hardcoded)
     d_full = len(rows[0]["embedding"])
@@ -2073,7 +2077,7 @@ def test_pca_reduce_invariants(spark, sf_dir):
         for b in ids[5:]:
             d0 = np.linalg.norm(orig[a] - orig[b])
             d1 = np.linalg.norm(full[a] - full[b])
-            assert abs(d0 - d1) < 1e-8
+            assert abs(d0 - d1) < 1e-6
 
 
 def test_connected_components_star_fallback_matches_union_find(spark):
@@ -2465,3 +2469,39 @@ def test_collocations_driver_path_equals_distributed(spark, sf_dir):
         for r in collocations(docs, min_count=2, k=50, driver_gate=0).collect()
     ]
     assert fast == slow and len(fast) > 0
+
+
+def test_jacobi_eigh_snapped_accuracy_and_schedule():
+    """The replayable eigensolve: tournament schedule covers every pair
+    exactly once per 63 rounds with disjoint pairs per round; 8 snapped
+    sweeps reconstruct a random SPD matrix to ~1e-9 and agree with
+    np.linalg.eigh's spectrum; negative .5 ties snap away from zero
+    (the DuckDB round() convention — a half-even tie here would diverge
+    the two engines' replays)."""
+    import numpy as np
+
+    from lakeside_spark.operators.eigh_replay import (
+        D,
+        _schedule,
+        _snap12_arr,
+        jacobi_eigh_snapped,
+    )
+
+    seen = set()
+    for r in range(D - 1):
+        m, _ = _schedule(r)
+        assert all(m[m[i]] == i and m[i] != i for i in range(D))
+        seen |= {(i, int(m[i])) for i in range(D) if i < m[i]}
+    assert len(seen) == D * (D - 1) // 2
+
+    rng = np.random.default_rng(7)
+    X = rng.normal(size=(500, D)) @ np.diag(np.linspace(0.1, 3, D))
+    A0 = np.round(np.cov(X.T) * 1e9) / 1e9
+    diag, V = jacobi_eigh_snapped(A0)
+    lam_np = np.linalg.eigh(A0)[0]
+    assert np.abs(np.sort(diag) - lam_np).max() < 1e-8
+    assert np.abs((V * diag) @ V.T - A0).max() < 1e-8
+    assert np.abs(V.T @ V - np.eye(D)).max() < 1e-9
+
+    snapped = _snap12_arr(np.array([2.5e-12, -2.5e-12, 1.49e-12]))
+    assert snapped[0] == 3e-12 and snapped[1] == -3e-12 and snapped[2] == 1e-12
