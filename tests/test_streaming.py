@@ -489,6 +489,7 @@ def test_streaming_replay_late_data_evicts(spark, sf_dir):
     )
     b = ev.agg(F.min("ts_ms").alias("lo"), F.max("ts_ms").alias("hi")).first()
     t1 = b["lo"] + (b["hi"] - b["lo"]) // 3
+    t1 -= t1 % 3_600_000  # hour-aligned cutoff, as the key defines it
     is_late = (F.col("ts_ms") < t1) & (F.col("event_id") % 7 == 0)
     day = 86_400_000
     ontime = {
