@@ -230,9 +230,16 @@ def chart_sql(
             target = f"({target} / {_dbl(1_000_000.0)})"
         elif chart.field_type == S.DATA_SIZE_TYPE:
             target = f"({target} / {_dbl(1000.0)})"
-        conjuncts.append(f"({subs.get(chart.field_name, chart.field_name)} IS NOT NULL)")
     else:
         target = S.VALUE
+    if chart.field_name and chart.field_name != S.VALUE:
+        # the engine filters the field NOT NULL unconditionally — even
+        # when a rollup target overrides it (engine._run_chart applies
+        # the filter after target selection); keeping the conjunct
+        # outside the target branch mirrors that exactly
+        conjuncts.append(
+            f"({subs.get(chart.field_name, chart.field_name)} IS NOT NULL)"
+        )
 
     group_bys = tuple(g for g in chart.group_bys if g in names)
     agg = chart.aggregation

@@ -351,6 +351,12 @@ def attribution(
         F.col(name_col).alias("channel"),
         F.col(tiebreak_col).alias("t_id"),
     )
+    if max_touches is not None and max_touches < 1:
+        raise ValueError(
+            f"attribution: max_touches={max_touches} — the cap must be >= 1 "
+            "(0 would make F.sequence(L+1, L) step BACKWARD and credit a "
+            "touch at/after the conversion); pass None for uncapped"
+        )
     if max_touches is None:
         j = (
             conv.alias("c")

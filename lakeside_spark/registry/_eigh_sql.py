@@ -16,9 +16,12 @@ Dimensions hardcoded to the 64-dim embedding column like every other
 embedding oracle.
 """
 
-D = 64
+from lakeside_spark.operators.eigh_replay import D, SWEEPS
+
 ROUNDS = D - 1
-ITERS = 8 * ROUNDS  # eigh_replay.SWEEPS * (D - 1)
+ITERS = SWEEPS * ROUNDS  # single source of truth: tuning SWEEPS
+# retunes BOTH replays together — a textual mirror here would let the
+# two engines silently iterate different counts
 
 _SNAP12 = "round(({x}) * 1e12) / 1e12"
 

@@ -1334,33 +1334,25 @@ SELECT step_ts, name, value, ROUND(ema, 6) AS ema FROM ema
 
 def _stamp_replay_dirs(src: str) -> None:
     """Give every batch subdirectory's files strictly increasing mtimes
-    (in subdirectory name order) so the file stream source triggers them
-    in recorded order regardless of write latency."""
+    (in NUMERIC batch order — 'b10' must come after 'b2', which a plain
+    lexicographic sort would break past 10 batches) so the file stream
+    source triggers them in recorded order regardless of write latency."""
     import os
+    import re
     import time
 
+    def batch_no(name: str) -> int:
+        m = re.search(r"(\d+)$", name)
+        return int(m.group(1)) if m else -1
+
     base = time.time()
-    for k, sub in enumerate(sorted(os.listdir(src))):
+    for k, sub in enumerate(sorted(os.listdir(src), key=batch_no)):
         subdir = os.path.join(src, sub)
         if not os.path.isdir(subdir):
             continue
         for root, _dirs, files in os.walk(subdir):
             for fname in files:
                 os.utime(os.path.join(root, fname), (base + k, base + k))
-
-
-def _write_replay_batches(spark: SparkSession, frames: list) -> str:
-    """Record an EXPLICIT micro-batch sequence: one parquet dir per
-    frame, mtime-ordered — the general form behind the time-sliced
-    recorder, used directly when batches must be out of order (the
-    late-data/watermark-eviction key)."""
-    import tempfile
-
-    src = tempfile.mkdtemp(prefix="lakeside_replay_")
-    for k, part in enumerate(frames):
-        part.coalesce(1).write.mode("overwrite").parquet(f"{src}/b{k}")
-    _stamp_replay_dirs(src)
-    return src
 
 
 def _replay_micro_batches(
@@ -1437,8 +1429,9 @@ def _run_replay(spark: SparkSession, src: str, schema: str, twin) -> DataFrame:
 
 def streaming_replay_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The driver-visible streaming artifact (SURVEY §G was previously
-    pytest-only): REPLAY the event stream as three recorded time-ordered
-    micro-batches through the applyInPandasWithState funnel twin
+    pytest-only): REPLAY the event stream as recorded time-ordered
+    micro-batches (default two — the minimum proving state crosses a
+    batch boundary) through the applyInPandasWithState funnel twin
     (streaming/stateful.streaming_funnel — per-user state is two
     scalars, carried across micro-batch boundaries by the state store),
     then aggregate the emitted step completions to per-step user counts.
@@ -1479,7 +1472,7 @@ def streaming_replay_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def streaming_replay_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming EMA replay: the daily per-name count series recorded as
-    three time-ordered micro-batches, smoothed by the stateful EMA twin
+    time-ordered micro-batches, smoothed by the stateful EMA twin
     (streaming/stateful.streaming_ema — state is ONE scalar per series
     in the state store, so the recursion crosses micro-batch boundaries
     exactly). Every smoothed row is emitted in append mode; oracle: the
@@ -1509,7 +1502,7 @@ def streaming_replay_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
 def streaming_replay_service_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming service-graph replay (third driver-visible streaming
     artifact, after funnel and EMA): the trace span stream recorded as
-    three time-ordered micro-batches, driven through the
+    time-ordered micro-batches, driven through the
     applyInPandasWithState span-adjacency twin
     (streaming/stateful.streaming_service_edges — state is two scalars
     per trace, so an edge crossing a micro-batch boundary is emitted

@@ -503,6 +503,11 @@ def test_fuzz_chart_surface_metrics(spark, sf_dir, ddb):
             Filter(k=S.NAME, v=("purchase", "click"), op=S.IN),
             Filter(k=S.NAME, v=("error",), op=S.NOT_EQUALS),
         ))
+        # ~20% of trials ALSO set field_name alongside the rollup: the
+        # engine filters the field NOT NULL even though the rollup column
+        # stays the aggregation target — a twin-coverage hole caught in
+        # the r10 review (engine 40.0 vs twin 60.0 on NULL-field rows)
+        fname = rng.choice((None, None, None, None, "rollup_min"))
         expr = BaseExpr(
             dataset=S.DATASET_METRICS,
             filter=name_filter,
@@ -511,6 +516,8 @@ def test_fuzz_chart_surface_metrics(spark, sf_dir, ddb):
                 aggregation=rng.choice(("sum", "avg", "min", "max", "count")),
                 rollup=rng.choice(("sum", "count", "min", "max")),
                 chart_type=rng.choice(("count", "rate")),
+                field_name=fname,
+                field_type=S.NUMBER_TYPE if fname else None,
             ),
         )
         eng = QueryEngine(spark, step_ms=step, salt_partitions=rng.choice((1, 4)))

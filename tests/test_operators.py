@@ -2505,3 +2505,18 @@ def test_jacobi_eigh_snapped_accuracy_and_schedule():
 
     snapped = _snap12_arr(np.array([2.5e-12, -2.5e-12, 1.49e-12]))
     assert snapped[0] == 3e-12 and snapped[1] == -3e-12 and snapped[2] == 1e-12
+
+
+def test_attribution_max_touches_zero_raises(spark):
+    """max_touches=0 must be a hard error: F.sequence(L+1, L) would step
+    BACKWARD and credit a touch at/after the conversion (r10 review)."""
+    import pytest
+
+    from lakeside_spark.operators.behavior import attribution
+
+    ev = spark.createDataFrame(
+        [("u", 1, "view", 1), ("u", 5, "purchase", 2)],
+        "user_id string, timestamp_ms long, name string, event_id long",
+    )
+    with pytest.raises(ValueError, match="max_touches"):
+        attribution(ev, max_touches=0)

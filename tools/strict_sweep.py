@@ -56,7 +56,6 @@ def main() -> int:
         lo, _, hi = spec.partition("-")
         lo_i, hi_i = int(lo), int(hi or lo)
         keys = [k for k in list(queries)[lo_i - 1 : hi_i] if k in oracles]
-        args = [a for a in args if a != spec]
     elif "--top50" in sys.argv:
         keys = [k for k in list(queries)[:50] if k in oracles]
     elif args:
