@@ -1458,22 +1458,37 @@ def embedding_cluster_stats(
     the stats agg is ONE shuffle to n_cells keys (map-side combined);
     output is cell-count-sized. The rate column composes with the
     hash-gate sampler (operators/sampling.hash_gate) for the actual
-    keep pass. rows-only: the quantizer is not SQL-expressible;
-    invariants (cell partition, rate bounds, cohesion ordering) are
-    pytest-pinned."""
+    keep pass.
+
+    ORACLE-EXACT since r10: this key's quantizer is the REPLAYABLE
+    snapped spherical k-means (operators/kmeans_replay — vec_id-ordered
+    sample, strided deterministic init, fixed iterations, order-free
+    integer dots/sums), and the assignment cosine is the snapped
+    integer dot itself, so EMB_CLUSTER_STATS_SQL replays training AND
+    assignment bit-for-bit. The ANN keys keep _spherical_kmeans (their
+    recall panel pins that quantizer); invariants remain pytest-pinned."""
+    from lakeside_spark.operators.kmeans_replay import (
+        _snap9i,
+        spherical_kmeans_snapped,
+        unit9,
+    )
+
     spark = emb.sparkSession
     out_schema = (
         "cell int, n_vectors bigint, mean_cos double, min_cos double, "
         "keep_rate double"
     )
-    sample = emb.select(vec_col).limit(train_sample).collect()
+    sample = (
+        emb.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(train_sample)
+        .collect()
+    )
     if not sample:
         return spark.createDataFrame([], schema=out_schema)
-    mat = np.array([r[0] for r in sample], dtype=np.float64)
-    norms = np.linalg.norm(mat, axis=1, keepdims=True)
-    norms[norms == 0] = 1.0
-    cents = _spherical_kmeans(mat / norms, n_cells)
-    bc = spark.sparkContext.broadcast(cents)
+    mat = np.array([r[1] for r in sample], dtype=np.float64)
+    cents9 = spherical_kmeans_snapped(unit9(mat), n_cells)
+    bc = spark.sparkContext.broadcast(cents9.astype(np.float64) / 1e9)
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         c = bc.value
@@ -1481,18 +1496,19 @@ def embedding_cluster_stats(
             if not len(pdf):
                 continue
             m = np.array(list(pdf[vec_col]), dtype=np.float64)
-            n = np.linalg.norm(m, axis=1, keepdims=True)
-            n[n == 0] = 1.0
-            sims = (m / n) @ c.T
-            cell = sims.argmax(axis=1)
+            u = unit9(m).astype(np.float64) / 1e9
+            # snapped integer dots (order-free) — the cosine IS the
+            # snapped dot, so both engines aggregate identical ints
+            dots = np.empty((len(u), len(c)), dtype=np.int64)
+            for j in range(len(c)):
+                dots[:, j] = _snap9i(u * c[j][None, :]).sum(
+                    axis=1, dtype=np.int64
+                )
+            cell = dots.argmax(axis=1)  # first-max: ties to lowest cell
             yield pd.DataFrame(
                 {
                     "cell": cell.astype(np.int32),
-                    # cosine to own centroid, snapped to 1e-9 fixed-point
-                    # ints so the mean is summation-order-independent
-                    "cos9": np.rint(
-                        sims[np.arange(len(cell)), cell] * 1e9
-                    ).astype(np.int64),
+                    "cos9": dots[np.arange(len(cell)), cell],
                 }
             )
 

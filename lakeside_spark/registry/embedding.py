@@ -465,11 +465,14 @@ def kmeans_names(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def embedding_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """rows-only: cluster-balanced sampling plan — spherical-kmeans
-    cells with population, centroid cohesion, and the keep-rate that
-    equalizes the mixture across semantic clusters
-    (operators/similarity.embedding_cluster_stats; quantizer not
-    SQL-expressible, invariants pytest-pinned)."""
+    """Cluster-balanced sampling plan — spherical-kmeans cells with
+    population, centroid cohesion, and the keep-rate that equalizes the
+    mixture across semantic clusters
+    (operators/similarity.embedding_cluster_stats). ORACLE-EXACT since
+    r10: the quantizer is the replayable snapped k-means
+    (operators/kmeans_replay) and EMB_CLUSTER_STATS_SQL replays training
+    + assignment as a DuckDB recursive CTE; invariants stay
+    pytest-pinned."""
     from lakeside_spark.operators.similarity import (
         embedding_cluster_stats as _stats,
     )
