@@ -1552,18 +1552,34 @@ def semdedup(
     (the IVF assign pass); the quadratic comparison is confined to one
     cell per task via applyInPandas, so cost is Σ |cell|² instead of N² —
     n_cells scales with the corpus to bound cell sizes. Deterministic:
-    seeded quantizer, ascending-id greedy order. Approximate by design
-    (cross-cell near-dups survive): embedding_dup_pairs is the exact
-    baseline."""
+    ascending-id greedy order. Approximate by design (cross-cell
+    near-dups survive): embedding_dup_pairs is the exact baseline.
+
+    ORACLE-EXACT since r10: the quantizer is the replayable snapped
+    k-means (operators/kmeans_replay), every greedy cosine is an
+    ORDER-FREE 1e-9 integer dot of snapped unit vectors, and the keep
+    test is an integer compare against round(threshold·1e9) — so
+    SEMDEDUP_SQL replays training, assignment AND the per-cell greedy
+    scan (a lockstep recursive CTE) bit-for-bit."""
+    from lakeside_spark.operators.kmeans_replay import (
+        _snap9i,
+        spherical_kmeans_snapped,
+        unit9,
+    )
+
     spark = emb.sparkSession
-    sample = emb.select(vec_col).limit(train_sample).collect()
+    sample = (
+        emb.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(train_sample)
+        .collect()
+    )
     if not sample:
         return spark.createDataFrame([], schema="vec_id bigint, cell int, max_kept_cos double")
-    mat = np.array([r[0] for r in sample], dtype=np.float64)
-    norms = np.linalg.norm(mat, axis=1, keepdims=True)
-    norms[norms == 0] = 1.0
-    cents = _spherical_kmeans(mat / norms, n_cells)
-    bc = spark.sparkContext.broadcast(cents)
+    mat = np.array([r[1] for r in sample], dtype=np.float64)
+    cents9 = spherical_kmeans_snapped(unit9(mat), n_cells)
+    thr9 = int(_snap9i(np.array([threshold]))[0])
+    bc = spark.sparkContext.broadcast(cents9.astype(np.float64) / 1e9)
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         c = bc.value
@@ -1571,43 +1587,59 @@ def semdedup(
             if not len(pdf):
                 continue
             m = np.array(list(pdf[vec_col]), dtype=np.float64)
-            n = np.linalg.norm(m, axis=1, keepdims=True)
-            n[n == 0] = 1.0
+            u9 = unit9(m)
+            u = u9.astype(np.float64) / 1e9
+            dots = np.empty((len(u), len(c)), dtype=np.int64)
+            for j in range(len(c)):
+                dots[:, j] = _snap9i(u * c[j][None, :]).sum(
+                    axis=1, dtype=np.int64
+                )
             yield pd.DataFrame(
                 {
                     "vec_id": pdf[id_col].to_numpy(np.int64),
-                    "cell": ((m / n) @ c.T).argmax(axis=1).astype(np.int32),
-                    "v": list(m / n),
+                    "cell": dots.argmax(axis=1).astype(np.int32),
+                    "u9": list(u9),
                 }
             )
 
     assigned = _parallelize(emb.select(id_col, vec_col)).mapInPandas(
-        assign, schema="vec_id bigint, cell int, v array<double>"
+        assign, schema="vec_id bigint, cell int, u9 array<bigint>"
     )
 
     def dedup_cell(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("vec_id").reset_index(drop=True)
-        u = np.array(list(pdf["v"]), dtype=np.float64)
+        u9 = np.array(list(pdf["u9"]), dtype=np.int64)
+        u = u9.astype(np.float64) / 1e9
         n = len(pdf)
         kept_idx: list[int] = []
-        max_cos = np.zeros(n)
+        max_cos9 = np.zeros(n, dtype=np.int64)
         keep_mask = np.zeros(n, dtype=bool)
         for i in range(n):
             if kept_idx:
-                cos = u[kept_idx] @ u[i]
-                mc = float(cos.max())
+                cos9 = _snap9i(u[kept_idx] * u[i][None, :]).sum(
+                    axis=1, dtype=np.int64
+                )
+                mc9 = int(cos9.max())
             else:
-                mc = 0.0
-            max_cos[i] = mc
-            if mc < threshold:
+                mc9 = 0
+            max_cos9[i] = mc9
+            if mc9 < thr9:
                 keep_mask[i] = True
                 kept_idx.append(i)
         out = pdf.loc[keep_mask, ["vec_id", "cell"]].copy()
-        out["max_kept_cos"] = np.round(max_cos[keep_mask], 6)
+        out["max_cos9"] = max_cos9[keep_mask]
         return out
 
-    return assigned.groupBy("cell").applyInPandas(
-        dedup_cell, schema="vec_id bigint, cell int, max_kept_cos double"
+    return (
+        assigned.groupBy("cell")
+        .applyInPandas(
+            dedup_cell, schema="vec_id bigint, cell int, max_cos9 bigint"
+        )
+        .select(
+            "vec_id",
+            "cell",
+            F.round(F.col("max_cos9") / F.lit(1e9), 6).alias("max_kept_cos"),
+        )
     )
 
 

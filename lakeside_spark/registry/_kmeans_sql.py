@@ -138,3 +138,57 @@ SELECT CAST(best AS INTEGER) AS cell,
          AS keep_rate
 FROM asgall GROUP BY 1
 """
+
+
+def semdedup_sql(thr9: int) -> str:
+    """SemDeDup twin: the trained quantizer's assignment plus the
+    per-cell greedy scan replayed as a LOCKSTEP recursive CTE — all
+    cells advance one ascending-vec_id member per step, each new member
+    scoring order-free integer dots against the cell's kept-so-far
+    flattened unit vectors; keep iff max cos9 < thr9 (the operator's
+    integer compare)."""
+    return kmeans_cte(16, 10_000) + f"""
+, members AS MATERIALIZED (
+  SELECT CAST(best AS INTEGER) AS cell, vec_id, u9,
+         ROW_NUMBER() OVER (PARTITION BY best ORDER BY vec_id) AS rnk
+  FROM (
+    SELECT vec_id, u9, {_DOTS.format(cents="f.cents")} AS dots,
+           list_position(dots, list_aggregate(dots, 'max')) - 1 AS best
+    FROM au, kmf f, sn
+  )
+),
+msz AS (SELECT MAX(rnk) AS mx FROM members),
+greedy AS (
+  SELECT cell, 0 AS r, []::BIGINT[] AS keptflat,
+         CAST(NULL AS BIGINT) AS ovec, CAST(NULL AS BIGINT) AS ocos9,
+         FALSE AS okeep
+  FROM (SELECT DISTINCT cell FROM members)
+  UNION ALL
+  SELECT g.cell, g.r + 1,
+         CASE WHEN g.mvec IS NOT NULL AND g.mc9 < {thr9}
+              THEN g.keptflat || g.mu9 ELSE g.keptflat END,
+         g.mvec, g.mc9,
+         COALESCE(g.mvec IS NOT NULL AND g.mc9 < {thr9}, FALSE)
+  FROM (
+    SELECT g0.*, m.vec_id AS mvec, m.u9 AS mu9,
+           CASE WHEN m.vec_id IS NULL THEN NULL
+                WHEN len(g0.keptflat) = 0 THEN 0
+                ELSE list_aggregate(
+                  list_transform(range(len(g0.keptflat) // {D}), t ->
+                    list_sum(list_transform(range({D}), d ->
+                      CAST(round((CAST(m.u9[d + 1] AS DOUBLE) / 1e9)
+                           * (CAST(g0.keptflat[t * {D} + d + 1] AS DOUBLE)
+                              / 1e9) * 1e9) AS BIGINT)))),
+                  'max') END AS mc9
+    FROM (SELECT * FROM greedy WHERE r < (SELECT mx FROM msz)) g0
+    LEFT JOIN members m ON m.cell = g0.cell AND m.rnk = g0.r + 1
+  ) g
+)
+SELECT ovec AS vec_id, cell,
+       (ROUND(CAST(ocos9 AS DOUBLE) / 1e9, 6) + 0.0::DOUBLE)
+         AS max_kept_cos
+FROM greedy WHERE okeep
+"""
+
+
+SEMDEDUP_SQL = semdedup_sql(400_000_000)  # registry threshold 0.4

@@ -215,9 +215,12 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def semdedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """rows-only: SemDeDup (cluster embeddings, drop intra-cell semantic
-    near-dups greedily by ascending id; τ=0.4 matches this corpus's cosine
-    range — real text embeddings would sit near the paper's 0.95)."""
+    """SemDeDup (cluster embeddings, drop intra-cell semantic near-dups
+    greedily by ascending id; τ=0.4 matches this corpus's cosine range —
+    real text embeddings would sit near the paper's 0.95). ORACLE-EXACT
+    since r10: snapped-kmeans quantizer + integer greedy cosines, all
+    replayed by SEMDEDUP_SQL (training, assignment AND the per-cell
+    greedy scan as a lockstep recursive CTE)."""
     from lakeside_spark.operators.similarity import semdedup
 
     emb = load_table(spark, sf_dir, "embeddings")
