@@ -4,7 +4,17 @@ batch related metric names into one query).
 
 The name lists are small (thousands at most — they're distinct metric
 names, not rows), so this is deliberately driver-side numpy: distributing
-it would add shuffles for no benefit. Deterministic via seeded init.
+it would add shuffles for no benefit.
+
+ORACLE-EXACT since r10: the k-means is the REPLAYABLE snapped spherical
+k-means (operators/kmeans_replay — strided init over the caller-ordered
+names, fixed iterations, order-free 1e-9 integer dots), the jaccard
+features are exact int/int divisions snapped by unit9, and the k-growth
+loop (first k in [min_k, max_k] whose clusters all fit, else max_k) is
+a pure function of the assignments — so KMEANS_NAMES_SQL
+(registry/_kmeans_sql) replays feature build, training for every k,
+assignment and the k selection bit-for-bit. The ≤5-name passthrough is
+Python-only; the registry corpus has ~100 names at every SF.
 """
 
 from __future__ import annotations
@@ -27,38 +37,32 @@ def jaccard_similarity(a: str, b: str, n: int = 2) -> float:
     return len(sa & sb) / union if union else 0.0
 
 
-def _kmeans(data: np.ndarray, k: int, max_iter: int = 100, seed: int = 42) -> np.ndarray:
-    rng = np.random.default_rng(seed)
-    centroids = data[rng.integers(0, len(data), size=k)]
-    assign = np.zeros(len(data), dtype=int)
-    for _ in range(max_iter):
-        dists = ((data[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
-        new_assign = dists.argmin(axis=1)
-        if (new_assign == assign).all():
-            break
-        assign = new_assign
-        for j in range(k):
-            members = data[assign == j]
-            if len(members):
-                centroids[j] = members.mean(axis=0)
-    return assign
-
-
 def cluster_names(
     names: list[str], min_k: int = 2, max_k: int = 6, max_cluster_size: int = 15
 ) -> list[list[str]]:
     """Batch names into clusters of similar strings, growing k until every
-    cluster fits under max_cluster_size (reference: ClusteringUtils.clustered)."""
+    cluster fits under max_cluster_size (reference: ClusteringUtils
+    .clustered). Clusters come back in centroid-cell order with empty
+    cells dropped — the SQL twin's dense_rank over cell index."""
+    from lakeside_spark.operators.kmeans_replay import (
+        _dots9,
+        spherical_kmeans_snapped,
+        unit9,
+    )
+
     if len(names) <= 5:
         return [list(names)]
     features = np.array(
         [[jaccard_similarity(a, b) for b in names] for a in names]
     )
+    u9 = unit9(features)
+    clusters: list[list[str]] = []
     for k in range(min_k, max_k + 1):
-        assign = _kmeans(features, k)
+        cents9 = spherical_kmeans_snapped(u9, k)
+        assign = _dots9(u9, cents9).argmax(axis=1)  # first-max ties
         clusters = [
             [names[i] for i in range(len(names)) if assign[i] == j]
-            for j in range(k)
+            for j in range(len(cents9))
         ]
         clusters = [c for c in clusters if c]
         if all(len(c) < max_cluster_size for c in clusters):

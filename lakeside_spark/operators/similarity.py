@@ -30,6 +30,12 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from lakeside_spark.functions.vectors import as_double_array
+from lakeside_spark.operators.kmeans_replay import (
+    _snap9i,
+    spherical_kmeans_snapped,
+    unit9,
+)
+from lakeside_spark.operators.pq_replay import pq_train_snapped
 
 
 def _effective_input_parallelism(df: DataFrame) -> int:
@@ -442,30 +448,38 @@ def lsh_bucket_col(vec: F.Column, planes: np.ndarray) -> F.Column:
     return F.concat(*bits)
 
 
-def _spherical_kmeans(
-    sample: np.ndarray, k: int, max_iter: int = 25, seed: int = 42
-) -> np.ndarray:
-    """Deterministic spherical k-means over unit vectors → unit centroids.
-
-    Runs on a driver-side SAMPLE (IVF training is always a sample pass —
-    FAISS does the same); assignment of the full corpus stays distributed."""
-    rng = np.random.default_rng(seed)
-    cents = sample[rng.choice(len(sample), size=min(k, len(sample)), replace=False)]
-    for _ in range(max_iter):
-        assign = (sample @ cents.T).argmax(axis=1)
-        new = np.vstack(
-            [
-                sample[assign == j].mean(axis=0) if (assign == j).any() else cents[j]
-                for j in range(len(cents))
-            ]
+def _train_mat_sample(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    train_sample: int,
+    cache_key: str | None,
+) -> np.ndarray | None:
+    """id-ORDERED raw training matrix (float64) — the replayable sample
+    convention shared by every snapped quantizer (operators/kmeans_replay):
+    ORDER BY id LIMIT n means both engines train on the identical rows in
+    the identical order (a bare limit() is partition-order-dependent).
+    Cached under ("msample", ...) so sibling index builds over the same
+    corpus pay the collect once; never corpus-sized. None on empty."""
+    ck = (
+        None
+        if cache_key is None
+        else ("msample", cache_key, id_col, vec_col, train_sample)
+    )
+    mat = _CODEBOOK_CACHE.get(ck) if ck is not None else None
+    if mat is None:
+        rows = (
+            corpus.select(id_col, vec_col)
+            .orderBy(id_col)
+            .limit(train_sample)
+            .collect()
         )
-        norms = np.linalg.norm(new, axis=1, keepdims=True)
-        norms[norms == 0] = 1.0
-        new = new / norms
-        if np.allclose(new, cents):
-            break
-        cents = new
-    return cents
+        if not rows:
+            return None
+        mat = np.array([r[1] for r in rows], dtype=np.float64)
+        if ck is not None:
+            _CODEBOOK_CACHE[ck] = mat
+    return mat
 
 
 def ann_ivf(
@@ -492,24 +506,42 @@ def ann_ivf(
     effect is a measured row in ann_recall_report (ivf_ma), not a claim.
 
     100 TB shape: train on a sample (one small collect), assign with the
-    broadcast centroid matrix inside the BLAS kernel (map-only — the cell id
-    is just argmax of a [block × n_cells] matmul), then hash-partition the
-    corpus by cell so a query's n_probe cells touch n_probe partitions
-    instead of the full corpus. Recall < 1 by design — brute-force
-    cosine_topk is the exact baseline. ``cache_key`` (a stable corpus name)
-    reuses the trained coarse quantizer across calls — see _CODEBOOK_CACHE.
-    """
+    broadcast centroid matrix inside the Arrow kernel (map-only — the cell
+    id is just argmax of a [block × n_cells] integer-dot matrix), then
+    hash-partition the corpus by cell so a query's n_probe cells touch
+    n_probe partitions instead of the full corpus. Recall < 1 by design —
+    brute-force cosine_topk is the exact baseline. ``cache_key`` (a stable
+    corpus name) reuses the trained coarse quantizer across calls — see
+    _CODEBOOK_CACHE.
+
+    ORACLE-EXACT since r10: the coarse quantizer is the REPLAYABLE snapped
+    spherical k-means (operators/kmeans_replay — id-ordered sample, strided
+    init, fixed iterations), cell assignment / query probing / candidate
+    scoring are all ORDER-FREE 1e-9 integer dot products of snapped unit
+    vectors, and ties break on (dot desc, index asc) in both engines — so
+    ANN_IVF_SQL (registry/_kmeans_sql) replays training, assignment,
+    probing and the final ranking bit-for-bit. The recall panel
+    (ann_recall_report) pins this quantizer's recall floors."""
     spark = corpus.sparkSession
+    empty = "q_id bigint, n_id bigint, cos double, rank int"
     ck = None if cache_key is None else ("ivf", cache_key, n_cells, train_sample)
-    cents = _CODEBOOK_CACHE.get(ck) if ck is not None else None
-    if cents is None:
-        unit = _train_unit_sample(corpus, vec_col, train_sample, cache_key)
-        if unit is None:
-            return spark.createDataFrame([], schema="q_id bigint, n_id bigint, cos double, rank int")
-        cents = _spherical_kmeans(unit, n_cells)
+    cents9 = _CODEBOOK_CACHE.get(ck) if ck is not None else None
+    if cents9 is None:
+        mat = _train_mat_sample(corpus, id_col, vec_col, train_sample, cache_key)
+        if mat is None:
+            return spark.createDataFrame([], schema=empty)
+        cents9 = spherical_kmeans_snapped(unit9(mat), n_cells)
         if ck is not None:
-            _CODEBOOK_CACHE[ck] = cents
+            _CODEBOOK_CACHE[ck] = cents9
+    cents = cents9.astype(np.float64) / 1e9
     bc = spark.sparkContext.broadcast(cents)
+
+    def _int_dots(u: np.ndarray, c: np.ndarray) -> np.ndarray:
+        """Order-free snapped integer dots: dot9[i,j] = Σ_d snap9(u·c)."""
+        out = np.empty((len(u), len(c)), dtype=np.int64)
+        for j in range(len(c)):
+            out[:, j] = _snap9i(u * c[j][None, :]).sum(axis=1, dtype=np.int64)
+        return out
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         c = bc.value
@@ -517,58 +549,84 @@ def ann_ivf(
             if not len(pdf):
                 continue
             m = np.array(list(pdf[vec_col]), dtype=np.float64)
-            n = np.linalg.norm(m, axis=1, keepdims=True)
-            n[n == 0] = 1.0
-            sims = (m / n) @ c.T
+            u9m = unit9(m)
+            dots = _int_dots(u9m.astype(np.float64) / 1e9, c)
             if n_assign <= 1:
-                cells = sims.argmax(axis=1)[:, None]
+                cells = dots.argmax(axis=1)[:, None]  # first-max ties
             else:
-                cells = np.argsort(-sims, axis=1)[:, :n_assign]
+                # top-n_assign cells by (dot desc, cell asc): stable sort
+                # keeps the lowest cell first among ties
+                cells = np.argsort(-dots, axis=1, kind="stable")[:, :n_assign]
             ids = np.repeat(pdf[id_col].to_numpy(np.int64), cells.shape[1])
-            vecs = [v for v in pdf[vec_col] for _ in range(cells.shape[1])]
+            u9rep = np.repeat(u9m, cells.shape[1], axis=0)
             yield pd.DataFrame(
-                {"n_id": ids, "cell": cells.ravel(), "nv": vecs}
+                {
+                    "n_id": ids,
+                    "cell": cells.ravel().astype(np.int32),
+                    "nu9": list(u9rep),
+                }
             )
 
     assigned = _parallelize(corpus.select(id_col, vec_col)).mapInPandas(
-        assign, schema=f"n_id bigint, cell int, nv {corpus.schema[vec_col].dataType.simpleString()}"
+        assign, schema="n_id bigint, cell int, nu9 array<bigint>"
     )
 
     # queries probe their n_probe nearest cells (driver-side: queries are the
     # small broadcast side by construction)
     q_rows = queries.select(id_col, vec_col).collect()
     if not q_rows:
-        return spark.createDataFrame([], schema="q_id bigint, n_id bigint, cos double, rank int")
+        return spark.createDataFrame([], schema=empty)
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
-    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
-    qn = np.linalg.norm(q_mat, axis=1, keepdims=True)
-    qn[qn == 0] = 1.0
-    q_unit = q_mat / qn
-    probe = np.argsort(-(q_unit @ cents.T), axis=1)[:, :n_probe]
+    qu9 = unit9(np.array([r[1] for r in q_rows], dtype=np.float64))
+    q_dots = _int_dots(qu9.astype(np.float64) / 1e9, cents)
+    probe = np.argsort(-q_dots, axis=1, kind="stable")[:, :n_probe]
     probe_rows = [
-        (int(q_ids[i]), [float(x) for x in q_unit[i]], int(c))
+        (int(q_ids[i]), [int(x) for x in qu9[i]], int(c))
         for i in range(len(q_ids))
         for c in probe[i]
     ]
-    q_df = spark.createDataFrame(probe_rows, schema="q_id bigint, qv array<double>, cell int")
-
-    from lakeside_spark.functions.vectors import as_double_array
+    q_df = spark.createDataFrame(
+        probe_rows, schema="q_id bigint, q9 array<bigint>, cell int"
+    )
 
     cand = (
         assigned.join(F.broadcast(q_df), "cell")
         .filter(F.col("q_id") != F.col("n_id"))
-        .select("q_id", "n_id", "qv", as_double_array("nv").alias("nv"))
+        .select("q_id", "n_id", "q9", "nu9")
     )
     if n_assign > 1:
         # replicated vectors can meet the same query via several shared
         # cells — score each candidate pair once
         cand = cand.dropDuplicates(["q_id", "n_id"])
-    scored = _rowwise_cosine(cand, "qv", "nv", "q_id", "n_id")
-    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
+
+    def cos_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            qa = np.array(list(pdf["q9"]), dtype=np.int64).astype(np.float64) / 1e9
+            na = np.array(list(pdf["nu9"]), dtype=np.int64).astype(np.float64) / 1e9
+            cos9 = _snap9i(qa * na).sum(axis=1, dtype=np.int64)
+            yield pd.DataFrame(
+                {
+                    "q_id": pdf["q_id"].to_numpy(np.int64),
+                    "n_id": pdf["n_id"].to_numpy(np.int64),
+                    "cos9": cos9,
+                }
+            )
+
+    scored = cand.mapInPandas(
+        cos_kernel, schema="q_id bigint, n_id bigint, cos9 bigint"
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos9").desc(), F.col("n_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("q_id", "n_id", F.round("cos", 6).alias("cos"), "rank")
+        .select(
+            "q_id",
+            "n_id",
+            F.round(F.col("cos9") / F.lit(1e9), 6).alias("cos"),
+            "rank",
+        )
     )
 
 
@@ -684,7 +742,7 @@ def _lloyd_kmeans(
     sample: np.ndarray, k: int, max_iter: int = 20, seed: int = 42
 ) -> np.ndarray:
     """Deterministic plain (L2) k-means for PQ sub-quantizer training —
-    runs on a driver-side sample, like _spherical_kmeans."""
+    runs on a driver-side sample."""
     rng = np.random.default_rng(seed)
     cents = sample[rng.choice(len(sample), size=min(k, len(sample)), replace=False)]
     x2 = (sample**2).sum(axis=1)[:, None]
@@ -800,13 +858,14 @@ def ann_pq(
     of its nearest sub-centroid, and queries score codes through per-query
     asymmetric-distance lookup tables. Two accuracy levers beyond plain PQ:
 
-    - ``rerank`` (FAISS's refine stage): each task takes its ADC top-
-      ``rerank`` shortlist per query and re-scores it with the EXACT
-      cosine before emitting its local top-k, so the returned cos is
-      exact and only the shortlist selection is approximate. The refine
-      vectors ride the map-only scan — nothing extra shuffles — and at
-      100 TB the refine source can be the SQ8 codes instead of raw
-      floats. Lifts panel recall@5 from 0.23 (round-5 defaults) to ~0.8.
+    - ``rerank`` (FAISS's refine stage): the global ADC top-``rerank``
+      shortlist per query is re-scored with the exact cosine before the
+      final top-k, so only the shortlist selection is approximate.
+      Each task pre-cuts its local ADC top-rerank by the SAME total
+      order (adc desc, id asc), which is lossless for the global
+      shortlist — a task contributes at most rerank rows to the global
+      top-rerank — so the result is partitioning-independent. Lifts
+      panel recall@5 from 0.23 (round-5 defaults) to ~0.8.
     - ``rotation="opq"``: orthogonal OPQ-style pre-rotation
       (_opq_rotation) applied before chopping, for anisotropic corpora;
       measured ±0.05 on the isotropic panel (honest: nothing to balance
@@ -815,9 +874,181 @@ def ann_pq(
     100 TB shape: the corpus is reduced to m_subs small ints per vector
     (64-dim float32 → 8 bytes here, a 32× compression), encoding and
     scoring are both map-only Arrow kernels with broadcast codebooks/LUTs,
-    and each task emits only its local top-k per query — the global top-k
-    window sees tasks×queries×k rows, never the corpus. Approximate by
-    design: brute-force cosine_topk is the exact baseline."""
+    and each task emits only its local top-rerank per query — the global
+    shortlist window sees tasks×queries×rerank rows, never the corpus.
+    Approximate by design: brute-force cosine_topk is the exact baseline.
+
+    ORACLE-EXACT since r10 (rotation="none", the default): codebooks are
+    the replayable snapped per-subspace L2 k-means at 1e-6 fixed point
+    (operators/pq_replay — id-ordered sample, strided init, fixed
+    iterations), and encoding / ADC scoring / shortlist / exact rerank
+    are ALL order-free int64 arithmetic with (score desc, id asc) ties —
+    so ANN_PQ_SQL (registry/_pq_sql) replays the entire pipeline
+    bit-for-bit. The OPQ variant keeps the float eigh rotation and stays
+    panel-pinned only."""
+    if rotation == "none":
+        return _ann_pq_snapped(
+            corpus, queries, k, m_subs, n_codes, train_sample, rerank,
+            vec_col, id_col, cache_key,
+        )
+    return _ann_pq_opq(
+        corpus, queries, k, m_subs, n_codes, train_sample, rerank,
+        rotation, vec_col, id_col, cache_key,
+    )
+
+
+def _ann_pq_snapped(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    m_subs: int,
+    n_codes: int,
+    train_sample: int,
+    rerank: int,
+    vec_col: str,
+    id_col: str,
+    cache_key: str | None,
+) -> DataFrame:
+    """The replayable PQ pipeline (see ann_pq). Everything after unit6
+    snapping is exact int64: codebooks, codes, ADC lookup sums, the
+    global shortlist order and the rerank dot products."""
+    from lakeside_spark.operators.pq_replay import (
+        pq_encode6,
+        pq_luts6,
+        unit6,
+    )
+
+    spark = corpus.sparkSession
+    empty = "q_id bigint, n_id bigint, cos_pq double, rank int"
+    ck = None if cache_key is None else (
+        "pq", cache_key, m_subs, n_codes, train_sample, "none"
+    )
+    books6 = _CODEBOOK_CACHE.get(ck) if ck is not None else None
+    if books6 is None:
+        mat = _train_mat_sample(corpus, id_col, vec_col, train_sample, cache_key)
+        if mat is None:
+            return spark.createDataFrame([], schema=empty)
+        books6 = pq_train_snapped(unit6(mat), m_subs, n_codes)
+        if ck is not None:
+            _CODEBOOK_CACHE[ck] = books6
+    bc_books = spark.sparkContext.broadcast(books6)
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    if not q_rows:
+        return spark.createDataFrame([], schema=empty)
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    q6 = unit6(np.array([r[1] for r in q_rows], dtype=np.float64))
+    luts6 = pq_luts6(q6, books6)  # [nq, m_subs, k] int64
+    bc_q = spark.sparkContext.broadcast((q_ids, luts6))
+    take = max(rerank, k + 1)
+
+    def encode_score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        B = bc_books.value
+        ids_q, lut = bc_q.value
+        nq = len(ids_q)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            n_ids = pdf[id_col].to_numpy(np.int64)
+            u6m = unit6(np.array(list(pdf[vec_col]), dtype=np.float64))
+            codes = pq_encode6(u6m, B)  # [n, m_subs]
+            adc = np.zeros((nq, len(n_ids)), dtype=np.int64)
+            for j in range(B.shape[0]):
+                adc += lut[:, j, codes[:, j]]
+            rows_q: list[int] = []
+            rows_n: list[int] = []
+            rows_a: list[int] = []
+            rows_v: list[np.ndarray] = []
+            for qi in range(nq):
+                cand = np.nonzero(n_ids != ids_q[qi])[0]
+                if not len(cand):
+                    continue
+                # local ADC top-take by the GLOBAL total order
+                # (adc desc, n_id asc) — lexsort's last key is primary
+                order = np.lexsort((n_ids[cand], -adc[qi, cand]))[:take]
+                chosen = cand[order]
+                rows_q.extend([int(ids_q[qi])] * len(chosen))
+                rows_n.extend(n_ids[chosen])
+                rows_a.extend(adc[qi, chosen])
+                rows_v.extend(list(u6m[chosen]))
+            if not rows_q:
+                # an all-self batch yields nothing — an empty untyped
+                # nu6 column would fail the Arrow list<bigint> convert
+                continue
+            yield pd.DataFrame(
+                {
+                    "q_id": np.array(rows_q, dtype=np.int64),
+                    "n_id": np.array(rows_n, dtype=np.int64),
+                    "adc6": np.array(rows_a, dtype=np.int64),
+                    "nu6": rows_v,
+                }
+            )
+
+    shortlisted = _parallelize(corpus.select(id_col, vec_col)).mapInPandas(
+        encode_score,
+        schema="q_id bigint, n_id bigint, adc6 bigint, nu6 array<bigint>",
+    )
+    wa = Window.partitionBy("q_id").orderBy(F.col("adc6").desc(), F.col("n_id"))
+    short = (
+        shortlisted.withColumn("arnk", F.row_number().over(wa))
+        .filter(F.col("arnk") <= take)
+        .select("q_id", "n_id", "nu6")
+    )
+
+    q_df = spark.createDataFrame(
+        [(int(q_ids[i]), [int(x) for x in q6[i]]) for i in range(len(q_ids))],
+        schema="q_id bigint, q6 array<bigint>",
+    )
+    paired = short.join(F.broadcast(q_df), "q_id")
+
+    def rescore(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            qa = np.array(list(pdf["q6"]), dtype=np.int64)
+            na = np.array(list(pdf["nu6"]), dtype=np.int64)
+            cos12 = (qa * na).sum(axis=1, dtype=np.int64)  # exact int64
+            yield pd.DataFrame(
+                {
+                    "q_id": pdf["q_id"].to_numpy(np.int64),
+                    "n_id": pdf["n_id"].to_numpy(np.int64),
+                    "cos12": cos12,
+                }
+            )
+
+    rescored = paired.mapInPandas(
+        rescore, schema="q_id bigint, n_id bigint, cos12 bigint"
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos12").desc(), F.col("n_id"))
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "q_id",
+            "n_id",
+            F.round(F.col("cos12") / F.lit(1e12), 6).alias("cos_pq"),
+            "rank",
+        )
+    )
+
+
+def _ann_pq_opq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m_subs: int = 8,
+    n_codes: int = 32,
+    train_sample: int = 10_000,
+    rerank: int = 32,
+    rotation: str = "opq",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cache_key: str | None = None,
+) -> DataFrame:
+    """The float OPQ-rotated PQ variant (see ann_pq's docstring) — kept on
+    the original per-task-refine path; its recall sits in the
+    ann_recall_report panel, not behind an oracle (the eigh rotation is
+    float-valued by nature)."""
     spark = corpus.sparkSession
     empty = "q_id bigint, n_id bigint, cos_pq double, rank int"
     ck = None if cache_key is None else (
@@ -1465,8 +1696,8 @@ def embedding_cluster_stats(
     sample, strided deterministic init, fixed iterations, order-free
     integer dots/sums), and the assignment cosine is the snapped
     integer dot itself, so EMB_CLUSTER_STATS_SQL replays training AND
-    assignment bit-for-bit. The ANN keys keep _spherical_kmeans (their
-    recall panel pins that quantizer); invariants remain pytest-pinned."""
+    assignment bit-for-bit. ann_ivf shares this quantizer since r10 (its
+    recall panel pins the floors); invariants remain pytest-pinned."""
     from lakeside_spark.operators.kmeans_replay import (
         _snap9i,
         spherical_kmeans_snapped,

@@ -190,8 +190,13 @@ FROM ranked WHERE rank <= 5
 
 
 def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """rows-only: IVF-cell ANN (sampled spherical-kmeans coarse quantizer,
-    n_probe cells per query — the FAISS-style 100 TB path)."""
+    """IVF-cell ANN (snapped spherical-kmeans coarse quantizer, n_probe
+    cells per query — the FAISS-style 100 TB path). ORACLE-EXACT since
+    r10: the quantizer is the replayable snapped k-means
+    (operators/kmeans_replay) and every assignment/probe/scoring value
+    is an order-free 1e-9 integer dot, so ANN_IVF_SQL
+    (registry/_kmeans_sql) replays training, assignment, probing and
+    ranking bit-for-bit; recall floors stay pytest-pinned."""
     from lakeside_spark.operators.similarity import ann_ivf as _ann_ivf
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -202,9 +207,14 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """rows-only: product-quantization ANN (16 sub-quantizers × 64 codes
-    with ADC shortlist + exact refine — the FAISS PQ compressed-domain
-    100 TB path; ~32× vector compression, refined cos is exact)."""
+    """Product-quantization ANN (16 sub-quantizers × 64 codes with global
+    ADC shortlist + exact refine — the FAISS PQ compressed-domain 100 TB
+    path; ~32× vector compression). ORACLE-EXACT since r10: codebooks
+    are the replayable snapped per-subspace L2 k-means at 1e-6 fixed
+    point (operators/pq_replay) and encoding/ADC/shortlist/rerank are
+    all exact int64 arithmetic, so ANN_PQ_SQL (registry/_pq_sql) replays
+    the whole pipeline bit-for-bit; recall floors stay pytest-pinned
+    (the float OPQ variant remains panel-only)."""
     from lakeside_spark.operators.similarity import ann_pq as _ann_pq
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -447,10 +457,17 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def kmeans_names(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """rows-only: cluster the distinct (source, lang) labels of the corpus
-    into batches of similar names (reference: ClusteringUtils.clustered —
-    a driver-side utility batching tag names for segment queries; the
-    name list is tiny by construction, the clustering itself is local)."""
+    """Cluster the distinct (source, lang) labels of the corpus into
+    batches of similar names (reference: ClusteringUtils.clustered — a
+    driver-side utility batching tag names for segment queries; the name
+    list is tiny by construction, the clustering itself is local).
+    ORACLE-EXACT since r10: the k-means is the replayable snapped
+    spherical k-means over 1e-9-snapped bigram-jaccard feature vectors,
+    and the k-growth selection is a pure function of the assignments —
+    KMEANS_NAMES_SQL replays features, training for every k in [2, 6],
+    assignment and the selection bit-for-bit (the ≤5-name Python
+    passthrough never triggers on this corpus: ~100 names at every
+    SF)."""
     from lakeside_spark.operators.clustering import cluster_names
 
     docs = load_table(spark, sf_dir, "documents")
@@ -716,11 +733,17 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         df = builders[name]()
         return df.columns, df.collect()
 
-    # warm the shared training sample SYNCHRONOUSLY: ivf and pq are
+    # warm the shared training samples SYNCHRONOUSLY: ivf and pq are
     # submitted concurrently below, and a cold cache would make both
     # run the driver-side collect before either writes the entry
-    from lakeside_spark.operators.similarity import _train_unit_sample
+    # (_train_mat_sample feeds the snapped ivf/pq quantizers,
+    # _train_unit_sample the float OPQ variant)
+    from lakeside_spark.operators.similarity import (
+        _train_mat_sample,
+        _train_unit_sample,
+    )
 
+    _train_mat_sample(emb, "vec_id", "embedding", 10_000, ck)
     _train_unit_sample(emb, "embedding", 10_000, ck)
 
     with ThreadPoolExecutor(max_workers=7) as pool:

@@ -713,6 +713,18 @@ def test_vocab_topk_deterministic_ties(spark):
     ]
 
 
+def test_ann_self_only_corpus_yields_no_pairs(spark, sf_dir):
+    """A corpus whose every row is also the query must return zero
+    pairs without erroring — the all-self batch used to emit an empty
+    untyped nu6 column that failed the Arrow list<bigint> convert."""
+    from lakeside_spark.operators.similarity import ann_ivf, ann_pq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    one = emb.filter(F.col("vec_id") == 7)
+    assert ann_pq(one, one, k=5, m_subs=16, n_codes=64).count() == 0
+    assert ann_ivf(one, one, k=5, n_cells=4).count() == 0
+
+
 def test_ann_pq_recall_and_determinism(spark, sf_dir):
     from lakeside_spark.operators.similarity import ann_pq, cosine_topk
 
@@ -747,14 +759,15 @@ def test_ann_codebook_cache_skips_retraining(spark, sf_dir, monkeypatch):
     )
     sim.ann_ivf(emb, q, k=5, n_cells=8, cache_key=key).collect()
     kinds = sorted(k[0] for k in sim._CODEBOOK_CACHE)
-    # two trained quantizers + ONE training sample shared between them
-    assert kinds == ["ivf", "pq", "sample"], kinds
+    # two trained quantizers + ONE ordered training sample shared
+    # between the snapped trainers
+    assert kinds == ["ivf", "msample", "pq"], kinds
 
     def boom(*a, **kw):  # training must not run again on a warm cache
         raise AssertionError("k-means retrained despite warm codebook cache")
 
-    monkeypatch.setattr(sim, "_lloyd_kmeans", boom)
-    monkeypatch.setattr(sim, "_spherical_kmeans", boom)
+    monkeypatch.setattr(sim, "pq_train_snapped", boom)
+    monkeypatch.setattr(sim, "spherical_kmeans_snapped", boom)
     warm = sorted(
         tuple(r)
         for r in sim.ann_pq(emb, q, k=5, m_subs=16, n_codes=64, cache_key=key).collect()
