@@ -237,6 +237,66 @@ def semdedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup(emb, threshold=0.4, n_cells=16)
 
 
+def embedding_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic decontamination: training-corpus vectors that are
+    embedding-space near-duplicates of the held-out benchmark slice
+    (every 50th vec_id stands in for the eval set), with their best
+    benchmark match — the paraphrase-catching second pass next to the
+    n-gram decontam family (operators/decontam_semantic.benchmark
+    _matches). Map-only broadcast-benchmark kernel; ORACLE-EXACT by
+    construction (snapped unit vectors, order-free integer dots,
+    integer threshold compare, first-max ties)."""
+    from lakeside_spark.operators.decontam_semantic import benchmark_matches
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.col("vec_id") % 50 == 0)
+    corpus = emb.filter(F.col("vec_id") % 50 != 0)
+    return benchmark_matches(corpus, bench, threshold=0.35)
+
+
+# Twin: unit9 both sides (the order-free snapped norm), integer dots,
+# best benchmark per corpus row by (cos9 desc, bench_id asc), keep at
+# cos9 >= round(0.35e9). The modulo split replays the registry's
+# benchmark stand-in.
+EMBEDDING_DECONTAM_SQL = """
+WITH au AS MATERIALIZED (
+  SELECT vec_id,
+    list_transform(range(64), d ->
+      CAST(round((x[d + 1] / nrm) * 1e9) AS BIGINT)) AS u9
+  FROM (
+    SELECT vec_id, x,
+      CASE WHEN nrm0 = 0.0 THEN 1.0 ELSE nrm0 END AS nrm
+    FROM (
+      SELECT vec_id, x,
+        SQRT(CAST(list_sum(list_transform(range(64), d ->
+          CAST(round(x[d + 1] * x[d + 1] * 1e9)
+               AS BIGINT))) AS DOUBLE) / 1e9) AS nrm0
+      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x
+            FROM embeddings)
+    )
+  )
+),
+pairs AS (
+  SELECT c.vec_id, b.vec_id AS bench_id,
+    list_sum(list_transform(range(64), d ->
+      CAST(round((CAST(c.u9[d + 1] AS DOUBLE) / 1e9)
+           * (CAST(b.u9[d + 1] AS DOUBLE) / 1e9) * 1e9) AS BIGINT)))
+      AS cos9
+  FROM au c, au b
+  WHERE c.vec_id % 50 != 0 AND b.vec_id % 50 = 0
+),
+best AS (
+  SELECT vec_id, bench_id, cos9,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY cos9 DESC, bench_id) AS rk
+  FROM pairs
+)
+SELECT vec_id, bench_id,
+       (ROUND(CAST(cos9 AS DOUBLE) / 1e9, 6) + 0.0::DOUBLE) AS cos
+FROM best WHERE rk = 1 AND cos9 >= 350000000
+"""
+
+
 def embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cleanlab-style label-error candidates: vectors whose cosine to their
     own label's centroid is negative (the ~10% tail at this data's

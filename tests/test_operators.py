@@ -713,6 +713,33 @@ def test_vocab_topk_deterministic_ties(spark):
     ]
 
 
+def test_embedding_decontam_planted_and_edges(spark):
+    """A corpus vector that is a scaled copy of a benchmark vector must
+    be flagged at cos≈1 with that benchmark id (scaling cancels in the
+    unit snap); an anti-correlated one must not; an empty benchmark
+    flags nothing."""
+    from lakeside_spark.operators.decontam_semantic import benchmark_matches
+
+    d = 64
+    base = [float((i * 7) % 13 - 6) for i in range(d)]
+    rows = [
+        (100, base),                      # benchmark
+        (1, [x * 2.5 for x in base]),     # scaled copy -> cos 1
+        (2, [-x for x in base]),          # anti-correlated -> cos -1
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    bench = emb.filter(F.col("vec_id") >= 100)
+    corpus = emb.filter(F.col("vec_id") < 100)
+    got = {
+        r["vec_id"]: (r["bench_id"], r["cos"])
+        for r in benchmark_matches(corpus, bench, threshold=0.9).collect()
+    }
+    assert set(got) == {1}
+    assert got[1][0] == 100 and abs(got[1][1] - 1.0) < 1e-6
+    empty_bench = bench.filter(F.col("vec_id") < 0)
+    assert benchmark_matches(corpus, empty_bench).count() == 0
+
+
 def test_ann_self_only_corpus_yields_no_pairs(spark, sf_dir):
     """A corpus whose every row is also the query must return zero
     pairs without erroring — the all-self batch used to emit an empty
