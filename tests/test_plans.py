@@ -337,6 +337,38 @@ def test_dsir_weight_table_broadcasts(spark, sf_dir):
     assert "partial_count" in plan or "partial_sum" in plan
 
 
+def test_embedding_decontam_is_map_only(spark, sf_dir):
+    """embedding_decontam's 100 TB claim IS the plan: the benchmark
+    matrix broadcasts inside the Arrow kernel, so the corpus scan must
+    reach the output with no Join and no key-partitioned Exchange (the
+    only allowed Exchange is _parallelize's small-input round-robin
+    spread, which an already-parallel scan skips)."""
+    plan = _plan(spark, sf_dir, "embedding_decontam")
+    assert "Exchange hashpartitioning" not in plan, plan[:1500]
+    assert "Exchange rangepartitioning" not in plan, plan[:1500]
+    assert "Join" not in plan, plan[:1500]
+    assert "FileScan" in plan
+
+
+def test_ann_ivf_broadcast_cell_join(spark, sf_dir):
+    """ann_ivf joins corpus cells against the probed query cells: the
+    query side must BROADCAST (it is queries×n_probe rows by
+    construction) — a shuffle join here would move the corpus."""
+    plan = _plan(spark, sf_dir, "ann_ivf")
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+    assert "SortMergeJoin" not in plan, plan[:1500]
+
+
+def test_ann_pq_shortlist_never_corpus_sized(spark, sf_dir):
+    """ann_pq's windows run on the tasks×queries×rerank shortlist, and
+    the rescore join against the query matrix must broadcast — no
+    sort-merge join, no cartesian."""
+    plan = _plan(spark, sf_dir, "ann_pq")
+    assert "SortMergeJoin" not in plan, plan[:1500]
+    assert "CartesianProduct" not in plan, plan[:1500]
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+
+
 def test_whitening_apply_is_map_only(spark, sf_dir):
     """embedding_whitening's returned plan is the broadcast-transform
     APPLY pass: scan → Arrow kernel, zero Exchanges (the covariance
