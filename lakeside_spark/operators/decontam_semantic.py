@@ -33,7 +33,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from lakeside_spark.operators.kmeans_replay import _snap9i, unit9
+from lakeside_spark.operators.kmeans_replay import _dots9, _snap9i, unit9
 
 
 def benchmark_matches(
@@ -56,24 +56,16 @@ def benchmark_matches(
     if not bench_rows:
         return spark.createDataFrame([], schema=empty)
     b_ids = np.array([r[0] for r in bench_rows], dtype=np.int64)
-    bu = unit9(
-        np.array([r[1] for r in bench_rows], dtype=np.float64)
-    ).astype(np.float64) / 1e9
-    bc = spark.sparkContext.broadcast((b_ids, bu))
+    bu9 = unit9(np.array([r[1] for r in bench_rows], dtype=np.float64))
+    bc = spark.sparkContext.broadcast((b_ids, bu9))
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        ids_b, unit_b = bc.value
+        ids_b, unit_b9 = bc.value
         for pdf in batches:
             if not len(pdf):
                 continue
-            u = unit9(
-                np.array(list(pdf[vec_col]), dtype=np.float64)
-            ).astype(np.float64) / 1e9
-            dots = np.empty((len(u), len(ids_b)), dtype=np.int64)
-            for j in range(len(ids_b)):
-                dots[:, j] = _snap9i(u * unit_b[j][None, :]).sum(
-                    axis=1, dtype=np.int64
-                )
+            u9 = unit9(np.array(list(pdf[vec_col]), dtype=np.float64))
+            dots = _dots9(u9, unit_b9)
             best = dots.argmax(axis=1)  # first-max: ties to lowest id
             mx = dots[np.arange(len(best)), best]
             keep = mx >= thr9

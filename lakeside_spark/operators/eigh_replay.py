@@ -35,28 +35,20 @@ SWEEPS = 8
 ITERS = SWEEPS * (D - 1)
 
 
+from lakeside_spark.operators.kmeans_replay import snap_away_int
+
+
 def _snap12_arr(a: np.ndarray) -> np.ndarray:
     """Round-half-away-from-zero of a*1e12, back to double — the
-    engine-portable snap (DuckDB round(x*1e12)/1e12 is identical)."""
-    v = a * 1e12
-    f = np.floor(v)
-    tie = (v - f) == 0.5
-    out = np.rint(v)  # half-even
-    if tie.any():  # ties away from zero: +.5 up, -.5 down (to floor)
-        out = np.where(tie, np.where(v > 0, f + 1.0, f), out)
-    return out / 1e12
+    engine-portable snap (DuckDB round(x*1e12)/1e12 is identical).
+    Magnitudes here stay far below 2^53/1e12, so the int64 round-trip
+    through the shared snap is exact."""
+    return snap_away_int(a, 1e12).astype(np.float64) / 1e12
 
 
 def _snap9_int_arr(a: np.ndarray) -> np.ndarray:
-    """Round-half-away-from-zero of a*1e9 as int64 (same convention as
-    similarity._snap9_arr; duplicated to avoid a circular import)."""
-    v = a * 1e9
-    f = np.floor(v)
-    tie = (v - f) == 0.5
-    out = np.rint(v)
-    if tie.any():
-        out = np.where(tie, np.where(v > 0, f + 1.0, f), out)
-    return out.astype(np.int64)
+    """snap_away_int at 1e-9 (the shared engine convention)."""
+    return snap_away_int(a, 1e9)
 
 
 def _partner(i: int, rr: int) -> int:

@@ -1,7 +1,7 @@
 """Deterministic, engine-replayable spherical k-means for the exact
-cluster-analytics oracles (embedding_cluster_stats first; the ANN
-quantizers keep operators/similarity._spherical_kmeans so their pinned
-recall panel is untouched).
+cluster-analytics and ANN oracles (embedding_cluster_stats, semdedup,
+ann_ivf and kmeans_names all train THIS quantizer since r10; the
+recall panel pins its floors).
 
 Same determinism discipline as operators/eigh_replay: no RNG (init =
 evenly strided rows of the vec_id-ORDERED sample — SQL: sid % stride),
@@ -23,10 +23,16 @@ import numpy as np
 KM_ITERS = 15
 
 
-def _snap9i(a: np.ndarray) -> np.ndarray:
-    """Round-half-away-from-zero of a*1e9 → int64 (the shared engine
-    snap convention; see similarity._snap9_arr)."""
-    v = a * 1e9
+def snap_away_int(a: np.ndarray, scale: float) -> np.ndarray:
+    """Round-half-away-from-zero of ``a * scale`` → int64 — THE
+    engine-portable fixed-point snap every replayable oracle shares
+    (Spark F.round / DuckDB round both round ties away from zero;
+    np.rint is half-EVEN, so exact .5 ties are adjusted explicitly —
+    the comparison is on exact float values, no epsilon games). The
+    scale-specific wrappers (_snap9i here, pq_replay._snap6i,
+    similarity._snap9_arr, eigh_replay's pair) all delegate here so the
+    tie convention lives in ONE place."""
+    v = a * scale
     f = np.floor(v)
     tie = (v - f) == 0.5
     out = np.rint(v)
@@ -35,14 +41,24 @@ def _snap9i(a: np.ndarray) -> np.ndarray:
     return out.astype(np.int64)
 
 
-def unit9(m: np.ndarray) -> np.ndarray:
-    """Row-normalize to snapped 1e-9 int64 unit vectors with an
-    order-free norm: ss9 = Σ_d snap9(x_d²), norm = sqrt(ss9/1e9)
-    (0-norm rows stay zero). Twin: the u9 expression in _kmeans_sql."""
-    ss9 = _snap9i(m * m).sum(axis=1, dtype=np.int64)
-    norm = np.sqrt(ss9.astype(np.float64) / 1e9)
+def _snap9i(a: np.ndarray) -> np.ndarray:
+    """snap_away_int at the 1e-9 engine precision."""
+    return snap_away_int(a, 1e9)
+
+
+def unit_snapped(m: np.ndarray, scale: float) -> np.ndarray:
+    """Row-normalize to snapped int64 unit vectors at ``1/scale``
+    precision with an order-free norm: ss = Σ_d snap(x_d²),
+    norm = sqrt(ss/scale) (0-norm rows stay zero)."""
+    ss = snap_away_int(m * m, scale).sum(axis=1, dtype=np.int64)
+    norm = np.sqrt(ss.astype(np.float64) / scale)
     norm[norm == 0.0] = 1.0
-    return _snap9i(m / norm[:, None])
+    return snap_away_int(m / norm[:, None], scale)
+
+
+def unit9(m: np.ndarray) -> np.ndarray:
+    """unit_snapped at 1e-9. Twin: the u9 expression in _kmeans_sql."""
+    return unit_snapped(m, 1e9)
 
 
 def _dots9(u9: np.ndarray, cents9: np.ndarray) -> np.ndarray:

@@ -25,26 +25,17 @@ import numpy as np
 PQ_ITERS = 15
 
 
+from lakeside_spark.operators.kmeans_replay import snap_away_int, unit_snapped
+
+
 def _snap6i(a: np.ndarray) -> np.ndarray:
-    """Round-half-away-from-zero of a*1e6 → int64 (the engine snap
-    convention at PQ precision; see kmeans_replay._snap9i)."""
-    v = a * 1e6
-    f = np.floor(v)
-    tie = (v - f) == 0.5
-    out = np.rint(v)
-    if tie.any():
-        out = np.where(tie, np.where(v > 0, f + 1.0, f), out)
-    return out.astype(np.int64)
+    """snap_away_int at the 1e-6 PQ precision (see kmeans_replay)."""
+    return snap_away_int(a, 1e6)
 
 
 def unit6(m: np.ndarray) -> np.ndarray:
-    """Row-normalize to snapped 1e-6 int64 unit vectors with an
-    order-free norm: ss6 = Σ_d snap6(x_d²), norm = sqrt(ss6/1e6)
-    (0-norm rows stay zero). Twin: the u6 expression in _pq_sql."""
-    ss6 = _snap6i(m * m).sum(axis=1, dtype=np.int64)
-    norm = np.sqrt(ss6.astype(np.float64) / 1e6)
-    norm[norm == 0.0] = 1.0
-    return _snap6i(m / norm[:, None])
+    """unit_snapped at 1e-6. Twin: the u6 expression in _pq_sql."""
+    return unit_snapped(m, 1e6)
 
 
 def pq_train_snapped(

@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 from lakeside_spark.functions.vectors import as_double_array
 from lakeside_spark.operators.kmeans_replay import (
+    _dots9,
     _snap9i,
     spherical_kmeans_snapped,
     unit9,
@@ -533,24 +534,16 @@ def ann_ivf(
         cents9 = spherical_kmeans_snapped(unit9(mat), n_cells)
         if ck is not None:
             _CODEBOOK_CACHE[ck] = cents9
-    cents = cents9.astype(np.float64) / 1e9
-    bc = spark.sparkContext.broadcast(cents)
-
-    def _int_dots(u: np.ndarray, c: np.ndarray) -> np.ndarray:
-        """Order-free snapped integer dots: dot9[i,j] = Σ_d snap9(u·c)."""
-        out = np.empty((len(u), len(c)), dtype=np.int64)
-        for j in range(len(c)):
-            out[:, j] = _snap9i(u * c[j][None, :]).sum(axis=1, dtype=np.int64)
-        return out
+    bc = spark.sparkContext.broadcast(cents9)
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        c = bc.value
+        c9 = bc.value
         for pdf in batches:
             if not len(pdf):
                 continue
             m = np.array(list(pdf[vec_col]), dtype=np.float64)
             u9m = unit9(m)
-            dots = _int_dots(u9m.astype(np.float64) / 1e9, c)
+            dots = _dots9(u9m, c9)
             if n_assign <= 1:
                 cells = dots.argmax(axis=1)[:, None]  # first-max ties
             else:
@@ -578,7 +571,7 @@ def ann_ivf(
         return spark.createDataFrame([], schema=empty)
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     qu9 = unit9(np.array([r[1] for r in q_rows], dtype=np.float64))
-    q_dots = _int_dots(qu9.astype(np.float64) / 1e9, cents)
+    q_dots = _dots9(qu9, cents9)
     probe = np.argsort(-q_dots, axis=1, kind="stable")[:, :n_probe]
     probe_rows = [
         (int(q_ids[i]), [int(x) for x in qu9[i]], int(c))
@@ -1333,17 +1326,10 @@ def label_centroid_outliers(
 
 def _snap9_arr(a: np.ndarray) -> np.ndarray:
     """Vectorized round-half-away-from-zero of ``a * 1e9`` to int64 —
-    the engine-portable fixed-point snap (Spark F.round / DuckDB round
-    both round ties away from zero). np.rint is half-EVEN, so exact
-    .5 ties are adjusted explicitly; the comparison is on exact float
-    values, so no epsilon games."""
-    v = a * 1e9
-    f = np.floor(v)
-    tie = (v - f) == 0.5
-    r = np.rint(v)
-    if tie.any():
-        r = np.where(tie, np.where(v > 0, f + 1.0, f), r)
-    return r.astype(np.int64)
+    the engine-portable fixed-point snap (delegates to the shared
+    kmeans_replay.snap_away_int so the tie convention lives in one
+    place)."""
+    return _snap9i(a)
 
 
 def _snap9_scalar(x: float) -> int:

@@ -254,28 +254,15 @@ def embedding_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     return benchmark_matches(corpus, bench, threshold=0.35)
 
 
-# Twin: unit9 both sides (the order-free snapped norm), integer dots,
+# Twin: unit9 both sides (the SHARED _UNIT_CTE spelling from
+# _kmeans_sql — one source for the snapped-norm SQL), integer dots,
 # best benchmark per corpus row by (cos9 desc, bench_id asc), keep at
 # cos9 >= round(0.35e9). The modulo split replays the registry's
 # benchmark stand-in.
-EMBEDDING_DECONTAM_SQL = """
-WITH au AS MATERIALIZED (
-  SELECT vec_id,
-    list_transform(range(64), d ->
-      CAST(round((x[d + 1] / nrm) * 1e9) AS BIGINT)) AS u9
-  FROM (
-    SELECT vec_id, x,
-      CASE WHEN nrm0 = 0.0 THEN 1.0 ELSE nrm0 END AS nrm
-    FROM (
-      SELECT vec_id, x,
-        SQRT(CAST(list_sum(list_transform(range(64), d ->
-          CAST(round(x[d + 1] * x[d + 1] * 1e9)
-               AS BIGINT))) AS DOUBLE) / 1e9) AS nrm0
-      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x
-            FROM embeddings)
-    )
-  )
-),
+from lakeside_spark.registry._kmeans_sql import _UNIT_CTE as _U9_CTE
+
+EMBEDDING_DECONTAM_SQL = f"""
+WITH {_U9_CTE},
 pairs AS (
   SELECT c.vec_id, b.vec_id AS bench_id,
     list_sum(list_transform(range(64), d ->
