@@ -1649,6 +1649,57 @@ FROM documents LEFT JOIN agg USING (doc_id)
 """
 
 
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by language — BPE tokens per whitespace word,
+    the standard multilingual curation diagnostic (a language whose
+    fertility is far above the corpus mean is being shredded by the
+    tokenizer and will train poorly per byte; cf. the fertility tables
+    in multilingual tokenizer papers). Reuses the real corpus-trained
+    BPE (operators/bpe): driver-side merge training on the vocabulary,
+    map-only encode kernel, then ONE language-keyed aggregate
+    (map-side combined, |langs| rows). ORACLE-EXACT by construction:
+    the per-doc counts are text_bpe_tokens' (already replayed
+    bit-for-bit by the recursive-CTE tokenizer twin) and the fertility
+    ratio divides two exact integer sums once."""
+    from lakeside_spark.operators.bpe import bpe_encode, bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_train(docs, num_merges=80)
+    enc = bpe_encode(docs, merges).select("doc_id", "n_words", "n_tokens")
+    return (
+        enc.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_words").alias("n_words"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.round(
+                F.sum("n_tokens") / F.sum("n_words").cast("double"), 6
+            ).alias("fertility"),
+        )
+    )
+
+
+# the BPE twin wrapped as a derived table at the fertility tokenizer
+# budget (80 merges: at this corpus's vocabulary 200 merges reconstruct
+# every word — fertility would be a constant 1.0 and measure nothing;
+# 80 leaves words partially merged so per-language splitting differs).
+# Sums cast back to BIGINT (DuckDB SUM(BIGINT) widens to HUGEINT, which
+# the driver dtype compare would flag against Spark's long).
+TOKENIZER_FERTILITY_SQL = f"""
+SELECT d.lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(t.n_words) AS BIGINT) AS n_words,
+       CAST(SUM(t.n_tokens) AS BIGINT) AS n_tokens,
+       (ROUND(CAST(SUM(t.n_tokens) AS DOUBLE)
+              / CAST(SUM(t.n_words) AS DOUBLE), 6) + 0.0::DOUBLE)
+         AS fertility
+FROM ({TEXT_BPE_TOKENS_SQL.replace("WHERE i < 200", "WHERE i < 80")}) t
+JOIN documents d ON d.doc_id = t.doc_id
+GROUP BY d.lang
+"""
+
+
 def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-weighted mixture planning (the data-recipe stage of a
     pre-training pipeline): per-(lang, source) stratum, weight ∝

@@ -740,6 +740,25 @@ def test_embedding_decontam_planted_and_edges(spark):
     assert benchmark_matches(corpus, empty_bench).count() == 0
 
 
+def test_tokenizer_fertility_invariants(spark, sf_dir):
+    """Fertility = BPE tokens per word: every language row must sit at
+    ≥ 1 (a word is at least one token), cover exactly the corpus's
+    languages, and NOT be the degenerate constant 1.0 (the 200-merge
+    budget fully reconstructs this corpus's words — the key trains at
+    80 merges precisely so the metric discriminates)."""
+    from lakeside_spark.registry import QUERIES
+    from lakeside_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    langs = {r[0] for r in docs.select("lang").distinct().collect()}
+    rows = QUERIES["tokenizer_fertility"](spark, sf_dir).collect()
+    assert {r["lang"] for r in rows} == langs
+    for r in rows:
+        assert r["n_tokens"] >= r["n_words"] > 0
+        assert r["fertility"] >= 1.0
+    assert any(r["fertility"] > 1.05 for r in rows), "degenerate tokenizer"
+
+
 def test_ann_self_only_corpus_yields_no_pairs(spark, sf_dir):
     """A corpus whose every row is also the query must return zero
     pairs without erroring — the all-self batch used to emit an empty
