@@ -332,7 +332,8 @@ def attribution(
     fixed-point semantics). Shape: one name-IN-pushed scan each side,
     one user-keyed range join (touch fan-out bounded by per-user
     activity in the window, AQE skew-join handles power users), one
-    conversion-keyed window, one channel-vocabulary-sized aggregate.
+    map-side-combined (conversion, channel) aggregate + one window over
+    that channel-vocabulary-bounded frame, one tiny final aggregate.
 
     Output: (model, channel, credit, n_conversions).
     """
@@ -375,18 +376,23 @@ def attribution(
             .select("c.conv_id", "t.channel", "t.t_ts", "t.t_id")
         )
     else:
-        # capped plan: per-user touch sequence index, stream window for
-        # each conversion's latest-earlier-touch index L, then a bounded
-        # explode(L-N+1..L) equi-join — never the touches×conversions
-        # range-join fan-out
-        w_idx = Window.partitionBy("_u").orderBy("t_ts", "t_id")
-        touch_idx = touch.withColumn("__idx", F.row_number().over(w_idx))
-        stream = touch_idx.select(
+        # capped plan: ONE stream window over the touch∪conversion union
+        # (sorted by ts, with same-ts touches AFTER conversions — the
+        # strict-< rule) hands out BOTH per-user touch sequence indices
+        # (cumsum of the touch marker includes self on touch rows) and
+        # each conversion's latest-strictly-earlier-touch index L (the
+        # same cumsum on conversion rows), then a bounded
+        # explode(L-N+1..L) equi-join back to the touch rows of the SAME
+        # windowed frame — never the touches×conversions range-join
+        # fan-out, and one shared exchange/sort where the first cut paid
+        # a separate touch-index window (Catalyst reuses the union's
+        # shuffle for both the conversion and touch consumers)
+        stream = touch.select(
             "_u",
             F.col("t_ts").alias("__ts"),
             F.lit(1).alias("__ord"),  # strict <: same-ts touches sort AFTER
             F.col("t_id").alias("__tid"),
-            "__idx",
+            "channel",
             F.lit(None).cast("long").alias("conv_id"),
             F.lit(None).cast("long").alias("conv_ts"),
         ).unionByName(
@@ -395,7 +401,7 @@ def attribution(
                 F.col("conv_ts").alias("__ts"),
                 F.lit(0).alias("__ord"),
                 F.col("conv_id").alias("__tid"),
-                F.lit(None).cast("long").alias("__idx"),
+                F.lit(None).cast("string").alias("channel"),
                 "conv_id",
                 "conv_ts",
             )
@@ -405,11 +411,16 @@ def attribution(
             .orderBy("__ts", "__ord", "__tid")
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        conv_l = stream.withColumn(
-            "__L", F.last("__idx", ignorenulls=True).over(w_stream)
-        ).filter(F.col("__ord") == 0)
+        indexed = stream.withColumn("__idx", F.sum("__ord").over(w_stream))
+        touch_idx = indexed.filter(F.col("__ord") == 1).select(
+            "_u",
+            "__idx",
+            "channel",
+            F.col("__ts").alias("t_ts"),
+            F.col("__tid").alias("t_id"),
+        )
         pairs = (
-            conv_l.filter(F.col("__L").isNotNull())
+            indexed.filter((F.col("__ord") == 0) & (F.col("__idx") > 0))
             .select(
                 "_u",
                 "conv_id",
@@ -417,9 +428,9 @@ def attribution(
                 F.explode(
                     F.sequence(
                         F.greatest(
-                            F.col("__L") - F.lit(max_touches - 1), F.lit(1)
+                            F.col("__idx") - F.lit(max_touches - 1), F.lit(1)
                         ),
-                        F.col("__L"),
+                        F.col("__idx"),
                     )
                 ).alias("__idx"),
             )
@@ -428,44 +439,68 @@ def attribution(
             .select("conv_id", "channel", "t_ts", "t_id")
         )
         j = conv.select("conv_id").join(pairs, "conv_id", "left")
-    wf = Window.partitionBy("conv_id").orderBy(
-        F.asc("t_ts"), F.asc("t_id")
-    )
-    wl = Window.partitionBy("conv_id").orderBy(
-        F.desc("t_ts"), F.desc("t_id")
+    # One map-side-combined hash aggregate collapses j to ≤|channels|+1
+    # rows per conversion, so the per-conversion first/last/count math
+    # runs over a channel-vocabulary-bounded frame instead of three
+    # full-width window sorts over the touch fan-out (the three
+    # rn_f/rn_l/n_t windows each paid a sort over conv×touches rows; a
+    # conversion has either one all-null touch row or only real touches,
+    # never both, so per-group counts and (t_ts, t_id) extrema losslessly
+    # carry the per-touch information the models need: t_ts/t_id are
+    # unique per touch, making the struct extrema tie-free).
+    g = j.groupBy("conv_id", "channel").agg(
+        F.count("t_id").alias("cnt"),
+        F.min(F.struct("t_ts", "t_id")).alias("__fk"),
+        F.max(F.struct("t_ts", "t_id")).alias("__lk"),
     )
     wn = Window.partitionBy("conv_id")
-    ranked = j.select(
+    per = g.select(
         "conv_id",
-        F.coalesce("channel", F.lit("direct")).alias("channel"),
-        F.row_number().over(wf).alias("rn_f"),
-        F.row_number().over(wl).alias("rn_l"),
-        F.count("t_id").over(wn).alias("n_t"),
+        "channel",
+        "cnt",
         F.col("channel").isNull().alias("_direct"),
+        F.sum("cnt").over(wn).alias("n_t"),
+        (
+            F.min(
+                F.struct(F.col("__fk").alias("k"), F.col("channel").alias("ch"))
+            )
+            .over(wn)
+            .getField("ch")
+            == F.col("channel")
+        ).alias("is_first"),
+        (
+            F.max(
+                F.struct(F.col("__lk").alias("k"), F.col("channel").alias("ch"))
+            )
+            .over(wn)
+            .getField("ch")
+            == F.col("channel")
+        ).alias("is_last"),
     )
     unit = F.lit(1_000_000).cast("long")
     micro = lambda c: F.when(F.col("_direct"), unit).otherwise(c)  # noqa: E731
-    credits = ranked.select(
+    credits = per.select(
         "conv_id",
-        "channel",
+        F.coalesce("channel", F.lit("direct")).alias("channel"),
         F.explode(
             F.array(
                 F.struct(
                     F.lit("first_touch").alias("model"),
                     micro(
-                        F.when(F.col("rn_f") == 1, unit).otherwise(F.lit(0))
+                        F.when(F.col("is_first"), unit).otherwise(F.lit(0))
                     ).alias("mc"),
                 ),
                 F.struct(
                     F.lit("last_touch").alias("model"),
                     micro(
-                        F.when(F.col("rn_l") == 1, unit).otherwise(F.lit(0))
+                        F.when(F.col("is_last"), unit).otherwise(F.lit(0))
                     ).alias("mc"),
                 ),
                 F.struct(
                     F.lit("linear").alias("model"),
                     micro(
                         F.round(F.lit(1.0e6) / F.col("n_t"), 0).cast("long")
+                        * F.col("cnt")
                     ).alias("mc"),
                 ),
             )

@@ -208,3 +208,94 @@ def span_dedup(
             "long"
         ).alias("n_dropped"),
     )
+
+
+def exact_substr_spans(
+    docs: DataFrame,
+    k: int = 6,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact duplicate-substring spans at ARBITRARY alignment — the
+    ExactSubstr component of Lee et al. 2022 ("Deduplicating Training
+    Data Makes Language Models Better"): report, per document, every
+    maximal span covered by substrings of ≥ ``k`` tokens that occur at
+    least ``min_count`` times corpus-wide (cross-document AND
+    within-document repeats).
+
+    The paper builds a corpus suffix array; the distributed equivalence
+    this operator exploits instead is that the union of duplicated
+    length-≥k substring extents EQUALS the union of duplicated k-token
+    ANCHOR extents: any duplicated substring of length L ≥ k is tiled by
+    L−k+1 duplicated k-grams covering its full extent, and every
+    duplicated k-gram is itself a duplicated substring of length exactly
+    k. So a sliding k-gram occurrence count + per-document interval
+    merge reproduces the suffix array's removal set exactly — as a
+    wordcount-shaped plan instead of a global sorted index, which is the
+    100 TB-correct shape (the suffix array is a single-node total order;
+    the anchor count is one map-side-combined aggregation).
+
+    Unlike ``span_dedup``'s non-overlapping tiles (the C4-style
+    approximation, which misses duplicates straddling tile boundaries or
+    shifted by < span_words), anchors slide one token at a time, so
+    alignment cannot hide a duplicate.
+
+    Shape: map-only sliding-gram hashing (codegen: transform + slice +
+    md5) → one gram-count aggregation (map-side combined) → shuffle join
+    of anchors against the duplicated-gram table (AQE picks broadcast
+    when the dup table is small; never forced — a boilerplate-heavy
+    crawl can make it large) → one doc-keyed window + same-keyed
+    aggregate for the interval merge, over duplicated anchors only.
+    Output: (doc_id, start_pos, end_pos, n_tokens, n_anchors) in
+    normalized-token coordinates, one row per maximal duplicated span.
+    """
+    if k < 2:
+        raise ValueError(f"exact_substr_spans: k={k} — need k >= 2")
+    from pyspark.sql import Window
+
+    from lakeside_spark.operators.similarity import _parallelize
+
+    w = words(text_col)
+    grams_arr = F.when(
+        F.size(w) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - k),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(w, i + 1, k))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = _parallelize(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(grams_arr).alias("pos", "g"),
+    )
+    dup = (
+        grams.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+        .select("g")
+    )
+    anchors = grams.join(dup, "g").select("doc_id", F.col("pos").cast("long"))
+    # interval merge: all extents are length k, so the running max end is
+    # the previous anchor's pos + k − 1 and a new island starts exactly
+    # when the gap to the previous anchor exceeds k (extents neither
+    # overlap nor touch)
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    islands = anchors.withColumn(
+        "__new",
+        F.when(F.col("pos") - F.lag("pos").over(wdoc) > k, 1).otherwise(
+            F.lit(0)
+        ),
+    ).withColumn(
+        "__isl",
+        F.sum("__new").over(
+            wdoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    # groupBy(doc_id, __isl) after the doc_id window: hashpartitioning
+    # on doc_id already clusters the keys, so no extra exchange
+    return islands.groupBy("doc_id", "__isl").agg(
+        F.min("pos").alias("start_pos"),
+        (F.max("pos") + F.lit(k - 1)).alias("end_pos"),
+        (F.max("pos") - F.min("pos") + F.lit(k)).alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_anchors"),
+    ).drop("__isl")

@@ -209,6 +209,7 @@ def ngram_jaccard_pairs(
     strategy: str = "auto",
     kernel_max_docs: int = 50_000,
     kernel_max_cells: int = 32 * 1024 * 1024,
+    eager: bool = True,
 ) -> DataFrame:
     """Exact Jaccard near-dup pairs (id_a < id_b, jaccard ≥ threshold).
 
@@ -224,9 +225,22 @@ def ngram_jaccard_pairs(
     minhash_lsh_pairs, which bounds candidates before verifying.
     """
     ex = _shingled_rows(docs, text_col, id_col, n).persist()
-    return _jaccard_pairs_from_shingles(
+    out = _jaccard_pairs_from_shingles(
         ex, threshold, strategy, kernel_max_docs, kernel_max_cells
     )
+    if not eager:
+        # lazy plan, the shingle cache stays owned by the caller — the
+        # plan tests inspect this (localCheckpoint would truncate the
+        # lineage they assert on)
+        return out
+    # materialize the (pair-sized) result eagerly so the corpus-sized
+    # shingle cache is released NOW instead of leaking one persisted
+    # frame per call for the session lifetime (same pattern as
+    # minhash_lsh_match below — the r8 advice item, previously applied
+    # only to the incremental path)
+    out = out.localCheckpoint(eager=True)
+    ex.unpersist()
+    return out
 
 
 def _jaccard_pairs_from_shingles(
@@ -335,6 +349,7 @@ def minhash_lsh_pairs(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    eager: bool = True,
 ) -> DataFrame:
     """MinHash→banded-LSH candidates, verified with exact Jaccard.
 
@@ -377,7 +392,19 @@ def minhash_lsh_pairs(
         F.broadcast(cand_ids), F.col("doc_id") == F.col("__cand_id"), "leftsemi"
     ).persist()
     exact = _jaccard_pairs_from_shingles(cand_sh, threshold)
-    return exact.join(candidates, ["id_a", "id_b"], "leftsemi")
+    out = exact.join(candidates, ["id_a", "id_b"], "leftsemi")
+    if not eager:
+        # lazy plan, caches stay owned by the caller (plan inspection)
+        return out
+    # materialize the (pair-sized) result eagerly and release the three
+    # corpus-sized caches (shingles, candidate pairs, candidate
+    # shingles) — repeated API calls in one session previously leaked
+    # all three per call for the session lifetime
+    out = out.localCheckpoint(eager=True)
+    ex.unpersist()
+    candidates.unpersist()
+    cand_sh.unpersist()
+    return out
 
 
 def minhash_lsh_match(

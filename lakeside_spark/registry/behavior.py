@@ -574,7 +574,8 @@ def event_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     model conserves total conversions. Credit is exact integer
     micro-units (linear = round(1e6/n) per touch) summed then divided
     once — no float accumulation order in either engine. One user-keyed
-    range join + one conversion-keyed window + one tiny agg. Capped at
+    range join + one (conversion, channel) hash aggregate + one window
+    over that vocabulary-bounded frame + one tiny agg. Capped at
     the 5 most recent touches per conversion (max_touches) — the
     power-user-skew bound: post-join volume is ≤5 rows per conversion
     regardless of per-user activity."""

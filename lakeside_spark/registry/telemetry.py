@@ -1401,7 +1401,21 @@ def _run_replay(spark: SparkSession, src: str, schema: str, twin) -> DataFrame:
     (one file per trigger = one micro-batch) into a memory sink and
     return the sink table — the hash-checkable final artifact. The sink
     holds materialized rows, so the temp source dir is deleted before
-    returning."""
+    returning.
+
+    Cost controls (the r10 verdict's ≤2.5s/key bar): the query runs with
+    ``trigger(availableNow=True)`` — it drains the recorded batches
+    (still one file per trigger, so state provably crosses micro-batch
+    boundaries) and terminates on its own, instead of processAllAvailable
+    poll-waiting on an open continuous query — and with
+    ``spark.sql.shuffle.partitions`` dropped to 8 for the query's
+    lifetime: stateful streaming pins one state-store instance per
+    shuffle partition PER MICRO-BATCH (no AQE coalescing in streaming),
+    so 32 partitions paid 32 state-store opens+commits+snapshot files ×
+    batches for a recording whose keyed volume fills 8. This is a
+    replay-artifact knob, not the scale path — the production streaming
+    pipeline (streaming/) inherits the session conf sized to the
+    cluster."""
     import shutil
     import uuid
 
@@ -1412,17 +1426,23 @@ def _run_replay(spark: SparkSession, src: str, schema: str, twin) -> DataFrame:
         .parquet(src)
     )
     qname = f"replay_{uuid.uuid4().hex[:10]}"
-    q = (
-        twin(stream)
-        .writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("append")
-        .start()
-    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        q.processAllAvailable()
+        q = (
+            twin(stream)
+            .writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(src, ignore_errors=True)
     return spark.table(qname)
 

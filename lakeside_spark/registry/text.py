@@ -2107,3 +2107,49 @@ JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
 WHERE n_common / least(sa.n_sh, sb.n_sh) >= 0.5
 """
+
+
+def corpus_exact_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate-substring spans at arbitrary alignment
+    (operators/chunking.exact_substr_spans) — the ExactSubstr component
+    of Lee et al. 2022: per document, every maximal span covered by
+    ≥6-token substrings occurring ≥2 times corpus-wide (cross-doc and
+    within-doc). The paper's suffix array is replaced by the equivalent
+    sliding k-gram anchor count + per-doc interval merge — a
+    wordcount-shaped plan (one gram aggregation, one anchor join, one
+    doc-keyed window over duplicated anchors only) instead of a global
+    sorted index. Complements corpus_span_dedup's non-overlapping tiles,
+    which miss duplicates straddling tile boundaries."""
+    from lakeside_spark.operators.chunking import exact_substr_spans
+
+    return exact_substr_spans(
+        load_table(spark, sf_dir, "documents"), k=6, min_count=2
+    )
+
+
+CORPUS_EXACT_SUBSTR_SQL = f"""
+WITH w AS (SELECT doc_id, string_split({_NORM}, ' ') AS ws FROM documents),
+g0 AS (SELECT doc_id,
+        [{{'pos': i - 1,
+           'g': md5(array_to_string(list_slice(ws, i, i + 5), ' '))}}
+         for i in range(1, len(ws) - 4)] AS grams
+       FROM w WHERE len(ws) >= 6),
+g AS (SELECT doc_id, unnest(grams, recursive := true) FROM g0),
+dup AS (SELECT g FROM g GROUP BY 1 HAVING count(*) >= 2),
+a AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos
+      FROM g WHERE g IN (SELECT g FROM dup)),
+i0 AS (SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 6
+              THEN 1 ELSE 0 END AS new_isl
+       FROM a),
+i1 AS (SELECT doc_id, pos,
+         SUM(new_isl) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS isl
+       FROM i0)
+SELECT doc_id,
+       MIN(pos) AS start_pos,
+       MAX(pos) + 5 AS end_pos,
+       MAX(pos) - MIN(pos) + 6 AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_anchors
+FROM i1 GROUP BY doc_id, isl
+"""

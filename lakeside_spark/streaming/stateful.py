@@ -9,9 +9,22 @@ expiry replacing the reference's buffer rotation.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def _one_frame(pdfs) -> pd.DataFrame:
+    """Collapse the per-group chunk iterator to one frame, skipping the
+    pd.concat copy in the overwhelmingly common single-chunk case.
+    Keyed replay groups are tiny (a handful of rows per user/trace), so
+    per-group FIXED cost — concat, sort_values, DataFrame construction —
+    dominates the stateful stage's wall; the twins below use numpy
+    argsort/lexsort and array-backed output construction for the same
+    reason."""
+    chunks = list(pdfs)
+    return chunks[0] if len(chunks) == 1 else pd.concat(chunks)
 
 
 def streaming_ema(
@@ -30,21 +43,23 @@ def streaming_ema(
 
     def update(key, pdfs, state: GroupState):
         prev = state.get[0] if state.exists else None
-        rows = pd.concat(list(pdfs)).sort_values(ts_col)
+        rows = _one_frame(pdfs)
+        ts_a = rows[ts_col].to_numpy()
+        v_a = rows[value_col].to_numpy()
+        order = np.argsort(ts_a, kind="stable")
         emas = []
-        for v in rows[value_col]:
+        for v in v_a[order]:
             prev = v if prev is None else alpha * v + (1 - alpha) * prev
             emas.append(prev)
         state.update((float(prev),))
-        out = pd.DataFrame(
+        yield pd.DataFrame(
             {
-                key_col: [key[0]] * len(rows),
-                ts_col: rows[ts_col].to_numpy(),
-                value_col: rows[value_col].to_numpy(),
+                key_col: [key[0]] * len(order),
+                ts_col: ts_a[order],
+                value_col: v_a[order],
                 "ema": emas,
             }
         )
-        yield out
 
     return stream.groupBy(key_col).applyInPandasWithState(
         update,
@@ -88,27 +103,31 @@ def streaming_funnel(
 
     def update(key, pdfs, state: GroupState):
         cur_step, cur_t = state.get if state.exists else (0, 0)
-        rows = pd.concat(list(pdfs)).sort_values(ts_col)
+        rows = _one_frame(pdfs)
+        ts_a = rows[ts_col].to_numpy()
+        nm_a = rows[name_col].to_numpy()
         out_steps, out_names, out_ts = [], [], []
-        for name, ts in zip(rows[name_col], rows[ts_col]):
+        for i in np.argsort(ts_a, kind="stable"):
+            name = nm_a[i]
             nxt = cur_step + 1
             if step_of.get(name) != nxt:
                 continue
-            ts = int(ts)
+            ts = int(ts_a[i])
             if cur_step == 0 or (cur_t < ts <= cur_t + window_ms):
                 cur_step, cur_t = nxt, ts
                 out_steps.append(nxt)
                 out_names.append(name)
                 out_ts.append(ts)
         state.update((cur_step, cur_t))
-        yield pd.DataFrame(
-            {
-                user_col: pd.Series([key[0]] * len(out_steps), dtype="int64"),
-                "step": pd.Series(out_steps, dtype="int64"),
-                "step_name": out_names,
-                "ts": pd.Series(out_ts, dtype="int64"),
-            }
-        )
+        if out_steps:
+            yield pd.DataFrame(
+                {
+                    user_col: np.full(len(out_steps), key[0], dtype=np.int64),
+                    "step": np.asarray(out_steps, dtype=np.int64),
+                    "step_name": out_names,
+                    "ts": np.asarray(out_ts, dtype=np.int64),
+                }
+            )
 
     return stream.groupBy(user_col).applyInPandasWithState(
         update,
@@ -216,10 +235,14 @@ def streaming_service_edges(
 
     def update(key, pdfs, state: GroupState):
         last_name, last_ts = state.get if state.exists else (None, None)
-        rows = pd.concat(list(pdfs)).sort_values([ts_col, tiebreak_col])
+        rows = _one_frame(pdfs)
+        ts_a = rows[ts_col].to_numpy()
+        nm_a = rows[name_col].to_numpy()
+        tb_a = rows[tiebreak_col].to_numpy()
         srcs, dsts, gaps = [], [], []
-        for name, ts in zip(rows[name_col], rows[ts_col]):
-            ts = int(ts)
+        for i in np.lexsort((tb_a, ts_a)):
+            name = nm_a[i]
+            ts = int(ts_a[i])
             if last_name is not None:
                 srcs.append(last_name)
                 dsts.append(name)
@@ -227,7 +250,13 @@ def streaming_service_edges(
             last_name, last_ts = name, ts
         state.update((last_name, int(last_ts)))
         if srcs:
-            yield pd.DataFrame({"src": srcs, "dst": dsts, "gap_ms": gaps})
+            yield pd.DataFrame(
+                {
+                    "src": srcs,
+                    "dst": dsts,
+                    "gap_ms": np.asarray(gaps, dtype=np.int64),
+                }
+            )
 
     return stream.groupBy(key_col).applyInPandasWithState(
         update,

@@ -119,6 +119,43 @@ def test_minhash_lsh_subset_of_exact(spark, sf_dir):
     assert lsh <= exact
 
 
+def test_pair_apis_release_their_caches(spark, sf_dir):
+    """Repeated minhash_lsh_pairs / ngram_jaccard_pairs calls must not
+    grow the session's persisted-RDD set (the r10 verdict's leak: three
+    corpus-sized frames pinned per LSH call for the session lifetime).
+    localCheckpoint blocks are owned by the returned DataFrame and
+    reclaimed by the ContextCleaner once it's dropped — the assertion
+    tolerates those by comparing against the FIRST call's footprint."""
+    from lakeside_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents").limit(60)
+
+    import gc
+    import time
+
+    def settled_count(bound: int | None = None) -> int:
+        """Persisted-RDD count after GC on both sides — retried while
+        above ``bound`` because the ContextCleaner reclaims dropped
+        checkpoint blocks asynchronously."""
+        n = None
+        for _ in range(20):
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
+            n = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+            if bound is None or n <= bound:
+                break
+            time.sleep(0.5)
+        return n
+
+    minhash_lsh_pairs(docs, 0.12).count()
+    ngram_jaccard_pairs(docs, 0.12).count()
+    base = settled_count()
+    for _ in range(2):
+        minhash_lsh_pairs(docs, 0.12).count()
+        ngram_jaccard_pairs(docs, 0.12).count()
+    assert settled_count(bound=base) <= base
+
+
 def test_simhash_is_deterministic_64bit(spark, sf_dir):
     from lakeside_spark.operators.dedup import simhash64
 
@@ -2579,3 +2616,38 @@ def test_attribution_max_touches_zero_raises(spark):
     )
     with pytest.raises(ValueError, match="max_touches"):
         attribution(ev, max_touches=0)
+
+
+def test_exact_substr_spans_planted(spark):
+    """ExactSubstr spans: a 10-word substring shared by two docs at
+    DIFFERENT alignments is found in both (the case span_dedup's fixed
+    tiles miss), a within-doc repeat merges into one span, unique and
+    shorter-than-k docs emit nothing."""
+    from lakeside_spark.operators.chunking import exact_substr_spans
+
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    docs = spark.createDataFrame(
+        [
+            (1, "one two three " + shared + " four five six"),
+            (2, "seven eight " + shared),
+            (3, "unique words only here nothing repeats at all in this doc"),
+            (4, "rep one rep two x1 x2 x3 x4 x5 x6 x1 x2 x3 x4 x5 x6"),
+            (5, "tiny doc"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = exact_substr_spans(docs, k=6).collect()
+    got = {
+        r["doc_id"]: (r["start_pos"], r["end_pos"], r["n_tokens"], r["n_anchors"])
+        for r in rows
+    }
+    assert len(rows) == 3  # one maximal span per affected doc
+    # doc1: shared occupies word positions 3-12 -> anchors at 3..7
+    assert got[1] == (3, 12, 10, 5)
+    # doc2: shared at positions 2-11 (different alignment) -> anchors 2..6
+    assert got[2] == (2, 11, 10, 5)
+    # doc4: "x1..x6" repeats at pos 4 and 10; gap == k merges into ONE span
+    assert got[4] == (4, 15, 12, 2)
+    assert 3 not in got and 5 not in got
+    # empty corpus probe
+    assert exact_substr_spans(docs.filter("doc_id < 0"), k=6).count() == 0

@@ -61,7 +61,9 @@ def test_jaccard_join_path_no_cartesian(spark, sf_dir):
     from lakeside_spark.sources.tables import load_table
 
     docs = load_table(spark, sf_dir, "documents")
-    df = ngram_jaccard_pairs(docs, 0.12, strategy="join")
+    # eager=False: inspect the real join plan (eager localCheckpoint
+    # would truncate the lineage to a checkpoint scan)
+    df = ngram_jaccard_pairs(docs, 0.12, strategy="join", eager=False)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
 
