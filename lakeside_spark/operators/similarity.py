@@ -86,7 +86,7 @@ def _effective_input_parallelism(df: DataFrame) -> int:
         return parts
 
 
-def _parallelize(df: DataFrame) -> DataFrame:
+def _parallelize(df: DataFrame, bytes_per_task: int | None = None) -> DataFrame:
     """Repartition ONLY when the input is under-parallel.
 
     A small-SF parquet table often arrives as 1-2 partitions, starving the
@@ -96,11 +96,30 @@ def _parallelize(df: DataFrame) -> DataFrame:
     ACHIEVABLE parallelism (splits capped by row groups — see
     _effective_input_parallelism): an already-parallel scan passes through
     with no Exchange at all, and ``spark.sql.files.maxPartitionBytes``
-    stays in charge of scan sizing."""
+    stays in charge of scan sizing.
+
+    ``bytes_per_task`` caps the fan-out by estimated input size for
+    LIGHT kernels (one matmul per batch): a Python task costs ~30ms of
+    dispatch regardless of payload, so blowing a 1 MB input to 32 tasks
+    pays 32 dispatches to parallelize microseconds of BLAS. The cap uses
+    Catalyst's plan-size estimate — unknown sizes estimate huge and keep
+    full parallelism (the safe direction), and the cap never RAISES the
+    target, so a 100 TB scan is untouched. Heavy per-row kernels
+    (winnow, codecs) should not pass it: they want every core even on
+    small inputs."""
     sc = df.sparkSession.sparkContext
-    if _effective_input_parallelism(df) >= sc.defaultParallelism:
+    target = sc.defaultParallelism
+    if bytes_per_task:
+        try:
+            size = int(
+                df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes().toString()
+            )
+            target = max(1, min(target, -(-size // bytes_per_task)))
+        except Exception:
+            pass
+    if _effective_input_parallelism(df) >= target:
         return df
-    return df.repartition(sc.defaultParallelism)
+    return df.repartition(target)
 
 
 def _collect_unit_matrix(df: DataFrame, vec_col: str, id_col: str):
@@ -699,7 +718,10 @@ def ann_lsh(
         return kernel
 
     c = (
-        _parallelize(corpus)
+        # light kernel (one matmul + key build per batch): size-capped
+        # fan-out — a small corpus runs in a few tasks instead of paying
+        # core-count Python dispatches, a big one keeps full parallelism
+        _parallelize(corpus, bytes_per_task=8 << 20)
         .select(F.col(id_col).alias("id"), as_double_array(vec_col).alias("v"))
         .mapInPandas(
             bucketize(probe=False),
@@ -707,14 +729,39 @@ def ann_lsh(
         )
         .select(F.col("id").alias("n_id"), F.col("v").alias("nv"), "bucket")
     )
-    q = (
-        queries.select(F.col(id_col).alias("id"), as_double_array(vec_col).alias("v"))
-        .mapInPandas(
-            bucketize(probe=True),
-            schema="id bigint, v array<double>, bucket string",
+    # query side: the panel is broadcast-joined below, i.e. already
+    # assumed executor-memory-small — bucketize it DRIVER-side with the
+    # same numpy matmul when it is (one collect of an already-bounded
+    # frame) instead of paying a whole Python-worker stage for a handful
+    # of rows; a panel too large to collect falls back to the
+    # distributed kernel (and the broadcast below is then the caller's
+    # scale decision, unchanged from before)
+    q_rows = queries.select(
+        F.col(id_col).alias("id"), as_double_array(vec_col).alias("v")
+    ).take(65_537)
+    if len(q_rows) <= 65_536:
+        probe_kernel = bucketize(probe=True)
+        if q_rows:
+            q_pdf = pd.DataFrame(
+                {"id": [r["id"] for r in q_rows], "v": [r["v"] for r in q_rows]}
+            )
+            q_out = next(iter(probe_kernel(iter([q_pdf]))))
+        else:
+            q_out = pd.DataFrame({"id": [], "v": [], "bucket": []})
+        q = spark.createDataFrame(
+            q_out, schema="id bigint, v array<double>, bucket string"
+        ).select(F.col("id").alias("q_id"), F.col("v").alias("qv"), "bucket")
+    else:
+        q = (
+            queries.select(
+                F.col(id_col).alias("id"), as_double_array(vec_col).alias("v")
+            )
+            .mapInPandas(
+                bucketize(probe=True),
+                schema="id bigint, v array<double>, bucket string",
+            )
+            .select(F.col("id").alias("q_id"), F.col("v").alias("qv"), "bucket")
         )
-        .select(F.col("id").alias("q_id"), F.col("v").alias("qv"), "bucket")
-    )
     cand = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("q_id") != F.col("n_id"))

@@ -448,7 +448,7 @@ def test_fuzz_chart_surface_events(spark, sf_dir, ddb):
     tele = load_telemetry(spark, sf_dir)
     for i in range(N_CHART_EVENTS):
         step = rng.choice(_CHART_STEPS)
-        salt = rng.choice((1, 1, 4))
+        salt = rng.choice((1, 1, 4, 8))
         agg = rng.choice(_CHART_AGGS)
         roll = rng.random()
         if roll < 0.70:
@@ -529,3 +529,96 @@ def test_fuzz_chart_surface_metrics(spark, sf_dir, ddb):
             f"rollup={expr.chart.rollup} ct={expr.chart.chart_type} "
             f"mt={expr.metric_type} step={step} filter={name_filter}",
         )
+
+
+# ---------------------------------------------------------------------------
+# sketch-path sweep (r10 verdict item 8): the chart sweep above fuzzes
+# the EXACT aggregation matrix; this one drives the two approx rollup
+# paths (HLL cardinality, KLL percentile — the reference's
+# TimeGroupedSketchAggregator merge semantics) across randomized
+# filters, ingest/query grains and quantiles, asserting each estimate
+# within its declared error of the exact twin computed on the SAME
+# filtered frame, plus salt_partitions=8 value-identity on the exact
+# path (the fixed sweep salts at 4).
+
+N_SKETCH = 6
+_HOUR_MS = 3_600_000
+
+
+def test_fuzz_chart_sketch_paths(spark, sf_dir):
+    from lakeside_spark.ast.filters import filter_to_column
+
+    rng = random.Random(6083)
+    tele = load_telemetry(spark, sf_dir)
+    filters = (
+        Filter(k=S.NAME, op=S.EXISTS),
+        Filter(k=S.NAME, v=("view", "click"), op=S.IN),
+        Filter(k=S.NAME, v=("error",), op=S.NOT_EQUALS),
+    )
+    grains = ((_HOUR_MS, DAY), (2 * _HOUR_MS, DAY), (_HOUR_MS, 6 * _HOUR_MS))
+    for i in range(N_SKETCH):
+        flt = rng.choice(filters)
+        ingest, query = rng.choice(grains)
+        expr = BaseExpr(filter=flt, chart=ChartOptions(aggregation="count"))
+        eng = QueryEngine(spark, step_ms=query)
+        filtered = tele.filter(filter_to_column(flt, set(tele.columns)))
+        step = (F.col(S.TIMESTAMP) - F.col(S.TIMESTAMP) % F.lit(query)).alias(
+            S.STEP_TS
+        )
+
+        # HLL cardinality: ingest-grain sketches union-merged to query
+        # grain must land within 5% of exact distinct names per step
+        # (default lgConfigK=12 -> ~1.6% standard error; 5% = the bound
+        # the ts_cardinality_sketch accuracy pytest declares)
+        est = {
+            r[S.STEP_TS]: r[S.VALUE]
+            for r in eng.cardinality_sketch_rollup(
+                expr, tele, ingest, query
+            ).collect()
+        }
+        exact = {
+            r[S.STEP_TS]: r["v"]
+            for r in filtered.groupBy(step)
+            .agg(F.count_distinct(S.NAME).alias("v"))
+            .collect()
+        }
+        assert set(est) == set(exact), f"sketch trial {i}: step keys differ"
+        for k, v in exact.items():
+            assert abs(est[k] - v) <= max(0.05 * v, 1.0), (
+                f"sketch trial {i} (card): step {k} est {est[k]} exact {v}"
+            )
+
+        # KLL percentile: the merged estimate's EMPIRICAL rank within its
+        # (step, name) group must sit within ±6% of the requested rank
+        # (default k=200 -> ~1.7% double-sided rank error, plus merge
+        # slack). Rank, not value: KLL returns actual data values, so a
+        # value-interval assertion breaks on small/discrete groups where
+        # interpolated exact percentiles fall between data points.
+        q = rng.choice((0.5, 0.9, 0.95))
+        est_df = eng.percentile_sketch_rollup(
+            expr, tele, ingest, query, quantile=q
+        ).select(S.STEP_TS, S.NAME, F.col(S.VALUE).alias("est"))
+        ranks = (
+            filtered.select(
+                step, S.NAME, F.col(S.VALUE).cast("double").alias("v")
+            )
+            .join(est_df, [S.STEP_TS, S.NAME])
+            .groupBy(S.STEP_TS, S.NAME)
+            .agg(
+                (
+                    F.sum(F.when(F.col("v") <= F.col("est"), 1).otherwise(0))
+                    / F.count(F.lit(1))
+                ).alias("r_le"),
+                (
+                    F.sum(F.when(F.col("v") < F.col("est"), 1).otherwise(0))
+                    / F.count(F.lit(1))
+                ).alias("r_lt"),
+            )
+            .collect()
+        )
+        assert ranks, f"sketch trial {i}: empty percentile join"
+        for r in ranks:
+            assert r["r_le"] >= q - 0.06 and r["r_lt"] <= q + 0.06, (
+                f"sketch trial {i} (p{q}): key ({r[S.STEP_TS]}, {r[S.NAME]}) "
+                f"rank window [{r['r_lt']}, {r['r_le']}] misses {q}"
+            )

@@ -1,10 +1,19 @@
 """Constant-density scale probe for winnow_overlap (text_winnow_overlap).
 
-Same design as tools/containment_probe.py: replicas salt EVERY WORD, so
-cross-replica char-gram overlap is zero, true pair volume grows linearly
-in N, and wall-clock growth isolates the fingerprint/df-cut/pair plan
-(a tail-salted replica set would multiply shared-print density
-quadratically and measure output size instead — the round-8 lesson).
+Same design as tools/containment_probe.py — replicas salt EVERY WORD so
+cross-replica char-gram overlap is zero and a tail-salted replica set's
+quadratic shared-print density (the round-8 lesson) cannot occur — with
+two winnow-specific corrections:
+
+1. Winnowing selects fingerprints by md5 VALUE (rightmost-min), so ANY
+   text change reshapes the selected-print set: the raw corpus measured
+   394k pairs at sf0.1 where the same corpus salted per-word measures
+   ~7.7k (most raw pairs come from dense coincidental short-gram sharing
+   the salt dilutes). The 1x BASELINE is therefore the salted corpus,
+   not the raw one — growth numbers compare like with like.
+2. Salts are fixed-width (x000..x999), so every replica's text statistics
+   are identical and per-replica pair density is constant across N —
+   output must grow ~linearly in N while wall growth isolates the plan.
 
 Usage: python tools/winnow_probe.py [N ...]   # default 10 100
 Replicas build under /tmp/lakeside_winnow_sf<N>x and are reused.
@@ -26,7 +35,7 @@ def build(spark, n: int, out: str) -> None:
     docs = load_table(spark, SRC, "documents")
     n_docs = docs.count()
     rep = spark.range(n).select(F.col("id").alias("__rep"))
-    salt = F.concat(F.lit("x"), F.col("__rep").cast("string"))
+    salt = F.concat(F.lit("x"), F.lpad(F.col("__rep").cast("string"), 3, "0"))
     salted = F.array_join(
         F.transform(F.split(F.col("text"), " "), lambda w: F.concat(w, salt)),
         " ",
@@ -49,6 +58,8 @@ def main() -> int:
     sys.path.insert(0, ".")
     ns = [int(a) for a in sys.argv[1:]] or [10, 100]
 
+    from pyspark.sql import functions as F
+
     from lakeside_spark.operators.winnow import winnow_overlap
     from lakeside_spark.session import get_spark
     from lakeside_spark.sources.tables import load_table
@@ -68,9 +79,19 @@ def main() -> int:
             spark.catalog.clearCache()
         return best, rows
 
-    base_docs = load_table(spark, SRC, "documents").select("doc_id", "text")
+    raw = load_table(spark, SRC, "documents").select("doc_id", "text")
+    base_docs = raw.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.split(F.col("text"), " "),
+                lambda w: F.concat(w, F.lit("x999")),
+            ),
+            " ",
+        ).alias("text"),
+    )
     t1, r1 = run(base_docs)
-    print(f"{'1x':>6s} {t1:8.2f}s {r1:10d} rows", flush=True)
+    print(f"{'1x':>6s} {t1:8.2f}s {r1:10d} rows  (salted baseline)", flush=True)
     for n in ns:
         out = f"/tmp/lakeside_winnow_sf{n}x"
         if not os.path.exists(f"{out}/_BUILD_DONE"):
