@@ -210,6 +210,43 @@ def span_dedup(
     )
 
 
+def _dup_anchors(
+    docs: DataFrame,
+    k: int,
+    min_count: int,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """(doc_id, pos) of every sliding k-token gram whose md5 occurs at
+    least ``min_count`` times corpus-wide — the duplicated-anchor table
+    shared by exact_substr_spans (interval-merge report) and
+    exact_substr_scrub (token removal). One map-only gram pass, one
+    gram-count aggregation (map-side combined), one equi-join of the
+    gram stream against the duplicated-gram table (AQE broadcasts when
+    small; never forced)."""
+    from lakeside_spark.operators.similarity import _parallelize
+
+    w = words(text_col)
+    grams_arr = F.when(
+        F.size(w) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - k),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(w, i + 1, k))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = _parallelize(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(grams_arr).alias("pos", "g"),
+    )
+    dup = (
+        grams.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+        .select("g")
+    )
+    return grams.join(dup, "g").select("doc_id", F.col("pos").cast("long"))
+
+
 def exact_substr_spans(
     docs: DataFrame,
     k: int = 6,
@@ -254,27 +291,7 @@ def exact_substr_spans(
         raise ValueError(f"exact_substr_spans: k={k} — need k >= 2")
     from pyspark.sql import Window
 
-    from lakeside_spark.operators.similarity import _parallelize
-
-    w = words(text_col)
-    grams_arr = F.when(
-        F.size(w) >= k,
-        F.transform(
-            F.sequence(F.lit(0), F.size(w) - k),
-            lambda i: F.md5(F.concat_ws(" ", F.slice(w, i + 1, k))),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    grams = _parallelize(docs).select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(grams_arr).alias("pos", "g"),
-    )
-    dup = (
-        grams.groupBy("g")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .filter(F.col("cnt") >= min_count)
-        .select("g")
-    )
-    anchors = grams.join(dup, "g").select("doc_id", F.col("pos").cast("long"))
+    anchors = _dup_anchors(docs, k, min_count, text_col, id_col)
     # interval merge: all extents are length k, so the running max end is
     # the previous anchor's pos + k − 1 and a new island starts exactly
     # when the gap to the previous anchor exceeds k (extents neither
@@ -299,3 +316,70 @@ def exact_substr_spans(
         (F.max("pos") - F.min("pos") + F.lit(k)).alias("n_tokens"),
         F.count(F.lit(1)).alias("n_anchors"),
     ).drop("__isl")
+
+
+def exact_substr_scrub(
+    docs: DataFrame,
+    k: int = 6,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The removal action on exact_substr_spans' report: drop every
+    token covered by a duplicated length-≥k substring and reassemble
+    the survivors in document order — (doc_id, clean_text, n_tokens,
+    n_removed).
+
+    Removal policy is the aggressive every-occurrence cut (the
+    boilerplate semantics of span_dedup / C4): a duplicated substring
+    vanishes from ALL its occurrences. Lee et al. 2022's tool keeps one
+    canonical occurrence; at the span level "one occurrence" is
+    ill-defined once overlapping matches merge into different maximal
+    islands per document, so the deterministic every-occurrence policy
+    is the one with an exact cross-engine oracle. Docs whose every token
+    is covered survive with empty clean_text (never silently dropped —
+    the span_dedup contract).
+
+    Shape: the shared _dup_anchors plan, anchors exploded to their ≤k
+    covered positions (duplicated anchors only — bounded by true
+    duplication volume, not the corpus), one distinct, one anti-join
+    against the corpus token stream, one doc-keyed reassembly aggregate.
+    """
+    if k < 2:
+        raise ValueError(f"exact_substr_scrub: k={k} — need k >= 2")
+    from lakeside_spark.operators.similarity import _parallelize
+
+    anchors = _dup_anchors(docs, k, min_count, text_col, id_col)
+    covered = anchors.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))
+        ).alias("pos"),
+    ).distinct()
+    toks = _parallelize(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(words(text_col)).alias("pos", "tok"),
+    ).withColumn("pos", F.col("pos").cast("long"))
+    kept = toks.join(covered, ["doc_id", "pos"], "left_anti")
+    surv = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(words(text_col)).cast("long").alias("n_tokens"),
+    )
+    return base.join(surv, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        "n_tokens",
+        (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0)))
+        .cast("long")
+        .alias("n_removed"),
+    )

@@ -2153,3 +2153,51 @@ SELECT doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_anchors
 FROM i1 GROUP BY doc_id, isl
 """
+
+
+def corpus_substr_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The removal action on corpus_exact_substr's span report
+    (operators/chunking.exact_substr_scrub): every token covered by a
+    duplicated ≥6-token substring is dropped from ALL occurrences (the
+    deterministic every-occurrence policy — Lee et al.'s keep-one is
+    ill-defined at the merged-span level) and documents reassemble in
+    order, empty-but-present if fully covered. Shape: the shared
+    duplicated-anchor plan + anchors exploded to ≤k covered positions
+    (bounded by true duplication volume) + one anti-join against the
+    token stream + one doc-keyed reassembly aggregate."""
+    from lakeside_spark.operators.chunking import exact_substr_scrub
+
+    return exact_substr_scrub(
+        load_table(spark, sf_dir, "documents"), k=6, min_count=2
+    )
+
+
+CORPUS_SUBSTR_SCRUB_SQL = f"""
+WITH w AS (SELECT doc_id, string_split({_NORM}, ' ') AS ws FROM documents),
+g0 AS (SELECT doc_id,
+        [{{'pos': i - 1,
+           'g': md5(array_to_string(list_slice(ws, i, i + 5), ' '))}}
+         for i in range(1, len(ws) - 4)] AS grams
+       FROM w WHERE len(ws) >= 6),
+g AS (SELECT doc_id, unnest(grams, recursive := true) FROM g0),
+dup AS (SELECT g FROM g GROUP BY 1 HAVING count(*) >= 2),
+a AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos
+      FROM g WHERE g IN (SELECT g FROM dup)),
+cov AS (SELECT DISTINCT a.doc_id, a.pos + u.i AS pos FROM a, range(6) u(i)),
+t0 AS (SELECT doc_id,
+        [{{'pos': i - 1, 'tok': ws[i]}} for i in range(1, len(ws) + 1)] AS toks
+       FROM w),
+t AS (SELECT doc_id, unnest(toks, recursive := true) FROM t0),
+kept AS (SELECT t.doc_id, CAST(t.pos AS BIGINT) AS pos, t.tok
+         FROM t
+         WHERE NOT EXISTS (SELECT 1 FROM cov c
+                           WHERE c.doc_id = t.doc_id AND c.pos = t.pos)),
+surv AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+                CAST(count(*) AS BIGINT) AS n_kept
+         FROM kept GROUP BY doc_id)
+SELECT w.doc_id, coalesce(surv.clean_text, '') AS clean_text,
+       CAST(len(w.ws) AS BIGINT) AS n_tokens,
+       CAST(len(w.ws) AS BIGINT) - CAST(coalesce(surv.n_kept, 0) AS BIGINT)
+         AS n_removed
+FROM w LEFT JOIN surv ON w.doc_id = surv.doc_id
+"""

@@ -2651,3 +2651,34 @@ def test_exact_substr_spans_planted(spark):
     assert 3 not in got and 5 not in got
     # empty corpus probe
     assert exact_substr_spans(docs.filter("doc_id < 0"), k=6).count() == 0
+
+
+def test_exact_substr_scrub_planted(spark):
+    """The removal action on the planted corpus of
+    test_exact_substr_spans_planted: covered tokens vanish from EVERY
+    occurrence, survivors reassemble in order, untouched and
+    shorter-than-k docs pass through verbatim."""
+    from lakeside_spark.operators.chunking import exact_substr_scrub
+
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    docs = spark.createDataFrame(
+        [
+            (1, "one two three " + shared + " four five six"),
+            (2, "seven eight " + shared),
+            (3, "unique words only here nothing repeats at all in this doc"),
+            (4, "rep one rep two x1 x2 x3 x4 x5 x6 x1 x2 x3 x4 x5 x6"),
+            (5, "tiny doc"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_tokens"], r["n_removed"])
+        for r in exact_substr_scrub(docs, k=6).collect()
+    }
+    assert got[1] == ("one two three four five six", 16, 10)
+    assert got[2] == ("seven eight", 12, 10)
+    assert got[3] == (
+        "unique words only here nothing repeats at all in this doc", 11, 0,
+    )
+    assert got[4] == ("rep one rep two", 16, 12)
+    assert got[5] == ("tiny doc", 2, 0)

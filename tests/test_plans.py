@@ -506,3 +506,25 @@ def test_ngram_novelty_single_generate(spark, sf_dir):
     assert "CartesianProduct" not in plan
     scans = [l for l in plan.splitlines() if "FileScan" in l]
     assert all("text" in s or "doc_id" in s for s in scans)
+
+
+def test_exact_substr_plan_shape(spark, sf_dir):
+    """corpus_exact_substr must stay wordcount-shaped: the duplicated-
+    anchor join is an equi-join on the gram hash (never a cartesian),
+    and the final (doc_id, __isl) aggregate reuses the doc_id window's
+    partitioning instead of adding another exchange."""
+    plan = _plan(spark, sf_dir, "corpus_exact_substr")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # interval merge = one Window over doc_id, and the plan prints
+    # result-first: everything BEFORE the Window line is the final
+    # (doc_id, __isl) aggregate, which must reuse the window's
+    # hashpartitioning(doc_id) instead of adding another exchange
+    win_at = plan.find("Window")
+    assert win_at != -1, plan[:2000]
+    assert "Exchange hashpartitioning(doc_id" not in plan[:win_at], plan[:win_at]
+    # the removal action shares the anchor plan and must stay equi-join
+    # shaped as well (anti-join on (doc_id, pos), never a range/cross)
+    plan2 = _plan(spark, sf_dir, "corpus_substr_scrub")
+    assert "CartesianProduct" not in plan2
+    assert "BroadcastNestedLoopJoin" not in plan2
