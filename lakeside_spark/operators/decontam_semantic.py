@@ -81,7 +81,9 @@ def benchmark_matches(
 
     from lakeside_spark.operators.similarity import _parallelize
 
-    scored = _parallelize(corpus.select(id_col, vec_col)).mapInPandas(
+    scored = _parallelize(
+        corpus.select(id_col, vec_col), bytes_per_task=8 << 20
+    ).mapInPandas(
         kernel, schema=f"{id_col} bigint, bench_id bigint, cos9 bigint"
     )
     return scored.select(

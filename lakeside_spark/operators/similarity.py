@@ -111,9 +111,10 @@ def _parallelize(df: DataFrame, bytes_per_task: int | None = None) -> DataFrame:
     target = sc.defaultParallelism
     if bytes_per_task:
         try:
-            size = int(
-                df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes().toString()
-            )
+            raw = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            # py4j auto-converts small BigInts to int; huge unknown-size
+            # defaults come back as JavaObjects with toString
+            size = raw if isinstance(raw, int) else int(raw.toString())
             target = max(1, min(target, -(-size // bytes_per_task)))
         except Exception:
             pass
@@ -175,7 +176,7 @@ def _scored_against(
                 {"q_id": q_flat[mask], "n_id": n_flat[mask], "cos": c_flat[mask]}
             )
 
-    return _parallelize(corpus.select(id_col, vec_col)).mapInPandas(
+    return _parallelize(corpus.select(id_col, vec_col), bytes_per_task=8 << 20).mapInPandas(
         score, schema="q_id bigint, n_id bigint, cos double"
     )
 
@@ -301,7 +302,7 @@ def self_knn(
             yield pd.DataFrame({"id": pdf["id"], "v": pdf["v"], "bucket": bucket})
 
     b = (
-        _parallelize(emb)
+        _parallelize(emb, bytes_per_task=8 << 20)
         .select(F.col(id_col).alias("id"), as_double_array(vec_col).alias("v"))
         .mapInPandas(bucketize, schema="id bigint, v array<double>, bucket string")
     )
@@ -411,7 +412,7 @@ def _embedding_pairs_lsh(
             )
 
     buckets = (
-        _parallelize(emb)
+        _parallelize(emb, bytes_per_task=8 << 20)
         .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
         .mapInPandas(bucketize, schema="id bigint, band int, bucket bigint")
     )
@@ -579,7 +580,7 @@ def ann_ivf(
                 }
             )
 
-    assigned = _parallelize(corpus.select(id_col, vec_col)).mapInPandas(
+    assigned = _parallelize(corpus.select(id_col, vec_col), bytes_per_task=8 << 20).mapInPandas(
         assign, schema="n_id bigint, cell int, nu9 array<bigint>"
     )
 
@@ -1024,7 +1025,7 @@ def _ann_pq_snapped(
                 }
             )
 
-    shortlisted = _parallelize(corpus.select(id_col, vec_col)).mapInPandas(
+    shortlisted = _parallelize(corpus.select(id_col, vec_col), bytes_per_task=8 << 20).mapInPandas(
         encode_score,
         schema="q_id bigint, n_id bigint, adc6 bigint, nu6 array<bigint>",
     )
@@ -1144,7 +1145,7 @@ def _ann_pq_opq(
     enc_schema = "n_id bigint, codes array<int>" + (
         ", v array<double>" if rerank > 0 else ""
     )
-    encoded = _parallelize(corpus.select(id_col, vec_col)).mapInPandas(
+    encoded = _parallelize(corpus.select(id_col, vec_col), bytes_per_task=8 << 20).mapInPandas(
         encode, schema=enc_schema
     )
 
@@ -1267,7 +1268,7 @@ def ann_sq8(
                 }
             )
 
-    encoded = _parallelize(corpus.select(id_col, vec_col)).mapInPandas(
+    encoded = _parallelize(corpus.select(id_col, vec_col), bytes_per_task=8 << 20).mapInPandas(
         encode, schema="n_id bigint, codes binary"
     )
 

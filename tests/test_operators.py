@@ -2682,3 +2682,22 @@ def test_exact_substr_scrub_planted(spark):
     )
     assert got[4] == ("rep one rep two", 16, 12)
     assert got[5] == ("tiny doc", 2, 0)
+
+
+def test_parallelize_size_cap(spark, sf_dir):
+    """_parallelize(bytes_per_task=...) caps fan-out by Catalyst's size
+    estimate for light kernels (a tiny input must not pay core-count
+    Python dispatches) and NEVER raises the target above
+    defaultParallelism; without the cap the under-parallel input is
+    still blown up to full parallelism (heavy kernels want every core).
+    """
+    from lakeside_spark.operators.similarity import _parallelize
+
+    emb = load_table(spark, sf_dir, "embeddings")  # ~KBs at sf0.01
+    capped = _parallelize(emb, bytes_per_task=8 << 20)
+    full = _parallelize(emb)
+    dp = spark.sparkContext.defaultParallelism
+    assert capped.rdd.getNumPartitions() < dp
+    assert full.rdd.getNumPartitions() >= min(
+        dp, spark.sparkContext.defaultParallelism
+    )
