@@ -176,7 +176,11 @@ def _scored_against(
                 {"q_id": q_flat[mask], "n_id": n_flat[mask], "cos": c_flat[mask]}
             )
 
-    return _parallelize(corpus.select(id_col, vec_col), bytes_per_task=8 << 20).mapInPandas(
+    # NO size cap here: per-row work is a block x n_queries matmul and
+    # n_queries is corpus-sized for the dup-pair/mislabel callers — the
+    # cap starved it to one task and turned the blocked O(n^2) into a
+    # single-thread O(n^2) (dedup_embedding 0.3s -> 40s at sf0.1)
+    return _parallelize(corpus.select(id_col, vec_col)).mapInPandas(
         score, schema="q_id bigint, n_id bigint, cos double"
     )
 
