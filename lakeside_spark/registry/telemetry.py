@@ -1402,6 +1402,7 @@ def _run_replay(
     schema: str,
     twin,
     output_mode: str = "append",
+    shuffle_partitions: int = 8,
 ) -> DataFrame:
     """Drive a stateful streaming twin over the recorded micro-batches
     (one file per trigger = one micro-batch) into a memory sink and
@@ -1421,7 +1422,15 @@ def _run_replay(
     batches for a recording whose keyed volume fills 8. This is a
     replay-artifact knob, not the scale path — the production streaming
     pipeline (streaming/) inherits the session conf sized to the
-    cluster."""
+    cluster.
+
+    Thread-safety note (single-threaded replay assumption): the
+    shuffle-partition override mutates the SHARED session conf for the
+    query's lifetime and restores it in ``finally`` — a concurrent query
+    on the same SparkSession during a replay would silently run with the
+    replay's partition count. The replay keys are driver/bench artifacts
+    executed sequentially; a concurrent caller should clone the session
+    (``spark.newSession()``) before invoking them."""
     import shutil
     import uuid
 
@@ -1433,7 +1442,7 @@ def _run_replay(
     )
     qname = f"replay_{uuid.uuid4().hex[:10]}"
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
     try:
         q = (
             twin(stream)
@@ -1530,44 +1539,44 @@ def streaming_replay_service_graph(spark: SparkSession, sf_dir: str) -> DataFram
     artifact, after funnel and EMA): the trace span stream recorded as
     time-ordered micro-batches, driven through the
     applyInPandasWithState span-adjacency twin
-    (streaming/stateful.streaming_service_edges — state is two scalars
-    per trace, so an edge crossing a micro-batch boundary is emitted
-    exactly once by the state store), then rolled up to the
+    (streaming/stateful.streaming_service_edge_partials — state is two
+    scalars per trace, so an edge crossing a micro-batch boundary is
+    counted exactly once by the state store), then rolled up to the
     (src, dst, n, avg_gap) service map. Oracle: the batch
     TRACE_SERVICE_GRAPH_SQL — time-contiguous slices keep each trace's
     rows in event-time order across batches and the twin sorts
     (ts, event_id) within each batch, i.e. exactly the batch window
     order, so the edge multiset hash-matches the batch panel."""
-    from lakeside_spark.streaming.stateful import streaming_service_edges
+    from lakeside_spark.streaming.stateful import streaming_service_edge_partials
 
     tr = S.load_traces(spark, sf_dir).select(
         "user_id", S.TIMESTAMP, S.SPAN_NAME, "event_id"
     )
     src = _replay_micro_batches(spark, tr, S.TIMESTAMP)
-    # the (src, dst) rollup runs INSIDE the stream in complete mode:
-    # the memory sink then holds the span-vocabulary²-sized final map
-    # (25 rows here) instead of one edge row per span (~the corpus) —
-    # the sink collect was the bulk of this key's bench wall. avg over
-    # long gaps accumulates an exact integral sum divided once, so the
-    # streaming rollup hashes identically to the batch one.
+    # r12 plan: the stateful twin emits per-trace (src, dst, n, gap_sum)
+    # PARTIALS (map-side combine inside the state operator — bounded by
+    # traces × vocabulary², not span count), the sink stays append-mode,
+    # and the final (src, dst) rollup is a trivial BATCH aggregation
+    # over the sink table. This removes the r11 complete-mode streaming
+    # aggregation — the second state store instance set per trigger —
+    # which profiling showed cost more than the edges it rolled up.
+    # SUM(gap_sum)/SUM(n) over exact int64 partial sums equals the
+    # batch AVG(gap_ms) bit-for-bit (one double division either way).
     out = _run_replay(
         spark,
         src,
         "user_id string, timestamp_ms long, span_name string, event_id long",
-        lambda s: streaming_service_edges(
+        lambda s: streaming_service_edge_partials(
             s,
             key_col="user_id",
             ts_col=S.TIMESTAMP,
             name_col=S.SPAN_NAME,
-        )
-        .groupBy("src", "dst")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.avg("gap_ms").alias("avg_gap"),
         ),
-        output_mode="complete",
     )
-    return out.select(
+    return out.groupBy("src", "dst").agg(
+        F.sum("n").alias("n"),
+        (F.sum("gap_sum") / F.sum("n")).alias("avg_gap"),
+    ).select(
         F.col("src").alias("src_span"),
         F.col("dst").alias("dst_span"),
         "n",

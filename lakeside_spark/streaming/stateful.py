@@ -265,3 +265,142 @@ def streaming_service_edges(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_service_edge_partials(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "timestamp_ms",
+    name_col: str = "name",
+    tiebreak_col: str = "event_id",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """streaming_service_edges with KEY-GROUP BUCKETING and MAP-SIDE
+    COMBINE. Two changes vs the per-trace twin, both standard
+    high-cardinality streaming-state techniques (Flink's key groups are
+    the same idea):
+
+    1. The stateful operator is keyed by ``crc32(trace key) % n_buckets``
+       rather than by the trace itself; per-trace (last span, last ts)
+       state is packed into three parallel ARRAYS in the bucket's state
+       row. State volume is unchanged — two scalars per trace — but the
+       Python boundary pays n_buckets group calls per trigger instead of
+       one per trace (1500 pandas constructions → 64 at sf0.1), and the
+       per-bucket edge extraction vectorizes over all of the bucket's
+       traces at once (one lexsort + shifted-compare, no per-row loop).
+    2. Each bucket emits per-trigger (src, dst, n, gap_sum) PARTIALS —
+       at most |span vocabulary|² rows per bucket per trigger — instead
+       of one row per transition edge. gap_sum is an exact int64 sum, so
+       the downstream rollup's SUM(gap_sum)/SUM(n) equals the batch
+       AVG(gap_ms) bit-for-bit (one double division either way).
+
+    Rows inside a micro-batch are processed in (trace, ts, tiebreak)
+    order — per trace, exactly the order streaming_service_edges and the
+    batch window use — and a trace's carried state seeds the first row
+    of its run, so the emitted edge MULTISET is identical to the
+    per-trace twin's (pinned by the equivalence test). At 100 TB the
+    knobs scale independently: n_buckets grows with the cluster (state
+    per bucket stays bounded), emitted volume stays at the
+    transition-type grain."""
+
+    output_schema = "src string, dst string, n long, gap_sum long"
+    state_schema = (
+        "keys array<string>, last_names array<string>, last_ts array<long>"
+    )
+    bucket_col = "__kg_bucket"
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            sk, sn, st = state.get
+            carried = dict(zip(sk, zip(sn, st)))
+        else:
+            carried = {}
+        rows = _one_frame(pdfs)
+        ts_a = rows[ts_col].to_numpy(dtype=np.int64)
+        tb_a = rows[tiebreak_col].to_numpy()
+        # stringified trace keys: the packed state schema is
+        # array<string> regardless of the stream's key type, and str()
+        # is injective for the long/string ids this op is keyed by
+        codes, uniques = pd.factorize(
+            rows[key_col].astype(str).to_numpy()
+        )
+        nm_codes, nm_uniques = pd.factorize(rows[name_col].to_numpy())
+        order = np.lexsort((tb_a, ts_a, codes))
+        uc = codes[order]
+        tss = ts_a[order]
+        nms = nm_codes[order].astype(np.int64)
+        n = len(order)
+        first = np.empty(n, dtype=bool)
+        first[0] = True
+        first[1:] = uc[1:] != uc[:-1]
+        # previous row within each trace run (undefined at run heads)
+        prev_nm = np.empty(n, dtype=np.int64)
+        prev_ts = np.empty(n, dtype=np.int64)
+        prev_nm[1:] = nms[:-1]
+        prev_ts[1:] = tss[:-1]
+        # vocabulary for carried-state names: extend the batch's name
+        # codes with any carried names not present in this batch
+        name_index = {v: i for i, v in enumerate(nm_uniques)}
+        vocab = list(nm_uniques)
+        valid = ~first
+        # seed run heads from carried per-trace state (python loop over
+        # the traces PRESENT in this batch only — ~tens per bucket)
+        head_pos = np.flatnonzero(first)
+        for p in head_pos:
+            prev = carried.get(uniques[uc[p]])
+            if prev is not None:
+                pn, pt = prev
+                ci = name_index.get(pn)
+                if ci is None:
+                    ci = len(vocab)
+                    name_index[pn] = ci
+                    vocab.append(pn)
+                prev_nm[p] = ci
+                prev_ts[p] = pt
+                valid[p] = True
+        # update carried state: last row of each trace run
+        last_pos = np.empty(len(head_pos), dtype=np.int64)
+        last_pos[:-1] = head_pos[1:] - 1
+        last_pos[-1] = n - 1
+        for p in last_pos:
+            carried[uniques[uc[p]]] = (vocab[nms[p]], int(tss[p]))
+        ck = [str(k) for k in carried.keys()]
+        state.update(
+            (
+                ck,
+                [str(carried[k][0]) for k in carried.keys()],
+                [int(carried[k][1]) for k in carried.keys()],
+            )
+        )
+        if valid.any():
+            v = len(vocab)
+            pair = prev_nm[valid] * v + nms[valid]
+            gaps = tss[valid] - prev_ts[valid]
+            counts = np.bincount(pair, minlength=v * v)
+            # int64 accumulation (bincount weights would round-trip
+            # through float64 and lose exactness past 2^53)
+            gap_sums = np.zeros(v * v, dtype=np.int64)
+            np.add.at(gap_sums, pair, gaps)
+            nz = np.flatnonzero(counts)
+            yield pd.DataFrame(
+                {
+                    "src": [vocab[i // v] for i in nz],
+                    "dst": [vocab[i % v] for i in nz],
+                    "n": counts[nz].astype(np.int64),
+                    "gap_sum": gap_sums[nz],
+                }
+            )
+
+    from pyspark.sql import functions as F
+
+    bucketed = stream.withColumn(
+        bucket_col,
+        F.pmod(F.crc32(F.col(key_col).cast("string")), F.lit(n_buckets)),
+    )
+    return bucketed.groupBy(bucket_col).applyInPandasWithState(
+        update,
+        outputStructType=output_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -230,3 +230,74 @@ def test_streaming_service_edges_matches_batch_across_batches(spark):
         assert got[("b", "a")] == (1, 0.0)
     finally:
         shutil.rmtree(src, ignore_errors=True)
+
+
+def test_streaming_service_edge_partials_matches_per_trace_twin(spark):
+    """The key-group-bucketed partial twin aggregates to exactly the
+    per-trace twin's edge multiset — same fixture as above, plus a few
+    buckets so multiple traces share a bucket's packed state, and the
+    carried state must bridge the micro-batch boundary per trace."""
+    from lakeside_spark.operators.behavior import next_event_edges
+    from lakeside_spark.streaming.stateful import (
+        streaming_service_edge_partials,
+    )
+
+    schema = "user_id long, timestamp_ms long, name string, event_id long"
+    rows = [
+        (1, 100, "gateway", 1), (1, 150, "auth", 2), (1, 400, "db", 3),
+        (2, 100, "gateway", 4), (2, 120, "cache", 5),
+        (2, 300, "gateway", 6), (2, 320, "cache", 7),
+        (3, 100, "gateway", 8),
+        (4, 100, "a", 10), (4, 100, "b", 9),
+        # trace 5: present ONLY in batch 1 — its carried state must ride
+        # along in a bucket whose other traces appear in batch 2
+        (5, 110, "auth", 11), (5, 130, "db", 12),
+    ]
+    src = tempfile.mkdtemp(prefix="svcp_src_")
+    try:
+        first = [r for r in rows if r[1] <= 200]
+        second = [r for r in rows if r[1] > 200]
+        spark.createDataFrame(first, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/b0")
+        spark.createDataFrame(second, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(f"{src}/b1")
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("recursiveFileLookup", "true")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        # n_buckets=2 forces several traces into one packed state row
+        q = (
+            streaming_service_edge_partials(stream, n_buckets=2)
+            .writeStream.format("memory")
+            .queryName("svcp_out")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = {
+            (r["src"], r["dst"]): (r["n"], r["avg_gap"])
+            for r in spark.sql(
+                "SELECT src, dst, sum(n) AS n,"
+                " sum(gap_sum) / sum(n) AS avg_gap"
+                " FROM svcp_out GROUP BY src, dst"
+            ).collect()
+        }
+        batch = {
+            (r["src"], r["dst"]): (r["n"], r["avg_gap_ms"])
+            for r in next_event_edges(
+                spark.createDataFrame(rows, schema)
+            ).collect()
+        }
+        assert got == batch
+        assert got[("auth", "db")] == (2, 135.0)
+        assert got[("b", "a")] == (1, 0.0)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
