@@ -228,54 +228,96 @@ def bloom_decontam(
     import numpy as np
 
     k, m = k_hashes, m_bits
-    eval_grams = _doc_grams(eval_docs, n, text_col, id_col).select("gram").distinct()
 
-    def positions_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    # Build side, ONE map-only stage: each partition folds its eval docs
+    # straight into a local m-bit bitmap (text → distinct grams → md5 →
+    # k positions → set bits) and emits the PACKED bitmap — m/8 bytes
+    # regardless of gram count — which the driver ORs together. Bitmap
+    # assembly is idempotent, so no gram- or position-level distinct
+    # (each a full shuffle in the previous plan) is needed; the driver
+    # payload is partitions × m/8 bytes (128 KB each at the default m —
+    # at very large eval-partition counts, fold first with a
+    # treeAggregate; eval sets are benchmark-sized by definition).
+    def build_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        local = np.zeros(m, dtype=bool)
+        seen = False
         for pdf in batches:
-            if not len(pdf):
-                continue
-            h1, h2 = _gram_hashes(pdf["gram"])
-            yield pd.DataFrame(
-                {"pos": np.unique(np.concatenate(_bloom_positions(h1, h2, k, m)))}
-            )
+            for text in pdf["text"]:
+                words = [w for w in _normalize_py(text).split(" ") if w]
+                if len(words) < n:
+                    continue
+                gset = list({
+                    " ".join(words[i : i + n])
+                    for i in range(len(words) - n + 1)
+                })
+                if not gset:
+                    continue
+                seen = True
+                h1, h2 = _gram_hashes(gset)
+                for p in _bloom_positions(h1, h2, k, m):
+                    local[p] = True
+        if seen:
+            yield pd.DataFrame({"bits": [np.packbits(local).tobytes()]})
 
-    # distinct bit positions: bounded by m (a filter-sized set), combines
-    # map-side; the driver only ever sees set-bit indices, not grams
-    pos_rows = (
-        eval_grams.mapInPandas(positions_kernel, schema="pos long")
-        .distinct()
-        .collect()
-    )
-    bitmap = np.zeros(m, dtype=bool)
-    if pos_rows:
-        bitmap[np.array([r["pos"] for r in pos_rows], dtype=np.int64)] = True
-    bc = corpus.sparkSession.sparkContext.broadcast(np.packbits(bitmap))
+    # no _parallelize on the build side: the eval scan's NATURAL
+    # partitioning is enough (the kernel folds partition-locally and a
+    # repartition Exchange costs more than the ~50k md5s it would
+    # spread; a 100 TB eval set arrives with row-group parallelism)
+    ev_src = eval_docs.select(F.col(text_col).alias("text"))
+    packed_rows = ev_src.mapInPandas(
+        build_kernel, schema="bits binary"
+    ).collect()
+    if packed_rows:
+        packed = np.bitwise_or.reduce(
+            [np.frombuffer(r["bits"], dtype=np.uint8) for r in packed_rows]
+        )
+    else:
+        packed = np.zeros(m // 8, dtype=np.uint8)
+    bc = corpus.sparkSession.sparkContext.broadcast(packed)
 
     def probe_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         packed = bc.value
         bits = np.unpackbits(packed).astype(bool)
         for pdf in batches:
-            ids_out: list[int] = []
-            cnt_out: list[int] = []
+            # flatten: one hash pass + one vectorized k-probe over ALL
+            # of the batch's grams (per-doc 190-gram arrays are too
+            # small to amortize numpy call overhead)
+            doc_ids: list[int] = []
+            doc_seg: list[int] = []
+            grams: list[str] = []
             for did, text in zip(pdf["doc_id"], pdf["text"]):
                 words = [w for w in _normalize_py(text).split(" ") if w]
                 if len(words) < n:
                     continue
-                gset = list({
+                gset = {
                     " ".join(words[i : i + n]) for i in range(len(words) - n + 1)
-                })
-                h1, h2 = _gram_hashes(gset)
-                hit = np.ones(len(gset), dtype=bool)
-                for p in _bloom_positions(h1, h2, k, m):
-                    hit &= bits[p]
-                n_hit = int(hit.sum())
-                if n_hit:
-                    ids_out.append(did)
-                    cnt_out.append(n_hit)
+                }
+                doc_ids.append(did)
+                doc_seg.append(len(gset))
+                grams.extend(gset)
+            if not grams:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pd.Series([], dtype="int64"),
+                        "n_suspect_grams": pd.Series([], dtype="int64"),
+                    }
+                )
+                continue
+            h1, h2 = _gram_hashes(grams)
+            hit = np.ones(len(grams), dtype=bool)
+            for p in _bloom_positions(h1, h2, k, m):
+                hit &= bits[p]
+            seg = np.repeat(np.arange(len(doc_seg)), doc_seg)
+            n_hit = np.bincount(
+                seg, weights=hit, minlength=len(doc_seg)
+            ).astype(np.int64)
+            flagged = np.flatnonzero(n_hit)
             yield pd.DataFrame(
                 {
-                    "doc_id": pd.Series(ids_out, dtype="int64"),
-                    "n_suspect_grams": pd.Series(cnt_out, dtype="int64"),
+                    "doc_id": pd.Series(
+                        [doc_ids[i] for i in flagged], dtype="int64"
+                    ),
+                    "n_suspect_grams": pd.Series(n_hit[flagged], dtype="int64"),
                 }
             )
 
