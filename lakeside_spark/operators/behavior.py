@@ -387,58 +387,105 @@ def attribution(
         # fan-out, and one shared exchange/sort where the first cut paid
         # a separate touch-index window (Catalyst reuses the union's
         # shuffle for both the conversion and touch consumers)
-        stream = touch.select(
-            "_u",
-            F.col("t_ts").alias("__ts"),
-            F.lit(1).alias("__ord"),  # strict <: same-ts touches sort AFTER
-            F.col("t_id").alias("__tid"),
-            "channel",
-            F.lit(None).cast("long").alias("conv_id"),
-            F.lit(None).cast("long").alias("conv_ts"),
-        ).unionByName(
-            conv.select(
-                "_u",
-                F.col("conv_ts").alias("__ts"),
-                F.lit(0).alias("__ord"),
-                F.col("conv_id").alias("__tid"),
-                F.lit(None).cast("string").alias("channel"),
-                "conv_id",
-                "conv_ts",
+        # ONE scan builds the touch∪conversion stream: a conditional
+        # projection over a single name-IN-pushed filter replaces the
+        # r11 two-scan union (the self-join below replicates its input
+        # subtree, so every scan saved here is saved twice). The stream
+        # row is FIXED-WIDTH — channel dictionary-encoded to a tinyint
+        # (0 = conversion, i+1 = channels[i]; the name column never
+        # rides through the big exchange+sort) and the conversion id is
+        # NOT a separate column (it equals __tid on conversion rows).
+        is_conv = F.col(name_col) == conversion
+        ch_code = F.lit(0)
+        for i, ch in enumerate(channels):
+            ch_code = F.when(F.col(name_col) == ch, F.lit(i + 1)).otherwise(
+                ch_code
             )
+        stream = events.filter(
+            (is_conv | F.col(name_col).isin(*channels))
+            & F.col(user_col).isNotNull()
+        ).select(
+            F.col(user_col).alias("_u"),
+            F.col(ts_col).alias("__ts"),
+            ch_code.cast("byte").alias("__ch"),
+            F.col(tiebreak_col).alias("__tid"),
         )
+        # strict <: same-ts touches (__ch > 0) sort AFTER the conversion
+        touch_marker = (F.col("__ch") > 0).cast("int")
         w_stream = (
             Window.partitionBy("_u")
-            .orderBy("__ts", "__ord", "__tid")
+            .orderBy("__ts", touch_marker, "__tid")
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        indexed = stream.withColumn("__idx", F.sum("__ord").over(w_stream))
-        touch_idx = indexed.filter(F.col("__ord") == 1).select(
-            "_u",
-            "__idx",
-            "channel",
-            F.col("__ts").alias("t_ts"),
-            F.col("__tid").alias("t_id"),
+        # The rows-window cumsum at a conversion row IS L (the index of
+        # the latest strictly-earlier touch): same-ts touches sort
+        # after it, so the sum excludes them exactly as the strict-<
+        # rule requires. One extra RANGE-frame count over the same
+        # exchange hands the conversion L0 (touches strictly before
+        # the lookback start: __ts ≤ conv_ts−lookback−1), so the
+        # in-window index range is (max(L0+1, L−N+1) .. L) BY
+        # CONSTRUCTION — the r11 plan's post-join timestamp filter and
+        # the conv_id self-join that re-attached filtered-empty
+        # conversions both drop out (a direct conversion is simply a
+        # left-join miss). Both windows share one partitionBy(_u)
+        # exchange; the (_u, __idx) equi-join downstream reuses that
+        # partitioning (hash on a key subset co-locates the join).
+        w_before_lb = (
+            Window.partitionBy("_u")
+            .orderBy("__ts")
+            .rangeBetween(Window.unboundedPreceding, -lookback_ms - 1)
         )
-        pairs = (
-            indexed.filter((F.col("__ord") == 0) & (F.col("__idx") > 0))
+        indexed = stream.select(
+            "*",
+            F.sum(touch_marker).over(w_stream).alias("__idx"),
+            F.count(F.when(F.col("__ch") > 0, 1))
+            .over(w_before_lb)
+            .alias("__L0"),
+        )
+        # branch symmetry: both self-join branches filter on __ch and
+        # reference the identical (_u, __ts, __ch, __tid, __idx, __L0)
+        # column set (the touch branch's __L0 ≥ 0 guard is tautological
+        # — a count is never negative — but Catalyst can't prove it),
+        # so column pruning yields the SAME canonical subtree below the
+        # partitionBy(_u) Exchange in both branches and AQE reuses the
+        # shuffle stage — without this the whole scan+shuffle ran twice
+        # in the r11 plan
+        touch_idx = (
+            indexed.filter((F.col("__ch") > 0) & (F.col("__L0") >= 0))
             .select(
                 "_u",
-                "conv_id",
-                "conv_ts",
-                F.explode(
-                    F.sequence(
-                        F.greatest(
-                            F.col("__idx") - F.lit(max_touches - 1), F.lit(1)
+                "__idx",
+                "__ch",
+                F.col("__ts").alias("t_ts"),
+                F.col("__tid").alias("t_id"),
+            )
+        )
+        ch_name = F.lit(None).cast("string")
+        for i, ch in enumerate(channels):
+            ch_name = F.when(F.col("__ch") == i + 1, F.lit(ch)).otherwise(
+                ch_name
+            )
+        j = (
+            indexed.filter(F.col("__ch") == 0)
+            .select(
+                "_u",
+                F.col("__tid").alias("conv_id"),
+                F.explode_outer(
+                    F.when(
+                        F.col("__idx") > F.col("__L0"),
+                        F.sequence(
+                            F.greatest(
+                                F.col("__L0") + F.lit(1),
+                                F.col("__idx") - F.lit(max_touches - 1),
+                            ),
+                            F.col("__idx"),
                         ),
-                        F.col("__idx"),
                     )
                 ).alias("__idx"),
             )
-            .join(touch_idx, ["_u", "__idx"])
-            .filter(F.col("t_ts") >= F.col("conv_ts") - F.lit(lookback_ms))
-            .select("conv_id", "channel", "t_ts", "t_id")
+            .join(touch_idx, ["_u", "__idx"], "left")
+            .select("conv_id", ch_name.alias("channel"), "t_ts", "t_id")
         )
-        j = conv.select("conv_id").join(pairs, "conv_id", "left")
     # One map-side-combined hash aggregate collapses j to ≤|channels|+1
     # rows per conversion, so the per-conversion first/last/count math
     # runs over a channel-vocabulary-bounded frame instead of three

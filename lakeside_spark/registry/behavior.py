@@ -578,10 +578,24 @@ def event_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     over that vocabulary-bounded frame + one tiny agg. Capped at
     the 5 most recent touches per conversion (max_touches) — the
     power-user-skew bound: post-join volume is ≤5 rows per conversion
-    regardless of per-user activity."""
+    regardless of per-user activity.
+
+    Key-width note: the operator runs on the raw events projection with
+    user_id LONG rather than the telemetry view's string cast —
+    str(long) is injective, so grouping/joining on the long yields the
+    identical result while the plan's one big exchange+sort runs on a
+    radix-friendly fixed-width key instead of strings (the window stage
+    dominated the 10x-data wall). The oracle's VARCHAR cast is
+    semantically inert for the same reason."""
     from lakeside_spark.operators.behavior import attribution
 
-    return attribution(load_telemetry(spark, sf_dir), max_touches=5)
+    ev = load_table(spark, sf_dir, "events").select(
+        F.unix_millis(F.col("ts")).alias(S.TIMESTAMP),
+        F.col("event_type").alias(S.NAME),
+        "user_id",
+        "event_id",
+    )
+    return attribution(ev, max_touches=5)
 
 
 EVENT_ATTRIBUTION_SQL = f"""
