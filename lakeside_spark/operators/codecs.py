@@ -234,3 +234,132 @@ def decode_pixels(buf: bytes) -> np.ndarray | None:
     if buf[:2] == b"BM":
         return bmp_decode(buf)
     return None
+
+
+# ---------------------------------------------------------------------------
+# AVI (RIFF) — uncompressed DIB ('00db') and MJPEG ('00dc') video frames.
+# A RIFF chunk walk needs no codec library, so real video-column frame
+# sampling works in-container: uncompressed-AVI frames decode fully to
+# pixels (DIB = the same bottom-up BGR rows as BMP); MJPEG frames are
+# extracted as JPEG bytes with header-parsed dims (entropy decode stays
+# out of scope, same contract as standalone JPEGs above).
+
+
+def avi_encode(frames: "list[np.ndarray]", fps: int = 10) -> bytes:
+    """Uncompressed 24-bit AVI from uint8 (h, w, 3) RGB frames.
+
+    Minimal but standard-conformant RIFF: hdrl(avih + strl(strh 'vids'/
+    'DIB ', strf BITMAPINFOHEADER)) + movi('00db' DIB data per frame).
+    All frames must share one shape. DIB rows are bottom-up BGR padded
+    to 4 bytes — exactly the BMP pixel-array layout."""
+    if not frames:
+        raise ValueError("avi_encode: need at least one frame")
+    h, w = frames[0].shape[:2]
+    row = (w * 3 + 3) & ~3
+    frame_bytes = []
+    for f in frames:
+        if f.shape[:2] != (h, w):
+            raise ValueError("avi_encode: all frames must share one shape")
+        bgr = np.ascontiguousarray(f[::-1, :, ::-1], dtype=np.uint8)
+        padded = np.zeros((h, row), dtype=np.uint8)
+        padded[:, : w * 3] = bgr.reshape(h, w * 3)
+        frame_bytes.append(padded.tobytes())
+    size_image = row * h
+
+    def chunk(fourcc: bytes, data: bytes) -> bytes:
+        pad = b"\x00" if len(data) % 2 else b""
+        return fourcc + struct.pack("<I", len(data)) + data + pad
+
+    def lst(fourcc: bytes, data: bytes) -> bytes:
+        return chunk(b"LIST", fourcc + data)
+
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // fps,  # dwMicroSecPerFrame
+        size_image * fps,  # dwMaxBytesPerSec
+        0,  # dwPaddingGranularity
+        0,  # dwFlags (no idx1 index is written, so HASINDEX stays off)
+        len(frames),  # dwTotalFrames
+        0,  # dwInitialFrames
+        1,  # dwStreams
+        size_image,  # dwSuggestedBufferSize
+        w,
+        h,
+        0, 0, 0, 0,  # dwReserved
+    )
+    strh = (
+        b"vids"
+        + b"DIB "
+        + struct.pack(
+            "<IHHIIIIIIII4h",
+            0,  # dwFlags
+            0, 0,  # wPriority, wLanguage
+            0,  # dwInitialFrames
+            1, fps,  # dwScale, dwRate
+            0,  # dwStart
+            len(frames),  # dwLength
+            size_image,  # dwSuggestedBufferSize
+            0xFFFFFFFF,  # dwQuality (-1)
+            0,  # dwSampleSize
+            0, 0, w, h,  # rcFrame
+        )
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII",
+        40, w, h, 1, 24, 0, size_image, 0, 0, 0, 0
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00db", fb) for fb in frame_bytes))
+    return chunk(b"RIFF", b"AVI " + hdrl + movi)
+
+
+def _riff_chunks(data: bytes, start: int, end: int):
+    """Yield (fourcc, payload_start, payload_size) walking a chunk run."""
+    pos = start
+    while pos + 8 <= end:
+        fourcc = data[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", data, pos + 4)
+        yield fourcc, pos + 8, size
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+
+
+def avi_frames(buf: bytes):
+    """AVI bytes → (width, height, bpp, [(fourcc, frame_bytes), ...]).
+
+    Walks RIFF for the strf BITMAPINFOHEADER (dims) and the movi LIST's
+    '##db'/'##dc' frame chunks. Raises ValueError on non-AVI input."""
+    if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"AVI ":
+        raise ValueError("not an AVI")
+    w = h = bpp = 0
+    frames: list[tuple[bytes, bytes]] = []
+
+    def walk(start: int, end: int) -> None:
+        nonlocal w, h, bpp
+        for fourcc, p, size in _riff_chunks(buf, start, end):
+            if fourcc == b"LIST":
+                walk(p + 4, p + size)
+            elif fourcc == b"strf" and size >= 40:
+                _, bw, bh, _, bits = struct.unpack_from("<IiiHH", buf, p)
+                if w == 0:
+                    w, h, bpp = bw, abs(bh), bits
+            elif len(fourcc) == 4 and fourcc[2:4] in (b"db", b"dc"):
+                frames.append((bytes(fourcc), bytes(buf[p : p + size])))
+
+    walk(12, len(buf))
+    return w, h, bpp, frames
+
+
+def dib_decode(data: bytes, w: int, h: int, bpp: int = 24) -> np.ndarray:
+    """Raw DIB pixel rows (bottom-up BGR, 4-byte-padded) → uint8 (h, w, 3)
+    RGB — the BMP pixel array without the file header."""
+    if bpp != 24:
+        raise ValueError(f"unsupported DIB bpp={bpp}")
+    row = (w * 3 + 3) & ~3
+    if len(data) < row * h:
+        raise ValueError("DIB data shorter than dims require")
+    arr = np.frombuffer(data[: row * h], dtype=np.uint8).reshape(h, row)
+    return arr[::-1, : w * 3].reshape(h, w, 3)[:, :, ::-1].copy()

@@ -237,7 +237,15 @@ def ngram_jaccard_pairs(
     # shingle cache is released NOW instead of leaking one persisted
     # frame per call for the session lifetime (same pattern as
     # minhash_lsh_match below — the r8 advice item, previously applied
-    # only to the incremental path)
+    # only to the incremental path).
+    # CLUSTER CAVEAT (r11 advice): localCheckpoint blocks are
+    # NON-REPLICATED executor-local state — on a real cluster, losing
+    # an executor (failure, dynamic-allocation decommission) after this
+    # call makes the truncated-lineage result unrecoverable mid-job.
+    # eager=True is the right default for this repo's single-JVM bench
+    # harness; a long-lived cluster job should pass eager=False and own
+    # the shingle cache's lifetime (or checkpoint to reliable storage
+    # via spark.sparkContext.setCheckpointDir + .checkpoint()).
     out = out.localCheckpoint(eager=True)
     ex.unpersist()
     return out
@@ -397,6 +405,7 @@ def minhash_lsh_pairs(
         # lazy plan, caches stay owned by the caller (plan inspection)
         return out
     # materialize the (pair-sized) result eagerly and release the three
+    # (cluster caveat: non-replicated blocks — see ngram_jaccard_pairs)
     # corpus-sized caches (shingles, candidate pairs, candidate
     # shingles) — repeated API calls in one session previously leaked
     # all three per call for the session lifetime
@@ -512,6 +521,7 @@ def minhash_lsh_match(
         # that persists the index side itself
         return out
     # materialize the (match-sized) result eagerly so the two
+    # (cluster caveat: non-replicated blocks — see ngram_jaccard_pairs)
     # corpus-sized shingle caches can be released NOW — a daily-ingest
     # API gets called repeatedly, and leaving them persisted leaked two
     # cached tables per call for the session lifetime. The checkpoint

@@ -365,34 +365,95 @@ def sample_frames(
     max_frames: int = 4,
     binary_col: str = "media",
     id_col: str = "doc_id",
-    fake: bool = False,
 ) -> DataFrame:
-    """video binary → exploded (id, frame_idx, frame) rows, Arrow-batched.
+    """video binary → exploded (id, frame_idx, width, height, frame) rows,
+    Arrow-batched. REAL frame extraction (r12 — previously the one stub
+    in the repo): a pure-stdlib RIFF chunk walk (codecs.avi_frames) pulls
+    the '00db'/'00dc' frame payloads out of uncompressed-DIB or MJPEG
+    AVI containers, keeping every ``every_n``-th frame up to
+    ``max_frames`` per video. frame_idx is the frame's index in the
+    source stream (0, every_n, 2·every_n, ...), so downstream joins can
+    reason about source timing. Non-AVI bytes raise ValueError with the
+    offending id — same strict contract as decode_features' real path.
 
-    The fan-out (one input row → up to max_frames output rows) is the part
-    that matters at scale: mapInPandas lets the batch emit a different row
-    count than it received, so frame sampling never needs a driver-side
-    explode. Real frame extraction is STUBBED; the fake path slices the
-    input bytes deterministically per frame index.
+    The fan-out (one input row → up to max_frames output rows) is the
+    part that matters at scale: mapInPandas lets the batch emit a
+    different row count than it received, so frame sampling never needs
+    a driver-side explode, and the RIFF walk is one linear pass per
+    video regardless of how many frames are kept.
     """
-    if not fake:
-        raise NotImplementedError(
-            "frame sampling requires codec libraries not present in this "
-            "container; call with fake=True for the deterministic test path"
-        )
-    schema = f"{id_col} bigint, frame_idx int, frame binary"
+    from lakeside_spark.operators.codecs import avi_frames
+
+    schema = (
+        f"{id_col} bigint, frame_idx int, width int, height int, frame binary"
+    )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            ids, idxs, frames = [], [], []
+            ids, idxs, ws, hs, frames = [], [], [], [], []
             for did, buf in zip(pdf[id_col], pdf[binary_col]):
-                n_frames = min(max_frames, max(len(buf) // every_n, 1))
-                for fi in range(n_frames):
+                try:
+                    w, h, _bpp, chunks = avi_frames(bytes(buf))
+                except ValueError as exc:
+                    raise ValueError(f"{id_col}={did}: {exc}") from None
+                for fi in range(
+                    0, min(len(chunks), every_n * max_frames), every_n
+                ):
                     ids.append(did)
                     idxs.append(fi)
-                    frames.append(bytes(buf[fi * every_n : (fi + 1) * every_n]))
-            yield pd.DataFrame({id_col: ids, "frame_idx": idxs, "frame": frames})
+                    ws.append(w)
+                    hs.append(h)
+                    frames.append(chunks[fi][1])
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "frame": frames,
+                }
+            )
 
     return _parallelize(df.select(id_col, binary_col)).mapInPandas(
+        batches, schema=schema
+    )
+
+
+def synthesize_videos(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_frames: int = 8,
+    size: int = 16,
+) -> DataFrame:
+    """Deterministic real AVI bytes per row (test/bench fixture for the
+    video path, same role synthesize_images plays for PNG): each doc
+    gets an uncompressed-DIB AVI whose frames are seeded by
+    (doc_id, frame_idx, text length), so frame extraction is
+    replayable across engines and runs."""
+    from lakeside_spark.operators.codecs import avi_encode
+
+    schema = f"{id_col} bigint, media binary"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, blobs = [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                frames = []
+                for fi in range(n_frames):
+                    rng = np.random.default_rng(
+                        (int(did) * 1_000_003 + fi) % (2**63)
+                        + len(text or "") % 97
+                    )
+                    frames.append(
+                        rng.integers(0, 256, (size, size, 3), dtype=np.uint8)
+                    )
+                ids.append(did)
+                blobs.append(avi_encode(frames))
+            yield pd.DataFrame(
+                {id_col: pd.Series(ids, dtype="int64"), "media": blobs}
+            )
+
+    return _parallelize(df.select(id_col, text_col)).mapInPandas(
         batches, schema=schema
     )

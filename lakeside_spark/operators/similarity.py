@@ -740,11 +740,23 @@ def ann_lsh(
     # frame) instead of paying a whole Python-worker stage for a handful
     # of rows; a panel too large to collect falls back to the
     # distributed kernel (and the broadcast below is then the caller's
-    # scale decision, unchanged from before)
+    # scale decision, unchanged from before). The cutoff is sized by the
+    # EXPANDED frame — rows × probe fan-out × (vector + key) bytes, not
+    # raw rows: at probe_bits=2 a 65k-row panel expands to ~10M
+    # vector-carrying rows, which is a driver OOM, so the budget keeps
+    # the materialized expansion under ~64 MB whatever the knobs say.
+    n_probes = 1
+    if probe_bits >= 1:
+        n_probes += num_planes
+    if probe_bits >= 2:
+        n_probes += num_planes * (num_planes - 1) // 2
+    fan_out = n_tables * n_probes
+    row_bytes = 8 * dim + num_planes + 16
+    max_driver_rows = max(256, (64 << 20) // (fan_out * row_bytes))
     q_rows = queries.select(
         F.col(id_col).alias("id"), as_double_array(vec_col).alias("v")
-    ).take(65_537)
-    if len(q_rows) <= 65_536:
+    ).take(max_driver_rows + 1)
+    if len(q_rows) <= max_driver_rows:
         probe_kernel = bucketize(probe=True)
         if q_rows:
             q_pdf = pd.DataFrame(

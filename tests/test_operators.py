@@ -331,18 +331,48 @@ def test_multimodal_resize_and_frames_plumbing(spark, sf_dir):
     again = resize_media(media, width=4, height=3, fake=True).collect()
     assert sorted(r["media"] for r in resized) == sorted(r["media"] for r in again)
 
-    frames = sample_frames(media, every_n=16, max_frames=3, fake=True).collect()
-    assert len(frames) > 10  # fan-out happened
-    per_doc = {}
-    for r in frames:
-        per_doc.setdefault(r["doc_id"], []).append(r["frame_idx"])
-    assert all(sorted(v) == list(range(len(v))) and len(v) <= 3 for v in per_doc.values())
     # real resize of non-image bytes yields empty media (caller filters)
     real = resize_media(media, 2, 2).collect()
     assert all(len(r["media"]) == 0 for r in real)
-    # video frame extraction stays stubbed (no stdlib video codec)
-    with pytest.raises(NotImplementedError):
+    # real frame extraction rejects non-AVI bytes with the offending id
+    with pytest.raises(Exception, match="not an AVI"):
         sample_frames(media).collect()
+
+
+def test_sample_frames_real_avi_round_trip(spark, sf_dir):
+    """r12 (stub removed): synthesized uncompressed-DIB AVIs round-trip
+    through the RIFF walk — sampled frame bytes decode to exactly the
+    pixels that were encoded, at the right stride."""
+    import numpy as np
+
+    from lakeside_spark.operators.codecs import avi_encode, dib_decode
+    from lakeside_spark.operators.multimodal import (
+        sample_frames,
+        synthesize_videos,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(6)
+    media = synthesize_videos(docs, n_frames=8, size=16)
+    out = sample_frames(media, every_n=3, max_frames=2).collect()
+    per_doc = {}
+    for r in out:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(per_doc) == 6
+    for did, rows in per_doc.items():
+        # every_n=3, max_frames=2 over 8 frames -> source indices 0, 3
+        assert sorted(r["frame_idx"] for r in rows) == [0, 3]
+        for r in rows:
+            assert (r["width"], r["height"]) == (16, 16)
+            px = dib_decode(bytes(r["frame"]), 16, 16)
+            assert px.shape == (16, 16, 3)
+    # determinism: same synth + sample twice -> identical frame bytes
+    again = sample_frames(
+        synthesize_videos(docs, n_frames=8, size=16), every_n=3, max_frames=2
+    ).collect()
+    key = lambda r: (r["doc_id"], r["frame_idx"])  # noqa: E731
+    assert sorted((bytes(r["frame"]) for r in out)) == sorted(
+        bytes(r["frame"]) for r in again
+    )
 
 
 def test_pack_documents_invariants(spark, sf_dir):
