@@ -369,3 +369,74 @@ def formula_sql(ast, branches: dict[str, str]) -> str:
         f"SELECT {S.STEP_TS}, (ROUND({S.VALUE}, 6) + {_dbl(0.0)}) "
         f"AS {S.VALUE} FROM {out} f"
     )
+
+
+def tag_values_sql(
+    expr: BaseExpr,
+    table: str,
+    existing: set[str],
+    tag_name: str,
+    drop_noisy: bool = False,
+) -> str:
+    """Tag-value catalog query (reference: the generateSql isTagQuery
+    path, BaseExpr.scala:127-143) — the DuckDB twin of
+    engine.QueryEngine.tag_values: distinct values of one tag (raw,
+    extracted, or computed) with row counts after the filter stack.
+    drop_noisy mirrors functions.noisytags.displayable_value (non-null,
+    non-empty, not the literal string 'null')."""
+    conjuncts, subs, names = _staging(expr, existing)
+    conjuncts.append(clause_to_sql(expr.filter, names, subs))
+    ref = subs.get(tag_name, tag_name)
+    if drop_noisy:
+        s = f"CAST({ref} AS VARCHAR)"
+        conjuncts.append(
+            f"({s} IS NOT NULL AND {s} <> '' AND {s} <> 'null')"
+        )
+    return (
+        f"SELECT {ref} AS {tag_name}, count(*) AS count FROM {table} "
+        f"WHERE {' AND '.join(conjuncts)} GROUP BY 1"
+    )
+
+
+def tag_names_sql(
+    expr: BaseExpr,
+    table: str,
+    existing: set[str],
+    tags: list[str],
+    drop_noisy: bool = False,
+) -> str:
+    """Tag-name catalog query (reference: /api/v1/tags/{dataset} with no
+    tagName) — the DuckDB twin of engine.QueryEngine.tag_names: non-null
+    counts per candidate tag after the filter stack, zero-count tags
+    dropped. ``tags`` is the caller's non-canonical column list (the
+    engine derives it from df.columns; SQL has no column reflection, so
+    the twin takes it explicitly). drop_noisy mirrors
+    functions.noisytags.is_noisy_tag_name and must be applied to
+    ``tags`` by the caller — the twin just documents the contract."""
+    if drop_noisy:
+        from lakeside_spark.functions.noisytags import is_noisy_tag_name
+
+        tags = [t for t in tags if not is_noisy_tag_name(t)]
+    conjuncts, subs, names = _staging(expr, existing)
+    conjuncts.append(clause_to_sql(expr.filter, names, subs))
+    where = " AND ".join(conjuncts)
+    unions = " UNION ALL ".join(
+        f"SELECT '{t}' AS tag_name, count({subs.get(t, t)}) AS count FROM f"
+        for t in tags
+    )
+    return (
+        f"WITH f AS (SELECT * FROM {table} WHERE {where}) "
+        f"SELECT tag_name, count FROM ({unions}) WHERE count > 0"
+    )
+
+
+def scope_tags_sql(table: str, dims: list[str]) -> str:
+    """Scope-dimension catalog twin of engine.QueryEngine.scope_tags:
+    distinct-value counts per present dimension, absent dimensions
+    filtered by the caller (the engine checks df.columns)."""
+    unions = " UNION ALL ".join(
+        f"SELECT '{d}' AS tag_name, count(DISTINCT {d}) AS n_values "
+        f"FROM {table}"
+        for d in dims
+    )
+    return f"SELECT tag_name, n_values FROM ({unions}) WHERE n_values > 0"

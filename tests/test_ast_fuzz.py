@@ -622,3 +622,98 @@ def test_fuzz_chart_sketch_paths(spark, sf_dir):
                 f"sketch trial {i} (p{q}): key ({r[S.STEP_TS]}, {r[S.NAME]}) "
                 f"rank window [{r['r_lt']}, {r['r_le']}] misses {q}"
             )
+
+
+# ---------------------------------------------------------------------------
+# tag/catalog surface sweep (r12, the round-11 verdict's fuzz item: the
+# chart/extract/salted/sketch surfaces were fuzzed; the tag catalog paths
+# relied on fixed registry cases)
+
+N_TAG = 110
+
+_NOISY_COLS = [
+    ("rollup_sum", "value * 2"),
+    ("rollup_p95", "value + 1"),
+    ("hour", "7"),
+    ("sketch", "'0xdead'"),
+    ("_cardinalhq_internal", "'x'"),
+]
+
+
+def test_fuzz_tag_surface(spark, sf_dir, ddb):
+    """Randomized tag_values / tag_names / scope_tags catalog queries —
+    random filter trees, synthetic (regex-extracted) tags with string
+    AND number typing, noisy bookkeeping columns under drop_noisy, and
+    the displayable-value filter — value-checked against the sqlgen
+    tag twins (tag_values_sql / tag_names_sql / scope_tags_sql)."""
+    from lakeside_spark.functions.noisytags import is_noisy_tag_name
+
+    rng = random.Random(5083)
+    eng = QueryEngine(spark, step_ms=DAY)
+    tele_plain = load_telemetry(spark, sf_dir)
+    for i in range(N_TAG):
+        roll = rng.random()
+        if roll < 0.45:
+            # tag_values on a raw or extracted tag, random filter tree
+            use_extract = rng.random() < 0.5
+            if use_extract:
+                regex, fields = rng.choice(_EXTRACT_POOL)
+                ext = Extractor(
+                    regex=regex,
+                    fields=tuple(ExtractedField(n, t) for n, t in fields),
+                )
+                tag = rng.choice([n for n, _ in fields])
+                expr = BaseExpr(
+                    filter=Filter(k=fields[0][0], op=S.EXISTS, extracted=True),
+                    extractor=ext,
+                )
+            else:
+                tag = rng.choice(("name", "user_id", "event_id"))
+                expr = BaseExpr(filter=_clause(rng, 3))
+            drop_noisy = rng.random() < 0.4
+            sdf = eng.tag_values(expr, tele_plain, tag, drop_noisy=drop_noisy)
+            sql = sqlgen.tag_values_sql(
+                expr, _T, _EXISTING, tag, drop_noisy=drop_noisy
+            )
+            _assert_match(sdf, ddb, sql, f"tag_values trial {i}: {tag} {expr.filter}")
+        elif roll < 0.85:
+            # tag_names: random filter + random noisy column stamping
+            n_noisy = rng.randint(0, len(_NOISY_COLS))
+            noisy = rng.sample(_NOISY_COLS, n_noisy)
+            tele = tele_plain
+            noisy_sql_cols = ""
+            for cname, csql in noisy:
+                tele = tele.withColumn(
+                    cname, F.expr(csql.replace("value", S.VALUE))
+                )
+                noisy_sql_cols += f", {csql} AS {cname}"
+            drop_noisy = rng.random() < 0.6
+            expr = BaseExpr(filter=_clause(rng, 3))
+            sdf = eng.tag_names(expr, tele, drop_noisy=drop_noisy)
+            # candidate tags mirror the engine's df.columns derivation:
+            # non-canonical telemetry columns + the stamped noisy ones
+            tags = ["name", "user_id", "event_id"] + [c for c, _ in noisy]
+            if drop_noisy:
+                tags = [t for t in tags if not is_noisy_tag_name(t)]
+            tbl = f"(SELECT *{noisy_sql_cols} FROM {_T} t)"
+            sql = sqlgen.tag_names_sql(expr, tbl, _EXISTING, tags)
+            _assert_match(
+                sdf, ddb, sql,
+                f"tag_names trial {i}: noisy={[c for c, _ in noisy]} "
+                f"drop={drop_noisy} {expr.filter}",
+            )
+        else:
+            # scope_tags: random dim subsets incl. absent dimensions
+            dims = tuple(
+                rng.sample(
+                    ["user_id", "name", "event_id", "kube_namespace", "svc"],
+                    rng.randint(1, 4),
+                )
+            )
+            sdf = eng.scope_tags(tele_plain, scope_dims=dims)
+            present = [d for d in dims if d in tele_plain.columns]
+            if not present:
+                assert sdf.count() == 0, f"scope trial {i}: {dims}"
+                continue
+            sql = sqlgen.scope_tags_sql(_T, present)
+            _assert_match(sdf, ddb, sql, f"scope_tags trial {i}: {dims}")
