@@ -1467,13 +1467,14 @@ def streaming_replay_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     pytest-only): REPLAY the event stream as recorded time-ordered
     micro-batches (default two — the minimum proving state crosses a
     batch boundary) through the applyInPandasWithState funnel twin
-    (streaming/stateful.streaming_funnel — per-user state is two
-    scalars, carried across micro-batch boundaries by the state store),
+    (streaming/stateful.streaming_funnel_bucketed — per-user state is
+    two scalars packed per key-group bucket, carried across micro-batch
+    boundaries by the state store),
     then aggregate the emitted step completions to per-step user counts.
     Oracle: the batch cascading-window funnel SQL over the same rows —
     on a watermark-ordered replay the greedy stateful fold is exactly
     the batch semantics, so the final state table hash-matches."""
-    from lakeside_spark.streaming.stateful import streaming_funnel
+    from lakeside_spark.streaming.stateful import streaming_funnel_bucketed
 
     ev = load_table(spark, sf_dir, "events").select(
         "user_id",
@@ -1484,11 +1485,14 @@ def streaming_replay_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("name").isin("view", "click", "purchase")
     )
     src = _replay_micro_batches(spark, ev, "ts_ms")
+    # r12: key-group-bucketed twin — identical per-user state machine,
+    # 64 Python group calls per trigger instead of 1500 (see
+    # streaming_service_edge_partials for the technique)
     out = _run_replay(
         spark,
         src,
         "user_id long, ts_ms long, name string",
-        lambda s: streaming_funnel(
+        lambda s: streaming_funnel_bucketed(
             s, steps=["view", "click", "purchase"],
             window_ms=_FUNNEL_WINDOW_MS,
         ),

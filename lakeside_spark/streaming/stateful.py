@@ -404,3 +404,103 @@ def streaming_service_edge_partials(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_funnel_bucketed(
+    stream: DataFrame,
+    steps: list[str],
+    window_ms: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts_ms",
+    name_col: str = "name",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """streaming_funnel with KEY-GROUP BUCKETING (the same technique as
+    streaming_service_edge_partials): the stateful operator is keyed by
+    ``crc32(user) % n_buckets`` and per-user (deepest step, its ts)
+    state is packed into parallel arrays in the bucket's state row.
+    State volume and funnel semantics are unchanged — rows are
+    processed in event-time order per user, with arrival order breaking
+    ts ties exactly like the per-user twin's stable argsort — but the
+    Python boundary pays n_buckets group calls per trigger instead of
+    one per user (1500 → 64 at sf0.1). Emits the same
+    (user, step, step_name, ts) newly-completed-step rows; equivalence
+    to the per-user twin is pinned by the bucketed funnel test."""
+
+    if len(set(steps)) != len(steps):
+        raise ValueError(f"funnel step names must be distinct: {steps}")
+    output_schema = f"{user_col} long, step bigint, step_name string, ts long"
+    state_schema = "keys array<string>, steps array<long>, ts array<long>"
+    step_of = {s: i + 1 for i, s in enumerate(steps)}
+    bucket_col = "__kg_bucket"
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            sk, ss, st = state.get
+            carried = {k: (s, t) for k, s, t in zip(sk, ss, st)}
+        else:
+            carried = {}
+        rows = _one_frame(pdfs)
+        u_a = rows[user_col].to_numpy()
+        ts_a = rows[ts_col].to_numpy(dtype=np.int64)
+        nm_a = rows[name_col].to_numpy()
+        codes, uniques = pd.factorize(u_a)
+        # stable (user, ts) order: ties keep arrival order, matching the
+        # per-user twin's kind="stable" argsort
+        order = np.lexsort((ts_a, codes))
+        out_u: list[int] = []
+        out_steps: list[int] = []
+        out_names: list[str] = []
+        out_ts: list[int] = []
+        cur = -1
+        cur_step = cur_t = 0
+        for i in order:
+            c = codes[i]
+            if c != cur:
+                if cur >= 0:
+                    carried[str(uniques[cur])] = (cur_step, cur_t)
+                cur = c
+                cur_step, cur_t = carried.get(str(uniques[c]), (0, 0))
+            nxt = cur_step + 1
+            if step_of.get(nm_a[i]) != nxt:
+                continue
+            ts = int(ts_a[i])
+            if cur_step == 0 or (cur_t < ts <= cur_t + window_ms):
+                cur_step, cur_t = nxt, ts
+                out_u.append(int(uniques[c]))
+                out_steps.append(nxt)
+                out_names.append(nm_a[i])
+                out_ts.append(ts)
+        if cur >= 0:
+            carried[str(uniques[cur])] = (cur_step, cur_t)
+        ck = list(carried.keys())
+        state.update(
+            (
+                ck,
+                [int(carried[k][0]) for k in ck],
+                [int(carried[k][1]) for k in ck],
+            )
+        )
+        if out_u:
+            yield pd.DataFrame(
+                {
+                    user_col: np.asarray(out_u, dtype=np.int64),
+                    "step": np.asarray(out_steps, dtype=np.int64),
+                    "step_name": out_names,
+                    "ts": np.asarray(out_ts, dtype=np.int64),
+                }
+            )
+
+    from pyspark.sql import functions as F
+
+    bucketed = stream.withColumn(
+        bucket_col,
+        F.pmod(F.crc32(F.col(user_col).cast("string")), F.lit(n_buckets)),
+    )
+    return bucketed.groupBy(bucket_col).applyInPandasWithState(
+        update,
+        outputStructType=output_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -301,3 +301,83 @@ def test_streaming_service_edge_partials_matches_per_trace_twin(spark):
         assert got[("b", "a")] == (1, 0.0)
     finally:
         shutil.rmtree(src, ignore_errors=True)
+
+
+def test_streaming_funnel_bucketed_matches_per_user_twin(spark):
+    """The key-group-bucketed funnel emits exactly the per-user twin's
+    completion rows — same fixture as the ordered-replay test, with
+    n_buckets=2 so several users share one packed state row and state
+    must bridge the batch boundary per user inside a shared bucket."""
+    from lakeside_spark.operators.behavior import funnel
+    from lakeside_spark.streaming.stateful import streaming_funnel_bucketed
+
+    schema = "user_id long, ts_ms long, name string"
+    rows = [
+        (1, 100, "view"), (1, 200, "click"), (1, 300, "purchase"),
+        (2, 100, "click"), (2, 200, "view"),
+        (3, 100, "view"), (3, 700, "click"),
+        (4, 100, "view"),
+        (5, 100, "view"), (5, 100, "click"),
+        # u6 present only in batch 1: its state rides along in a bucket
+        # whose other users appear in batch 2
+        (6, 150, "view"), (6, 180, "click"),
+    ]
+    steps = ["view", "click", "purchase"]
+
+    src = tempfile.mkdtemp(prefix="funnelb_src_")
+    try:
+        first = [r for r in rows if r[1] <= 200]
+        second = [r for r in rows if r[1] > 200]
+        spark.createDataFrame(first, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/b0")
+        spark.createDataFrame(second, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(f"{src}/b1")
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("recursiveFileLookup", "true")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = (
+            streaming_funnel_bucketed(
+                stream, steps, window_ms=500, n_buckets=2
+            )
+            .writeStream.format("memory")
+            .queryName("funnelb_out")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = {
+            (r["user_id"], r["step"]): r["ts"]
+            for r in spark.sql("SELECT * FROM funnelb_out").collect()
+        }
+        # per-row equality against the per-user semantics: u1 completes
+        # all three steps (purchase lands in batch 2 via carried state),
+        # u6 completes two inside batch 1, u5's same-ts click must not
+        # advance (strict <)
+        assert got == {
+            (1, 1): 100, (1, 2): 200, (1, 3): 300,
+            (2, 1): 200,
+            (3, 1): 100,
+            (4, 1): 100,
+            (5, 1): 100,
+            (6, 1): 150, (6, 2): 180,
+        }
+        batch = funnel(
+            spark.createDataFrame(rows, schema), steps, window_ms=500,
+            user_col="user_id", ts_col="ts_ms", name_col="name",
+        )
+        batch_counts = {r["step"]: r["users"] for r in batch.collect()}
+        step_counts = {}
+        for (_, s) in got:
+            step_counts[s] = step_counts.get(s, 0) + 1
+        assert step_counts == batch_counts
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
