@@ -150,10 +150,16 @@ def test_pair_apis_release_their_caches(spark, sf_dir):
     minhash_lsh_pairs(docs, 0.12).count()
     ngram_jaccard_pairs(docs, 0.12).count()
     base = settled_count()
-    for _ in range(2):
+    for _ in range(3):
         minhash_lsh_pairs(docs, 0.12).count()
         ngram_jaccard_pairs(docs, 0.12).count()
-    assert settled_count(bound=base) <= base
+    # tolerance +2: the ContextCleaner reclaims dropped checkpoint
+    # blocks asynchronously and can lag a block or two behind the GC
+    # retries under host load (r12: the exact `<= base` form flaked at
+    # 2 vs 1 on a loaded host, reproducibly at the r11 HEAD too). The
+    # guarded regression — three corpus-sized frames pinned PER CALL —
+    # would leave ~18 blocks after this loop, far beyond the tolerance.
+    assert settled_count(bound=base + 2) <= base + 2
 
 
 def test_simhash_is_deterministic_64bit(spark, sf_dir):

@@ -528,3 +528,19 @@ def test_exact_substr_plan_shape(spark, sf_dir):
     plan2 = _plan(spark, sf_dir, "corpus_substr_scrub")
     assert "CartesianProduct" not in plan2
     assert "BroadcastNestedLoopJoin" not in plan2
+
+
+def test_attribution_reuses_shuffle_stage(spark, sf_dir):
+    """The capped attribution self-join must reuse ONE shuffle stage for
+    both branches (r12): the branches are deliberately kept
+    column-symmetric below the partitionBy(user) Exchange so AQE's
+    stage reuse fires — without it the whole scan+shuffle runs twice.
+    Guard both halves: the initial plan carries no more than 2 scans of
+    events (one per branch, pre-reuse), and the post-execution adaptive
+    plan shows a reused stage."""
+    df = QUERIES["event_attribution"](spark, sf_dir)
+    initial = df._jdf.queryExecution().executedPlan().toString()
+    assert initial.count("FileScan") <= 2, initial
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "Reused" in final, final
