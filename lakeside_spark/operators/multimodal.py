@@ -7,12 +7,14 @@ Arrow-batched, columnar, and scale-out by partition — the pattern a 100 TB
 media pipeline needs (reshuffle by size class first if items are skewed).
 
 The codec step is REAL for the formats pure stdlib can express — PNG and
-BMP pixel decode + PNG re-encode, WAV PCM decode, JPEG/GIF header dims
-(operators/codecs.py) — so ``decode_features`` / ``resize_media`` do
-genuine pixel/sample math on those formats with no external libs. Formats
-needing entropy decoders we don't have (JPEG pixels, video) raise a clear
-ValueError per item or fall back to byte statistics; ``fake=True`` keeps
-the original md5-derived deterministic path for plumbing tests.
+BMP pixel decode + PNG re-encode, WAV PCM decode, JPEG/GIF header dims,
+and (r12) AVI video: RIFF chunk walk + uncompressed-DIB frame decode
+(operators/codecs.py) — so ``decode_features`` / ``resize_media`` /
+``sample_frames`` / ``video_phash`` do genuine pixel/sample math with no
+external libs. Formats needing entropy decoders we don't have (JPEG
+pixels inside MJPEG) fall back to raw frame bytes + header dims;
+``fake=True`` keeps the md5-derived deterministic path on the older
+kernels for plumbing tests.
 """
 
 from __future__ import annotations
@@ -456,4 +458,135 @@ def synthesize_videos(
 
     return _parallelize(df.select(id_col, text_col)).mapInPandas(
         batches, schema=schema
+    )
+
+
+def video_phash(
+    df: DataFrame,
+    every_n: int = 2,
+    max_frames: int = 4,
+    binary_col: str = "media",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Perceptual VIDEO hash: RIFF-walk each AVI (codecs.avi_frames),
+    sample every ``every_n``-th frame up to ``max_frames``, pHash each
+    sampled frame (the same 32×32-DCT 63-bit math as the image path),
+    then pool to ONE 63-bit video signature by per-bit MAJORITY vote
+    across the sampled frames — the temporal pooling that makes the
+    signature robust to per-frame noise while two videos sharing most
+    of their visual content land within a small hamming distance.
+
+    Map-only Arrow kernel, one linear RIFF pass + max_frames DCTs per
+    video; non-AVI or non-DIB items hash to null and drop (same
+    contract as phash64 on undecodable images)."""
+    from lakeside_spark.operators.codecs import avi_frames, dib_decode
+
+    D = _dct_matrix(32)
+    schema = f"{id_col} bigint, phash bigint"
+
+    def frame_bits(px: np.ndarray) -> np.ndarray:
+        gray = px.astype(np.float64).mean(axis=2)
+        h, w = gray.shape
+        ys = (np.arange(32) * h // 32).clip(0, h - 1)
+        xs = (np.arange(32) * w // 32).clip(0, w - 1)
+        small = gray[ys][:, xs]
+        coef = (D @ small @ D.T)[:8, :8].flatten()[1:]
+        return coef > np.median(coef)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, hashes = [], []
+            for did, buf in zip(pdf[id_col], pdf[binary_col]):
+                try:
+                    w, h, bpp, chunks = avi_frames(bytes(buf))
+                    votes = np.zeros(63, dtype=np.int64)
+                    n_sampled = 0
+                    for fi in range(
+                        0, min(len(chunks), every_n * max_frames), every_n
+                    ):
+                        px = dib_decode(chunks[fi][1], w, h, bpp)
+                        votes += frame_bits(px)
+                        n_sampled += 1
+                except ValueError:
+                    continue
+                if not n_sampled:
+                    continue
+                bits = votes * 2 > n_sampled  # strict majority
+                val = 0
+                for i, b in enumerate(bits):
+                    if b:
+                        val |= 1 << i
+                ids.append(int(did))
+                hashes.append(val)
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "phash": pd.Series(hashes, dtype="int64"),
+                }
+            )
+
+    return _parallelize(df.select(id_col, binary_col)).mapInPandas(batches, schema)
+
+
+def perturb_videos(
+    df: DataFrame,
+    brightness: int = 40,
+    id_offset: int = 1_000_000,
+    binary_col: str = "media",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic visible edit per video (brighten every frame,
+    clipped) with a shifted id — the video twin of perturb_images, a
+    near-duplicate generator for corpora with no natural video dups."""
+    from lakeside_spark.operators.codecs import avi_encode, avi_frames, dib_decode
+
+    schema = f"{id_col} bigint, media binary"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, blobs = [], []
+            for did, buf in zip(pdf[id_col], pdf[binary_col]):
+                try:
+                    w, h, bpp, chunks = avi_frames(bytes(buf))
+                    frames = [
+                        np.clip(
+                            dib_decode(c[1], w, h, bpp).astype(np.int16)
+                            + brightness,
+                            0,
+                            255,
+                        ).astype(np.uint8)
+                        for c in chunks
+                    ]
+                except ValueError:
+                    continue
+                if not frames:
+                    continue
+                ids.append(int(did) + id_offset)
+                blobs.append(avi_encode(frames))
+            yield pd.DataFrame(
+                {id_col: pd.Series(ids, dtype="int64"), "media": blobs}
+            )
+
+    return _parallelize(df.select(id_col, binary_col)).mapInPandas(batches, schema)
+
+
+def video_pairs(
+    df: DataFrame,
+    max_hamming: int = 6,
+    binary_col: str = "media",
+    id_col: str = "doc_id",
+    allow_quadratic: bool = False,
+) -> DataFrame:
+    """Video near-dup pairs: temporally-pooled pHash signatures through
+    the SAME pigeonhole-banded hamming join the text-SimHash and
+    image-pHash paths use (dedup.hamming_pairs) — never all-pairs."""
+    from lakeside_spark.operators.dedup import hamming_pairs
+
+    return hamming_pairs(
+        video_phash(df, binary_col=binary_col, id_col=id_col),
+        max_hamming,
+        bits=63,
+        hash_col="phash",
+        id_col=id_col,
+        allow_quadratic=allow_quadratic,
     )

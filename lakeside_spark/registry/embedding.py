@@ -554,6 +554,31 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rows-only (NEW r12): video near-dup dedup — synthesize real AVIs
+    from a documents slice, plant brightness-perturbed variants, hash
+    each video with the temporally-pooled pHash (per-sampled-frame
+    32×32-DCT 63-bit hashes, per-bit majority vote;
+    operators/multimodal.video_phash) and pair through the SAME
+    pigeonhole-banded hamming join the text-SimHash and image-pHash
+    paths use. Recall on the planted variants is pinned by pytest; the
+    banded join never goes all-pairs."""
+    from lakeside_spark.operators.multimodal import (
+        perturb_videos,
+        synthesize_videos,
+        video_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 20 == 0
+    )
+    # persisted: consumed twice (directly and under the perturbation
+    # kernel) — same pattern as the audio dedup key
+    base = synthesize_videos(docs, n_frames=6, size=16).persist()
+    variants = perturb_videos(base.filter(F.col("doc_id") % 100 == 0))
+    return video_pairs(base.unionByName(variants), max_hamming=6)
+
+
 def kmeans_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster the distinct (source, lang) labels of the corpus into
     batches of similar names (reference: ClusteringUtils.clustered — a

@@ -2737,3 +2737,29 @@ def test_parallelize_size_cap(spark, sf_dir):
     assert full.rdd.getNumPartitions() >= min(
         dp, spark.sparkContext.defaultParallelism
     )
+
+
+def test_video_phash_dedup_recovers_planted_variants(spark, sf_dir):
+    """Video near-dup (r12): brightness-perturbed copies of synthesized
+    AVIs land within the banded hamming budget of their originals —
+    ≥80% recall on the planted pairs and ZERO false pairs between
+    unrelated noise videos (63-bit signatures of independent videos sit
+    ~31 bits apart; P(≤6) per pair ≈ 1e-11)."""
+    from lakeside_spark.operators.multimodal import (
+        perturb_videos,
+        synthesize_videos,
+        video_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(30)
+    base = synthesize_videos(docs, n_frames=6, size=16).persist()
+    planted = perturb_videos(base.filter(F.col("doc_id") % 5 == 0))
+    n_planted = planted.count()
+    assert n_planted >= 3
+    pairs = video_pairs(
+        base.unionByName(planted), max_hamming=6
+    ).collect()
+    # every found pair must be a planted (x, x+1e6) pair — no cross talk
+    assert all(r["id_b"] == r["id_a"] + 1_000_000 for r in pairs), pairs
+    assert len(pairs) >= 0.8 * n_planted, (len(pairs), n_planted)
+    base.unpersist()
