@@ -281,7 +281,17 @@ def main() -> None:
     # wall is micro-batch runtime (triggers, state store, checkpoint),
     # not plan cost, and would skew the spark/duckdb ratio by the very
     # overhead the comparison is not about; the vs-prev tripwire below
-    # iterates per_query and still covers them round-over-round
+    # iterates per_query and still covers them round-over-round.
+    # Replay floor (r12, measured): each replay key pays record
+    # (bounds agg + slice shuffle + parquet write: ~0.2s for ema's
+    # 150-series panel, ~0.7-0.9s for service_graph's 100k-span
+    # recording) + 2 triggers x fixed micro-batch machinery (offset/
+    # commit log, state-store open+commit per partition, one Python
+    # stateful round: ~0.6-0.8s/trigger) + sink rollup/collect ~0.2s.
+    # Two triggers is the MINIMUM that proves state crosses a batch
+    # boundary, so ~2.0-2.8s/key is structural at sf0.1, not plan cost
+    # (r12 quiet: ema 2.28, late_data 2.06, funnel 2.59, service_graph
+    # 2.81 — the spread tracks recording volume).
     oracle_subset = [
         q for q in HEADLINE
         if q in ORACLES and q in per_query
