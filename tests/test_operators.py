@@ -2763,3 +2763,25 @@ def test_video_phash_dedup_recovers_planted_variants(spark, sf_dir):
     assert all(r["id_b"] == r["id_a"] + 1_000_000 for r in pairs), pairs
     assert len(pairs) >= 0.8 * n_planted, (len(pairs), n_planted)
     base.unpersist()
+
+
+def test_avi_frames_extracts_mjpeg_chunks():
+    """The RIFF walker's '00dc' (compressed/MJPEG) branch: frame chunk
+    payloads come back verbatim with dims from strf even when the codec
+    can't pixel-decode them — the contract MJPEG sampling relies on."""
+    import struct
+
+    import numpy as np
+
+    from lakeside_spark.operators.codecs import avi_encode, avi_frames
+
+    base = avi_encode([np.zeros((4, 4, 3), dtype=np.uint8)])
+    # rewrite the single '00db' chunk to '00dc' with opaque JPEG-ish bytes
+    idx = base.index(b"00db")
+    (size,) = struct.unpack_from("<I", base, idx + 4)
+    payload = b"\xff\xd8\xff\xe0" + b"\x00" * (size - 4)
+    patched = base[:idx] + b"00dc" + struct.pack("<I", size) + payload + base[idx + 8 + size + (size & 1):]
+    w, h, bpp, frames = avi_frames(patched)
+    assert (w, h, bpp) == (4, 4, 24)
+    assert len(frames) == 1 and frames[0][0] == b"00dc"
+    assert frames[0][1] == payload

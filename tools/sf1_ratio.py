@@ -28,7 +28,16 @@ TABLES = (
 
 def main() -> int:
     sys.path.insert(0, ".")
-    keys = sys.argv[1:] or DEFAULT
+    args = sys.argv[1:]
+    # --n N: runs per engine per key (min is reported). The default 2 is
+    # fine for steady-state keys; AQE-stage-reuse plans (attribution)
+    # JIT-converge over ~4 runs — use --n 5 for their honest warm floor.
+    n_runs = 2
+    if "--n" in args:
+        i = args.index("--n")
+        n_runs = int(args[i + 1])
+        del args[i : i + 2]
+    keys = args or DEFAULT
     if not os.path.exists(DIR):
         print(f"build the replica dir first: python tools/scale_probe.py 10 ts_count")
         return 1
@@ -52,11 +61,11 @@ def main() -> int:
             con.sql(f"create view {t} as select * from '{p}'")
     for k in keys:
         s_best = d_best = float("inf")
-        for _ in range(2):
+        for _ in range(n_runs):
             t0 = time.perf_counter()
             QUERIES[k](spark, DIR).count()
             s_best = min(s_best, time.perf_counter() - t0)
-        for _ in range(2):
+        for _ in range(n_runs):
             t0 = time.perf_counter()
             con.sql(ORACLES[k]).fetchall()
             d_best = min(d_best, time.perf_counter() - t0)
