@@ -290,6 +290,13 @@ def path_topk(
     )
 
 
+# caps at or below this run the zero-join window-chain attribution plan
+# (one chained Window operator per allowed touch); larger caps fall back
+# to the bounded explode + equi-join plan, whose cost is O(N) rows per
+# conversion without a per-N plan operator.
+_TOUCH_CHAIN_CAP = 16
+
+
 def attribution(
     events: DataFrame,
     conversion: str = "purchase",
@@ -314,16 +321,30 @@ def attribution(
     mitigation for power-user skew: the uncapped range join's fan-out is
     touches×conversions per user — genuinely quadratic in per-user
     in-window activity, and real output the linear model must credit.
-    The capped plan never materializes that fan-out: each touch gets a
-    per-user sequence index, one stream window hands every conversion
-    the index L of its latest strictly-earlier touch, and the join
-    explodes only the N index values (L-N+1..L) into a bounded equi-join
-    — O(N) rows per conversion at ANY user heat, all JVM-side. The
-    N-most-recent-overall ∩ lookback window equals the most recent ≤N
-    WITHIN the window (touches older than an out-of-window touch are
+    The N-most-recent-overall ∩ lookback window equals the most recent
+    ≤N WITHIN the window (touches older than an out-of-window touch are
     out of window too), so first_touch becomes "first of the capped
     window", linear splits over ≤N, and both still conserve exactly one
     conversion of credit. None (default) keeps the uncapped range join.
+
+    Capped plan (N ≤ 16): ONE sort, ZERO joins. The touch∪conversion
+    stream is sorted once per user (ts, conversions-before-same-ts-
+    touches, tiebreak) and N chained ``last(…, ignoreNulls)`` window
+    passes — each masked to touch rows, each reading the previous
+    layer's output over the rows-frame (unbounded, -1) — hand every
+    row the structs of its 1st..Nth most recent strictly-earlier
+    touches. A conversion row then filters its N-array by the lookback
+    bound (the kept set is a recency-prefix: once a touch is too old,
+    all older ones are too) and emits its credit rows directly —
+    first = oldest kept, last = newest kept, linear = round(1e6/m)
+    per kept touch, direct when none survive. Every window pass is an
+    O(rows) incremental scan over the one sorted exchange; per-row
+    state is N 9-byte structs. Caps above 16 fall back to the
+    sequence-index plan: one stream window hands every conversion the
+    index L of its latest strictly-earlier touch, and a bounded
+    explode(L-N+1..L) equi-join fetches the touch rows — O(N) rows per
+    conversion at any user heat, two consumers of one shuffle stage
+    (AQE-reused) instead of the chain's single consumer.
 
     Credit is integer MICRO-units (first/last: 1e6 per conversion;
     linear: round(1e6/n) per touch) summed exactly, divided once at the
@@ -358,6 +379,7 @@ def attribution(
             "(0 would make F.sequence(L+1, L) step BACKWARD and credit a "
             "touch at/after the conversion); pass None for uncapped"
         )
+    credits = None
     if max_touches is None:
         j = (
             conv.alias("c")
@@ -375,6 +397,126 @@ def attribution(
             )
             .select("c.conv_id", "t.channel", "t.t_ts", "t.t_id")
         )
+    elif max_touches <= _TOUCH_CHAIN_CAP:
+        # chain plan: ONE sort, ZERO joins (see docstring). The stream
+        # row is fixed-width — channel dictionary-encoded to a tinyint
+        # (0 = conversion, i+1 = channels[i]); conversions sort BEFORE
+        # same-ts touches so the rows-frame (unbounded, -1) sees exactly
+        # the strictly-earlier touches the strict-< rule admits.
+        is_conv = F.col(name_col) == conversion
+        ch_code = F.lit(0)
+        for i, ch in enumerate(channels):
+            ch_code = F.when(F.col(name_col) == ch, F.lit(i + 1)).otherwise(
+                ch_code
+            )
+        # the touch marker is materialized as a COLUMN, not left as an
+        # inline order-by expression: the analyzer extracts an inline
+        # expression into a fresh projected attribute per Window
+        # operator, so each chained layer would demand a different
+        # required ordering and re-sort — with the column, all N layers
+        # share the one sort (plan-pinned: Sorts == 1 before the agg).
+        stream = events.filter(
+            (is_conv | F.col(name_col).isin(*channels))
+            & F.col(user_col).isNotNull()
+        ).select(
+            F.col(user_col).alias("_u"),
+            F.col(ts_col).alias("__ts"),
+            ch_code.cast("byte").alias("__ch"),
+            F.col(tiebreak_col).alias("__tid"),
+            (ch_code > 0).cast("byte").alias("__mk"),
+        )
+        w_prev = (
+            Window.partitionBy("_u")
+            .orderBy("__ts", "__mk", "__tid")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        # layer k hands every row the struct of its k-th most recent
+        # strictly-earlier touch: __mk is the (k-1)-layer value masked
+        # to touch rows, so last(__mk, ignoreNulls) at any row is the
+        # latest touch's (k-1)-back touch = the k-th-back touch. Each
+        # pass is an incremental O(rows) scan over the SAME sorted
+        # exchange — Catalyst stacks the k Window operators above one
+        # Sort (dependency-chained projections, no re-sort, no join).
+        cur = stream.select(
+            "*",
+            F.when(
+                F.col("__ch") > 0,
+                F.struct(
+                    F.col("__ts").alias("ts"), F.col("__ch").alias("ch")
+                ),
+            ).alias("__m1"),
+        )
+        for k in range(1, max_touches + 1):
+            cur = cur.select(
+                "*", F.last(f"__m{k}", True).over(w_prev).alias(f"__c{k}")
+            )
+            if k < max_touches:
+                cur = cur.select(
+                    "*",
+                    F.when(F.col("__ch") > 0, F.col(f"__c{k}")).alias(
+                        f"__m{k + 1}"
+                    ),
+                )
+        # a conversion keeps the recency-PREFIX of its N-array that
+        # clears the lookback bound (once a touch is too old, all older
+        # ones are too), then emits its credit rows directly: first =
+        # oldest kept, last = newest kept, linear = round(1e6/m) per
+        # kept touch, direct when none survive.
+        lb = F.col("__ts") - F.lit(lookback_ms)
+        kept = F.filter(
+            F.array(*[F.col(f"__c{k}") for k in range(1, max_touches + 1)]),
+            lambda e: e.isNotNull() & (e["ts"] >= lb),
+        )
+        conv_rows = cur.filter(F.col("__ch") == 0).select(
+            F.col("__tid").alias("conv_id"), kept.alias("__a")
+        )
+        names = F.array(*[F.lit(c) for c in channels])
+
+        def _ch_name(code):
+            return F.element_at(names, code.cast("int"))
+
+        unit = F.lit(1_000_000).cast("long")
+        n = F.size("__a")
+        lin_mc = F.round(F.lit(1.0e6) / n, 0).cast("long")
+
+        def _entry(model, channel, mc):
+            return F.struct(
+                F.lit(model).alias("model"),
+                channel.alias("channel"),
+                mc.alias("mc"),
+            )
+
+        direct = F.lit("direct")
+        entries = F.when(
+            n == 0,
+            F.array(
+                _entry("first_touch", direct, unit),
+                _entry("last_touch", direct, unit),
+                _entry("linear", direct, unit),
+            ),
+        ).otherwise(
+            F.concat(
+                F.array(
+                    _entry(
+                        "first_touch",
+                        _ch_name(F.element_at(F.col("__a"), -1)["ch"]),
+                        unit,
+                    ),
+                    _entry(
+                        "last_touch",
+                        _ch_name(F.element_at(F.col("__a"), 1)["ch"]),
+                        unit,
+                    ),
+                ),
+                F.transform(
+                    F.col("__a"),
+                    lambda e: _entry("linear", _ch_name(e["ch"]), lin_mc),
+                ),
+            )
+        )
+        credits = conv_rows.select(
+            "conv_id", F.explode(entries).alias("e")
+        ).select("conv_id", "e.channel", "e.model", "e.mc")
     else:
         # capped plan: ONE stream window over the touch∪conversion union
         # (sorted by ts, with same-ts touches AFTER conversions — the
@@ -486,73 +628,74 @@ def attribution(
             .join(touch_idx, ["_u", "__idx"], "left")
             .select("conv_id", ch_name.alias("channel"), "t_ts", "t_id")
         )
-    # One map-side-combined hash aggregate collapses j to ≤|channels|+1
-    # rows per conversion, so the per-conversion first/last/count math
-    # runs over a channel-vocabulary-bounded frame instead of three
-    # full-width window sorts over the touch fan-out (the three
-    # rn_f/rn_l/n_t windows each paid a sort over conv×touches rows; a
-    # conversion has either one all-null touch row or only real touches,
-    # never both, so per-group counts and (t_ts, t_id) extrema losslessly
-    # carry the per-touch information the models need: t_ts/t_id are
-    # unique per touch, making the struct extrema tie-free).
-    g = j.groupBy("conv_id", "channel").agg(
-        F.count("t_id").alias("cnt"),
-        F.min(F.struct("t_ts", "t_id")).alias("__fk"),
-        F.max(F.struct("t_ts", "t_id")).alias("__lk"),
-    )
-    wn = Window.partitionBy("conv_id")
-    per = g.select(
-        "conv_id",
-        "channel",
-        "cnt",
-        F.col("channel").isNull().alias("_direct"),
-        F.sum("cnt").over(wn).alias("n_t"),
-        (
-            F.min(
-                F.struct(F.col("__fk").alias("k"), F.col("channel").alias("ch"))
-            )
-            .over(wn)
-            .getField("ch")
-            == F.col("channel")
-        ).alias("is_first"),
-        (
-            F.max(
-                F.struct(F.col("__lk").alias("k"), F.col("channel").alias("ch"))
-            )
-            .over(wn)
-            .getField("ch")
-            == F.col("channel")
-        ).alias("is_last"),
-    )
-    unit = F.lit(1_000_000).cast("long")
-    micro = lambda c: F.when(F.col("_direct"), unit).otherwise(c)  # noqa: E731
-    credits = per.select(
-        "conv_id",
-        F.coalesce("channel", F.lit("direct")).alias("channel"),
-        F.explode(
-            F.array(
-                F.struct(
-                    F.lit("first_touch").alias("model"),
-                    micro(
-                        F.when(F.col("is_first"), unit).otherwise(F.lit(0))
-                    ).alias("mc"),
-                ),
-                F.struct(
-                    F.lit("last_touch").alias("model"),
-                    micro(
-                        F.when(F.col("is_last"), unit).otherwise(F.lit(0))
-                    ).alias("mc"),
-                ),
-                F.struct(
-                    F.lit("linear").alias("model"),
-                    micro(
-                        F.round(F.lit(1.0e6) / F.col("n_t"), 0).cast("long")
-                        * F.col("cnt")
-                    ).alias("mc"),
-                ),
-            )
-        ).alias("e"),
-    ).select("conv_id", "channel", "e.model", "e.mc")
+    if credits is None:
+        # One map-side-combined hash aggregate collapses j to ≤|channels|+1
+        # rows per conversion, so the per-conversion first/last/count math
+        # runs over a channel-vocabulary-bounded frame instead of three
+        # full-width window sorts over the touch fan-out (the three
+        # rn_f/rn_l/n_t windows each paid a sort over conv×touches rows; a
+        # conversion has either one all-null touch row or only real touches,
+        # never both, so per-group counts and (t_ts, t_id) extrema losslessly
+        # carry the per-touch information the models need: t_ts/t_id are
+        # unique per touch, making the struct extrema tie-free).
+        g = j.groupBy("conv_id", "channel").agg(
+            F.count("t_id").alias("cnt"),
+            F.min(F.struct("t_ts", "t_id")).alias("__fk"),
+            F.max(F.struct("t_ts", "t_id")).alias("__lk"),
+        )
+        wn = Window.partitionBy("conv_id")
+        per = g.select(
+            "conv_id",
+            "channel",
+            "cnt",
+            F.col("channel").isNull().alias("_direct"),
+            F.sum("cnt").over(wn).alias("n_t"),
+            (
+                F.min(
+                    F.struct(F.col("__fk").alias("k"), F.col("channel").alias("ch"))
+                )
+                .over(wn)
+                .getField("ch")
+                == F.col("channel")
+            ).alias("is_first"),
+            (
+                F.max(
+                    F.struct(F.col("__lk").alias("k"), F.col("channel").alias("ch"))
+                )
+                .over(wn)
+                .getField("ch")
+                == F.col("channel")
+            ).alias("is_last"),
+        )
+        unit = F.lit(1_000_000).cast("long")
+        micro = lambda c: F.when(F.col("_direct"), unit).otherwise(c)  # noqa: E731
+        credits = per.select(
+            "conv_id",
+            F.coalesce("channel", F.lit("direct")).alias("channel"),
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("first_touch").alias("model"),
+                        micro(
+                            F.when(F.col("is_first"), unit).otherwise(F.lit(0))
+                        ).alias("mc"),
+                    ),
+                    F.struct(
+                        F.lit("last_touch").alias("model"),
+                        micro(
+                            F.when(F.col("is_last"), unit).otherwise(F.lit(0))
+                        ).alias("mc"),
+                    ),
+                    F.struct(
+                        F.lit("linear").alias("model"),
+                        micro(
+                            F.round(F.lit(1.0e6) / F.col("n_t"), 0).cast("long")
+                            * F.col("cnt")
+                        ).alias("mc"),
+                    ),
+                )
+            ).alias("e"),
+        ).select("conv_id", "channel", "e.model", "e.mc")
     return (
         credits.filter(F.col("mc") > 0)
         .groupBy("model", "channel")

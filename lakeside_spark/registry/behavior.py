@@ -573,20 +573,22 @@ def event_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     last_touch / linear; no-touch conversions go to 'direct' so every
     model conserves total conversions. Credit is exact integer
     micro-units (linear = round(1e6/n) per touch) summed then divided
-    once — no float accumulation order in either engine. One user-keyed
-    range join + one (conversion, channel) hash aggregate + one window
-    over that vocabulary-bounded frame + one tiny agg. Capped at
-    the 5 most recent touches per conversion (max_touches) — the
-    power-user-skew bound: post-join volume is ≤5 rows per conversion
-    regardless of per-user activity.
+    once — no float accumulation order in either engine. Capped at the
+    5 most recent touches per conversion (max_touches) — the
+    power-user-skew bound. Plan (r12 window chain): ONE scan, ONE
+    per-user sort, ZERO joins — 5 chained last(..., ignoreNulls)
+    window passes hand every conversion row its 5 most recent
+    strictly-earlier touches in-place, the lookback filter prunes the
+    array, and the credit rows explode straight into the final
+    (model, channel) aggregate. 10x-data ratio vs the DuckDB twin:
+    1.45x (tools/sf1_ratio.py --n 5).
 
     Key-width note: the operator runs on the raw events projection with
     user_id LONG rather than the telemetry view's string cast —
-    str(long) is injective, so grouping/joining on the long yields the
+    str(long) is injective, so grouping on the long yields the
     identical result while the plan's one big exchange+sort runs on a
-    radix-friendly fixed-width key instead of strings (the window stage
-    dominated the 10x-data wall). The oracle's VARCHAR cast is
-    semantically inert for the same reason."""
+    radix-friendly fixed-width key instead of strings. The oracle's
+    VARCHAR cast is semantically inert for the same reason."""
     from lakeside_spark.operators.behavior import attribution
 
     ev = load_table(spark, sf_dir, "events").select(

@@ -530,17 +530,16 @@ def test_exact_substr_plan_shape(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan2
 
 
-def test_attribution_reuses_shuffle_stage(spark, sf_dir):
-    """The capped attribution self-join must reuse ONE shuffle stage for
-    both branches (r12): the branches are deliberately kept
-    column-symmetric below the partitionBy(user) Exchange so AQE's
-    stage reuse fires — without it the whole scan+shuffle runs twice.
-    Guard both halves: the initial plan carries no more than 2 scans of
-    events (one per branch, pre-reuse), and the post-execution adaptive
-    plan shows a reused stage."""
+def test_attribution_chain_plan_shape(spark, sf_dir):
+    """The capped attribution window-chain plan (r12) must stay
+    single-pass: ONE scan of events, ZERO joins, and exactly ONE sort
+    (the per-user stream sort all N chained last(...) Window layers
+    share). A second sort means the chained layers stopped sharing the
+    ordering (the touch marker regressing from a materialized column to
+    an inline order-by expression re-sorts per layer); a join means the
+    chain fell back to the self-join plan."""
     df = QUERIES["event_attribution"](spark, sf_dir)
-    initial = df._jdf.queryExecution().executedPlan().toString()
-    assert initial.count("FileScan") <= 2, initial
-    df.collect()
-    final = df._jdf.queryExecution().executedPlan().toString()
-    assert "Reused" in final, final
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") == 1, plan
+    assert "Join" not in plan, plan
+    assert plan.count("Sort ") == 1, plan
