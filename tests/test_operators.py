@@ -732,6 +732,46 @@ def test_attribution_models_hand_computed(spark):
         assert abs(total - 4.0) < 1e-5, (m, total)
 
 
+def test_attribution_chain_equals_join_plan_randomized(spark):
+    """The capped window-chain plan (N <= 16) and the explode+equi-join
+    fallback (N > 16) are two independent implementations of the same
+    semantics — cross-check them on a seeded random event log that
+    deliberately includes timestamp collisions (touch-touch AND
+    touch-conversion ties, where the strict-< rule and the tiebreak
+    order earn their keep), multi-conversion users, and out-of-lookback
+    touches. The join path is forced by shrinking the module threshold,
+    not by changing N, so both plans see the identical cap."""
+    import random
+
+    from lakeside_spark.operators import behavior
+
+    rng = random.Random(417)
+    names = ["view", "click", "signup", "purchase", "noise"]
+    rows = []
+    for eid in range(600):
+        # coarse ts grid -> plenty of exact ties within and across users
+        rows.append(
+            (
+                f"u{rng.randrange(12)}",
+                rng.randrange(40) * 1000,
+                rng.choice(names),
+                eid,
+            )
+        )
+    ev = spark.createDataFrame(
+        rows, "user_id string, timestamp_ms long, name string, event_id long"
+    )
+    kw = dict(lookback_ms=15_000, max_touches=4)
+    chain = {tuple(r) for r in behavior.attribution(ev, **kw).collect()}
+    old_cap = behavior._TOUCH_CHAIN_CAP
+    behavior._TOUCH_CHAIN_CAP = 0
+    try:
+        joined = {tuple(r) for r in behavior.attribution(ev, **kw).collect()}
+    finally:
+        behavior._TOUCH_CHAIN_CAP = old_cap
+    assert chain == joined, chain ^ joined
+
+
 def test_attribution_max_touches_cap_conserves(spark):
     """The power-user cap keeps only the N most recent touches per
     conversion: first_touch becomes first-of-the-window, linear splits
