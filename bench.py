@@ -199,14 +199,14 @@ TRIPWIRE_EXEMPT_VS_ORACLE = {
     # (tools/sf1_ratio.py, r11) the engines EQUALIZE: 89.2s vs 78.9s =
     # 1.13x — the sf0.1 ratio is pure fixed-cost accounting.
     "dedup_simhash": "arrow md5 kernel floor, oracle-replay-pinned; 1.13x at 10x",
-    # Quiet floor <1s at sf0.1 after the r12 window-chain rework (ONE
+    # Quiet floor 1.38s at sf0.1 after the r12 window-chain rework (ONE
     # scan, ONE sort, ZERO joins — N chained last(...) window passes
     # hand each conversion its N most recent touches directly): the
     # remaining wall is local-mode stage latency against a ~0.1s DuckDB
-    # in-memory equi-join. At 10x data (tools/sf1_ratio.py --n 5, r12
-    # chain plan): **1.45x** — the engines have converged; the sf0.1
-    # ratio is pure fixed-cost accounting.
-    "event_attribution": "stage-latency floor at sf0.1; 1.45x at 10x (r12 chain)",
+    # in-memory equi-join. At 10x data (tools/sf1_ratio.py --n 5, quiet
+    # host, r12 chain plan): 1.78s vs 0.71s = **2.50x** and converging;
+    # the sf0.1 ratio is pure fixed-cost accounting.
+    "event_attribution": "stage-latency floor at sf0.1; 2.50x at 10x (r12 chain)",
 }
 
 # r12 (advice item): an exemption removes the vs-oracle RATIO arm, but a
@@ -218,7 +218,7 @@ TRIPWIRE_EXEMPT_VS_ORACLE = {
 # cost still fires, while ambient-load swings on a healthy plan do not.
 TRIPWIRE_ABS_CEILING_SF01 = {
     "dedup_simhash": 11.0,   # quiet floor 4.5-5.4s (r11)
-    "event_attribution": 4.0,  # quiet floor <1s (r12 chain plan)
+    "event_attribution": 4.0,  # quiet floor 1.38s (r12 chain plan)
 }
 
 
