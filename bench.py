@@ -195,10 +195,12 @@ TRIPWIRE_EXEMPT_VS_ORACLE = {
     # oracle replays the exact bit-mix in SQL; a JVM xxhash64 mix would
     # move it to codegen but break cross-engine replay), so the Python
     # floor is structural, not a plan defect; DuckDB's twin runs ~0.7s
-    # because its md5 is a single C call per doc. At 10x data
-    # (tools/sf1_ratio.py, r11) the engines EQUALIZE: 89.2s vs 78.9s =
-    # 1.13x — the sf0.1 ratio is pure fixed-cost accounting.
-    "dedup_simhash": "arrow md5 kernel floor, oracle-replay-pinned; 1.13x at 10x",
+    # because its md5 is a single C call per doc. At 10x data the
+    # engines near-equalize: 1.13x (r11, cold twin) to 2.37x (r12,
+    # min-of-3 warm page-cache twin runs; Spark's 89.9s wall is
+    # unchanged between the reads) — the sf0.1 ratio is pure
+    # fixed-cost accounting.
+    "dedup_simhash": "arrow md5 kernel floor, oracle-replay-pinned; 1.1-2.4x at 10x",
     # Quiet floor 1.38s at sf0.1 after the r12 window-chain rework (ONE
     # scan, ONE sort, ZERO joins — N chained last(...) window passes
     # hand each conversion its N most recent touches directly): the
