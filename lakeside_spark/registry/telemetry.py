@@ -1740,6 +1740,55 @@ ON p.user_id = c.user_id AND p.ts_ms >= c.ts_ms
 """
 
 
+def asof_join_nearest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each purchase joined to the user's NEAREST click in time — either
+    direction, equidistant ties to the prior click (operators/asof.py
+    direction="nearest": both directed candidates come out of ONE
+    sorted union window, same single keyed shuffle as the backward
+    form). The oracle replays the pick as a per-row LATERAL argmin
+    over (|Δts|, prefer-backward, ts) — an independent formulation of
+    the same deterministic rule."""
+    from lakeside_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        F.col("value").alias("purchase_value"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        F.col("value").alias("click_value"),
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts_ms",
+        right_ts="ts_ms",
+        direction="nearest",
+    )
+
+
+ASOF_JOIN_NEAREST_SQL = """
+SELECT p.event_id, p.user_id, p.ts_ms, p.purchase_value,
+       x.click_value, x.asof_ts_ms
+FROM (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, value AS purchase_value
+      FROM events WHERE event_type = 'purchase') p
+CROSS JOIN LATERAL (
+  SELECT c.value AS click_value, epoch_ms(c.ts) AS asof_ts_ms
+  FROM events c
+  WHERE c.event_type = 'click' AND c.user_id = p.user_id
+  ORDER BY abs(epoch_ms(c.ts) - p.ts_ms),
+           (epoch_ms(c.ts) > p.ts_ms),
+           epoch_ms(c.ts)
+  LIMIT 1
+) x
+"""
+
+
 def ts_topk_per_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 users by event count within EACH day step (the per-panel
     "top talkers" table; global top_k_series ranks whole series — this

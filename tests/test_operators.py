@@ -297,6 +297,67 @@ def test_asof_join_semantics(spark):
     assert [t[0] for t in tol] == [1, 3]  # 205-200=5 > 3 -> dropped
 
 
+def test_asof_join_forward_and_nearest(spark):
+    """direction="forward" mirrors backward (<= tie semantics at equal
+    ts); direction="nearest" picks the closer candidate and resolves an
+    exact equidistant tie to the BACKWARD (prior) row; tolerance bounds
+    the distance per side before the nearest pick."""
+    from lakeside_spark.operators.asof import asof_join
+
+    L = spark.createDataFrame(
+        [(1, "u", 100), (2, "u", 205), (3, "u", 995), (4, "v", 50)],
+        "id long, k string, ts long",
+    )
+    R = spark.createDataFrame(
+        [("u", 100, 1.0), ("u", 200, 2.0), ("u", 210, 3.0), ("u", 1000, 4.0), ("w", 60, 9.0)],
+        "k string, ts long, val double",
+    )
+    fwd = [
+        tuple(r)
+        for r in asof_join(L, R, "k", "ts", "ts", direction="forward")
+        .orderBy("id")
+        .collect()
+    ]
+    # 1 matches the same-ts row (>= tie), 2 the next-later, 4 drops (inner)
+    assert fwd == [
+        (1, "u", 100, 1.0, 100),
+        (2, "u", 205, 3.0, 210),
+        (3, "u", 995, 4.0, 1000),
+    ]
+    near = [
+        tuple(r)
+        for r in asof_join(L, R, "k", "ts", "ts", direction="nearest")
+        .orderBy("id")
+        .collect()
+    ]
+    # 2 is EXACTLY equidistant (200 and 210, both d=5) -> prior row 200;
+    # 3 is closer to 1000 (d=5) than 210 (d=785) -> forward row
+    assert near == [
+        (1, "u", 100, 1.0, 100),
+        (2, "u", 205, 2.0, 200),
+        (3, "u", 995, 4.0, 1000),
+    ]
+    near_tol = [
+        tuple(r)
+        for r in asof_join(
+            L, R, "k", "ts", "ts", direction="nearest", tolerance_ms=3, how="left"
+        )
+        .orderBy("id")
+        .collect()
+    ]
+    # only the exact-ts match survives a 3ms tolerance; left keeps the rest
+    assert [(t[0], t[3]) for t in near_tol] == [
+        (1, 1.0),
+        (2, None),
+        (3, None),
+        (4, None),
+    ]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        asof_join(L, R, "k", "ts", "ts", direction="sideways")
+
+
 def test_range_join_bucketed_equi(spark):
     """Boundary containment is inclusive, intervals spanning many buckets
     match without duplicates, and name collisions are rejected."""

@@ -56,6 +56,17 @@ def test_phash_dedup_stays_banded(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan2
 
 
+def test_asof_nearest_single_shuffle_no_join(spark, sf_dir):
+    """asof_join direction="nearest" must keep the union+window shape of
+    the directed forms: both candidates come from frames over ONE sorted
+    keyed exchange — no join operator of any kind, exactly one shuffle,
+    one sort (a second sort or a Join means the two-frame trick broke)."""
+    plan = _plan(spark, sf_dir, "asof_join_nearest")
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Sort ") == 1, plan
+
+
 def test_jaccard_join_path_no_cartesian(spark, sf_dir):
     from lakeside_spark.operators.dedup import ngram_jaccard_pairs
     from lakeside_spark.sources.tables import load_table

@@ -15,16 +15,31 @@ def keyed_events(draw, max_rows=12):
     return [(i, draw(KEYS), draw(TS)) for i in range(n)]
 
 
-def _model_asof(left, right, tolerance=None):
+def _model_asof(left, right, tolerance=None, direction="backward"):
     out = []
     for lid, lk, lts in left:
-        cands = [(rts, rv) for rk, rts, rv in right if rk == lk and rts <= lts]
-        if not cands:
+        rs = [(rts, rv) for rk, rts, rv in right if rk == lk]
+        b = max(((t, v) for t, v in rs if t <= lts), default=None)
+        f = min(((t, v) for t, v in rs if t >= lts), default=None)
+        if tolerance is not None:
+            if b is not None and lts - b[0] > tolerance:
+                b = None
+            if f is not None and f[0] - lts > tolerance:
+                f = None
+        if direction == "backward":
+            m = b
+        elif direction == "forward":
+            m = f
+        else:  # nearest: closer candidate, equidistant -> backward
+            if b is None or (
+                f is not None and (f[0] - lts) < (lts - b[0])
+            ):
+                m = f
+            else:
+                m = b
+        if m is None:
             continue
-        rts, rv = max(cands)  # latest ts; ties broken by value (unique below)
-        if tolerance is not None and lts - rts > tolerance:
-            continue
-        out.append((lid, rv, rts))
+        out.append((lid, m[1], m[0]))
     return sorted(out)
 
 
@@ -49,11 +64,16 @@ def test_asof_join_matches_model(spark, left, right):
     R = spark.createDataFrame(
         rrows or [(None, None, None)], "k string, ts long, val double"
     ).filter("k is not null")
-    got = sorted(
-        (r["id"], r["val"], r["asof_ts"])
-        for r in asof_join(L, R, "k", "ts", "ts").collect()
-    )
-    assert got == _model_asof(left, [(k, t, v) for k, t, v in rrows])
+    for direction in ("backward", "forward", "nearest"):
+        got = sorted(
+            (r["id"], r["val"], r["asof_ts"])
+            for r in asof_join(
+                L, R, "k", "ts", "ts", direction=direction
+            ).collect()
+        )
+        assert got == _model_asof(
+            left, [(k, t, v) for k, t, v in rrows], direction=direction
+        ), direction
 
 
 @settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
