@@ -822,15 +822,24 @@ def test_attribution_chain_equals_join_plan_randomized(spark):
     ev = spark.createDataFrame(
         rows, "user_id string, timestamp_ms long, name string, event_id long"
     )
-    kw = dict(lookback_ms=15_000, max_touches=4)
-    chain = {tuple(r) for r in behavior.attribution(ev, **kw).collect()}
+    configs = (
+        dict(lookback_ms=15_000, max_touches=4),
+        dict(lookback_ms=2_000, max_touches=1),  # degenerate chain: N=1
+        dict(  # channel subset: 'signup' rows become non-stream noise
+            lookback_ms=40_000, max_touches=8, channels=("view", "click")
+        ),
+    )
     old_cap = behavior._TOUCH_CHAIN_CAP
-    behavior._TOUCH_CHAIN_CAP = 0
-    try:
-        joined = {tuple(r) for r in behavior.attribution(ev, **kw).collect()}
-    finally:
-        behavior._TOUCH_CHAIN_CAP = old_cap
-    assert chain == joined, chain ^ joined
+    for kw in configs:
+        chain = {tuple(r) for r in behavior.attribution(ev, **kw).collect()}
+        behavior._TOUCH_CHAIN_CAP = 0
+        try:
+            joined = {
+                tuple(r) for r in behavior.attribution(ev, **kw).collect()
+            }
+        finally:
+            behavior._TOUCH_CHAIN_CAP = old_cap
+        assert chain == joined, (kw, chain ^ joined)
 
 
 def test_attribution_max_touches_cap_conserves(spark):
