@@ -1,8 +1,12 @@
-"""As-of (nearest-prior) join — an operator Spark's API lacks natively.
+"""As-of join (backward / forward / nearest) — an operator Spark's API
+lacks natively.
 
 Telemetry use case: attach the most recent metric/quote/config row at or
 before each event's timestamp, per series key (the reference pushes this to
-DuckDB, which has native ASOF JOIN; our oracle uses exactly that).
+DuckDB, which has native ASOF JOIN; our oracle uses exactly that), the
+next-following row (forward), or whichever is closer in time (nearest —
+sensor-reading alignment; oracle = a LATERAL argmin replaying the same
+deterministic tie rule).
 
 Implementation is a composition of built-in DataFrame ops — no Python row
 path, no range explosion:
