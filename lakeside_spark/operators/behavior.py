@@ -833,9 +833,21 @@ def interval_concurrency(
     base = spans.filter(F.col(key_col).isNotNull() & (dur > 0)).select(
         F.col(key_col).alias("k"), F.col(ts_col).alias("t"), dur.alias("d")
     )
-    ev = base.select("k", "t", F.lit(1).alias("delta")).unionByName(
-        base.select("k", (F.col("t") + F.col("d")).alias("t"), F.lit(-1).alias("delta"))
-    )
+    # ONE scan: each span expands to its +1/-1 edge pair map-side (the
+    # old two-branch union scanned the source twice per consumer — with
+    # the three ev consumers below that was six source scans per query)
+    ev = base.select(
+        "k",
+        F.explode(
+            F.array(
+                F.struct(F.col("t").alias("t"), F.lit(1).alias("delta")),
+                F.struct(
+                    (F.col("t") + F.col("d")).alias("t"),
+                    F.lit(-1).alias("delta"),
+                ),
+            )
+        ).alias("e"),
+    ).select("k", F.col("e.t").alias("t"), F.col("e.delta").alias("delta"))
     W = F.lit(int(chunk_ms))
     ev = ev.withColumn("b", F.floor(F.col("t") / W).cast("long"))
 
@@ -866,11 +878,17 @@ def interval_concurrency(
     )
     wk_order = Window.partitionBy("k").orderBy("b")
     wk = wk_order.rowsBetween(Window.unboundedPreceding, -1)
+    # persisted: consumed twice (the head branch below and the broadcast
+    # side of the body join) — without the cache the whole tot subtree
+    # (a source scan + chunk aggregation + this window) is duplicated in
+    # the plan. keys x active chunks rows, i.e. the same bounded size the
+    # broadcast already assumes; the context cleaner drops it once the
+    # result frame is unreachable.
     carry = tot.select(
         "k", "b", "first_t",
         F.coalesce(F.sum("tot").over(wk), F.lit(0)).alias("carry"),
         F.lag("b").over(wk_order).alias("prev_b"),
-    )
+    ).persist()
 
     # head segment of each active chunk (chunk start -> first event) +
     # the whole empty gap since the previous active chunk, both at the

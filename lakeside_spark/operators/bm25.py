@@ -167,7 +167,17 @@ def _bm25_scored_full(
     """(q_id, doc_id, score): full-postings plan — one corpus (doc,
     term) shuffle, vocabulary df off it, idf resolved on the bounded
     query-term set (broadcast qterms into the df table, never the
-    reverse)."""
+    reverse).
+
+    The tf table is persisted and EVERYTHING downstream derives from it:
+    doclen is sum(tf) per doc (identical to the non-empty words() count),
+    corpus stats come off doclen, df off tf — so the corpus is tokenized
+    exactly once. The former shape re-tokenized the corpus four times
+    (tf, df, per-doc dl, avgdl were four separate scans; the hoped-for
+    ReusedExchange never fired because the df subtree aggregates without
+    counts). The cache is bounded by the full-plan gate (≤ scale_threshold
+    docs; the matched plan covers large corpora) and is released by the
+    context cleaner once the frame is unreachable."""
     from lakeside_spark.operators.textstats import _parallelize_sized
 
     # under-parallel gate, same as the matched plan: a single-file
@@ -181,15 +191,13 @@ def _bm25_scored_full(
         .filter(F.col("term") != "")
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
     )
-    # doc length straight off the words array — map-only, no dependence
-    # on the tf aggregation (which Catalyst can then compute once and
-    # reuse between the df table and the scoring join via ReusedExchange)
-    w = words(text_col)
-    doclen = corpus.select(
-        F.col(id_col).alias("doc_id"),
-        F.size(F.filter(w, lambda x: x != F.lit(""))).cast("long").alias("dl"),
-    ).filter(F.col("dl") > 0)
+    # per-doc length = sum of term frequencies — the same value as the
+    # non-empty words() count, but read from the tf cache instead of a
+    # second tokenize scan; docs with zero tokens have no tf row, which
+    # is exactly the old dl > 0 filter
+    doclen = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     stats = doclen.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     )

@@ -348,53 +348,67 @@ def prune_segments(
     surviving file names ever reach the driver (sized for millions of
     segments; the old path collected a file-set per fingerprint).
 
-    A first (total, kept)-counts job decides whether name collection is
-    needed at all: nothing kept → ([], total) with no second job; with
-    ``collect_all=False``, everything kept → (None, total) — the caller
-    should read the whole lake directory, and the full name list (as big
-    as the lake listing itself at a million segments) never reaches the
-    driver."""
+    Two cheap jobs, no cache churn: the probe aggregation scans ONLY the
+    index rows whose fp matches a probed fingerprint (an OR-of-equals
+    predicate pushed to the parquet dictionary/row-group stats — files
+    with no probe hit simply have no per-file row, which for the monotone
+    AND/OR algebra means not-kept), and the indexed-file total is a
+    separate file-column-only count. Because the tree algebra is MONOTONE
+    (AND/OR over presence flags; ALL ≡ True, empty OR ≡ False), a tree
+    that evaluates True with every flag false is constant True — that
+    match-all case short-circuits driver-side: with ``collect_all=False``
+    it returns (None, total) without probing anything, so the full name
+    list (as big as the lake listing itself at a million segments) never
+    reaches the driver."""
     index = spark.read.parquet(os.path.join(path, INDEX_DIR))
     tq = clause_to_trigram_query(clause, indexed_dims, full_value_dims)
     probe_strs = sorted(_leaf_fps(tq))
-    if probe_strs:
-        # hash probe literals with the SAME jvm xxhash64 used at build time
-        # (constant-folded by Catalyst), flag presence per file in ONE
-        # map-side-combined aggregation — the fp filter prunes the scan
-        probe_hash = {
-            s: F.xxhash64(F.lit(s)) for s in probe_strs
-        }
-        flags = [
-            F.max(F.when(F.col("fp") == probe_hash[s], True)).alias(f"_fp{i}")
-            for i, s in enumerate(probe_strs)
-        ]
-        per_file = index.groupBy("file").agg(*flags)
-        fp_col = {
-            s: F.coalesce(F.col(f"_fp{i}"), F.lit(False))
-            for i, s in enumerate(probe_strs)
-        }
-    else:
-        per_file = index.select("file").distinct()
-        fp_col = {}
-    keep_col = _eval_expr(tq, fp_col)
-    per_file = per_file.persist()
-    try:
-        stats = per_file.agg(
-            F.count("*").alias("n"),
-            F.sum(keep_col.cast("int")).alias("k"),
-        ).collect()[0]
-        total, kept = int(stats["n"] or 0), int(stats["k"] or 0)
-        if kept == 0:
-            return [], total
-        if kept == total and not collect_all:
-            return None, total
-        keep = [
-            r[0] for r in per_file.filter(keep_col).select("file").collect()
-        ]
-    finally:
-        per_file.unpersist()
     base = os.path.abspath(path).rstrip("/")
+    files_only = index.select("file").distinct()
+    if not probe_strs or _const_true(tq):
+        # constant-True tree (match-all, or every leaf unconstrained):
+        # nothing can be pruned, no probe needed
+        if collect_all:
+            keep = sorted(r[0] for r in files_only.collect())
+            return [os.path.join(base, f) for f in keep], len(keep)
+        return None, files_only.count()
+    # hash probe literals with the SAME jvm xxhash64 used at build time
+    # (constant-folded by Catalyst); the OR-of-equals fp filter prunes
+    # the scan to probe hits before the ONE map-side-combined aggregation
+    probe_hash = {s: F.xxhash64(F.lit(s)) for s in probe_strs}
+    hit = None
+    for s in probe_strs:
+        eq = F.col("fp") == probe_hash[s]
+        hit = eq if hit is None else (hit | eq)
+    flags = [
+        F.max(F.when(F.col("fp") == probe_hash[s], True)).alias(f"_fp{i}")
+        for i, s in enumerate(probe_strs)
+    ]
+    per_file = index.filter(hit).groupBy("file").agg(*flags)
+    fp_col = {
+        s: F.coalesce(F.col(f"_fp{i}"), F.lit(False))
+        for i, s in enumerate(probe_strs)
+    }
+    keep_col = _eval_expr(tq, fp_col)
+    keep = [r[0] for r in per_file.filter(keep_col).select("file").collect()]
+    total = files_only.count()
+    if not keep:
+        return [], total
+    if len(keep) == total and not collect_all:
+        return None, total
     return [os.path.join(base, f) for f in sorted(keep)], total
+
+
+def _const_true(q: TrigramQuery) -> bool:
+    """True iff the tree evaluates True with EVERY presence flag false.
+    The algebra is monotone (AND/OR over flags, ALL ≡ True), so that is
+    exactly the constant-True (match-all) case."""
+    if q.op == ALL:
+        return True
+    terms = [_const_true(s) for s in q.sub] + [False for _ in q.fps]
+    if q.op == AND:
+        return all(terms) if terms else True
+    return any(terms) if terms else False
 
 
 def _eval_expr(q: TrigramQuery, fp_col: dict[str, Column]) -> Column:
