@@ -758,7 +758,15 @@ def hamming_pairs(
     to be small): at corpus scale the caller must tighten the budget (so
     bits // (max_hamming+1) >= 8) or widen the signature.
     """
-    sh = hashes.select(F.col(id_col).alias("doc_id"), F.col(hash_col).alias("__h"))
+    # persisted: the self-join below references this frame on BOTH sides,
+    # and without the cache the whole upstream signature subtree (often a
+    # Python fingerprint kernel — simhash md5 tally, image pHash DCT,
+    # audio FFT) is duplicated per side. Two thin columns (id + one
+    # int64), so the cache is corpus-count × ~16B and spills gracefully;
+    # the context cleaner drops it once the result frame is unreachable.
+    sh = hashes.select(
+        F.col(id_col).alias("doc_id"), F.col(hash_col).alias("__h")
+    ).persist()
     bands = max_hamming + 1
     band_bits = bits // bands
     hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))

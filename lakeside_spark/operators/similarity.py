@@ -1405,6 +1405,48 @@ def _snap9_scalar(x: float) -> int:
     return int(round(v))
 
 
+def _reduce_packed9(mapped: DataFrame, max_collect_parts: int = 4096) -> list[int] | None:
+    """Reduce one-packed-int64-array-per-task partials to exact global
+    sums. With a bounded task count the partial rows are collected and
+    summed with PYTHON ints driver-side — arbitrary precision, so no
+    overflow, and the whole posexplode → groupBy → collect reduce stage
+    (an extra shuffle + job on every moment pass) disappears. Past the
+    gate (or if the partition count cannot be read) the distributed
+    decimal(38,0) reduce runs unchanged — that path exists precisely for
+    task counts too large to collect. Both paths compute the identical
+    integers (exact arithmetic either way), so plan choice can never
+    change results."""
+    n_parts = None
+    try:
+        n_parts = mapped.rdd.getNumPartitions()
+    except Exception:
+        pass
+    if n_parts is not None and n_parts <= max_collect_parts:
+        rows = mapped.collect()
+        if not rows:
+            return None
+        acc: list[int] | None = None
+        for r in rows:
+            p = r["p"]
+            if acc is None:
+                acc = [0] * len(p)
+            for i, v in enumerate(p):
+                acc[i] += int(v)
+        return acc
+    red = (
+        mapped.select(F.posexplode("p").alias("i", "v"))
+        .groupBy("i")
+        .agg(F.sum(F.col("v").cast("decimal(38,0)")).alias("v"))
+        .collect()
+    )
+    if not red:
+        return None
+    packed = [0] * len(red)
+    for r in red:
+        packed[r["i"]] = int(r["v"])
+    return packed
+
+
 def _moment_pass9(
     df: DataFrame, vec_col: str, label_col: str
 ) -> tuple | None:
@@ -1448,23 +1490,15 @@ def _moment_pass9(
         if acc is not None:
             yield pd.DataFrame({"p": [acc]})
 
-    red = (
+    packed = _reduce_packed9(
         _parallelize(
             df.select(vec_col, label_col).filter(
                 F.col(label_col).isNotNull()
             )
-        )
-        .mapInPandas(partials, schema="p array<long>")
-        .select(F.posexplode("p").alias("i", "v"))
-        .groupBy("i")
-        .agg(F.sum(F.col("v").cast("decimal(38,0)")).alias("v"))
-        .collect()
+        ).mapInPandas(partials, schema="p array<long>")
     )
-    if not red:
+    if packed is None:
         return None
-    packed = [0] * len(red)
-    for r in red:
-        packed[r["i"]] = int(r["v"])
     da = int((math.isqrt(4 * (len(packed) - 3) + 1) - 1) // 2)
     assert 3 + da + da * da == len(packed), len(packed)
     return (
@@ -1504,19 +1538,13 @@ def _cov_moments9(df: DataFrame, vec_col: str) -> tuple | None:
         if acc is not None:
             yield pd.DataFrame({"p": [acc]})
 
-    red = (
-        _parallelize(df.select(vec_col))
-        .mapInPandas(partials, schema="p array<long>")
-        .select(F.posexplode("p").alias("i", "v"))
-        .groupBy("i")
-        .agg(F.sum(F.col("v").cast("decimal(38,0)")).alias("v"))
-        .collect()
+    packed = _reduce_packed9(
+        _parallelize(df.select(vec_col)).mapInPandas(
+            partials, schema="p array<long>"
+        )
     )
-    if not red:
+    if packed is None:
         return None
-    packed = [0] * len(red)
-    for r in red:
-        packed[r["i"]] = int(r["v"])
     d = int((math.isqrt(4 * (len(packed) - 1) + 1) - 1) // 2)
     assert 1 + d + d * d == len(packed), len(packed)
     return (

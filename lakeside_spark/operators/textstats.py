@@ -191,9 +191,13 @@ def ngram_novelty(
         ),
         bytes_per_task=64 << 10,
     )
-    pairs = src.select(
-        "doc_id", F.explode(shingles("__t", n)).alias("ng")
-    )
+    # persisted at the per-doc shingle-ARRAY grain: the exploded stream
+    # has two consumers (the DF-count shuffle and the scoring join), and
+    # without the cache each re-runs the shingle-building codegen — the
+    # dominant cost — from the scan. Re-exploding a cached array is
+    # cheap; the cache is ≈ corpus text sized and spills gracefully.
+    arrs = src.select("doc_id", shingles("__t", n).alias("__ngs")).persist()
+    pairs = arrs.select("doc_id", F.explode("__ngs").alias("ng"))
     common = (
         pairs.groupBy("ng")
         .agg(F.count("*").alias("df"))
@@ -346,7 +350,12 @@ def bigram_nll(
         bytes_per_task=64 << 10,
     )
     ws = F.filter(words("__t"), lambda w: w.isNotNull() & (w != F.lit("")))
-    seqs = raw.select("doc_id", ws.alias("ws")).filter(F.size("ws") > 0)
+    # persisted: five consumers below (firsts x2, pairs-derived uni/big/
+    # ctx/scoring) would each re-run the regexp tokenize — the dominant
+    # per-task cost — where re-exploding a cached token array is cheap.
+    # Token-array-sized (≈ corpus text), spills gracefully; the context
+    # cleaner drops it once the result frame is unreachable.
+    seqs = raw.select("doc_id", ws.alias("ws")).filter(F.size("ws") > 0).persist()
     firsts = seqs.select(
         "doc_id", F.try_element_at("ws", F.lit(1)).alias("w")
     )

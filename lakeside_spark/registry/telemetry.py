@@ -199,21 +199,23 @@ def ts_percentile_ddsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_engine.py) but fully DETERMINISTIC given gamma, so the
     oracle replays the same bucket/estimate arithmetic in SQL — the
     hourly→daily merge collapses to direct daily bucketing because
-    sketch merge is lossless count addition. Cross-engine traps pinned
+    sketch merge is lossless count addition. The engine applies that
+    same rewrite here (one groupBy at the day grain instead of the
+    hourly groupBy + merge — one Exchange fewer; ddsketch_merge itself
+    stays pinned by its own pytest, and the result is bit-identical by
+    the associativity of count addition). Cross-engine traps pinned
     in the SQL: 0.95*total must be DOUBLE (DuckDB's decimal literal
     ceils differently when q*n lands on an integer), and ln(gamma) is
     inlined from the same Python constant Spark folds in."""
     from lakeside_spark.operators.ddsketch import (
         ddsketch_buckets,
-        ddsketch_merge,
         ddsketch_quantile,
     )
 
     tele = load_telemetry(spark, sf_dir).filter(
         F.col(S.NAME).isin("view", "click")
     )
-    hourly = ddsketch_buckets(tele, step_ms=HOUR)
-    daily = ddsketch_merge(hourly, step_ms=DAY)
+    daily = ddsketch_buckets(tele, step_ms=DAY)
     return ddsketch_quantile(daily, q=0.95).withColumn(
         S.VALUE, F.round(S.VALUE, 6)
     )
