@@ -169,35 +169,38 @@ def _bm25_scored_full(
     query-term set (broadcast qterms into the df table, never the
     reverse).
 
-    The tf table is persisted and EVERYTHING downstream derives from it:
-    doclen is sum(tf) per doc (identical to the non-empty words() count),
-    corpus stats come off doclen, df off tf — so the corpus is tokenized
-    exactly once. The former shape re-tokenized the corpus four times
-    (tf, df, per-doc dl, avgdl were four separate scans; the hoped-for
-    ReusedExchange never fired because the df subtree aggregates without
-    counts). The cache is bounded by the full-plan gate (≤ scale_threshold
-    docs; the matched plan covers large corpora) and is released by the
-    context cleaner once the frame is unreachable."""
+    The per-doc token ARRAY is persisted and everything downstream
+    derives from it (tf/df re-explode the cached arrays; doclen is the
+    array size; stats come off doclen) — so the regexp tokenize, the
+    dominant per-task cost, runs exactly once where the former shape
+    re-tokenized the corpus four times (tf, df, per-doc dl, avgdl were
+    four separate scans; the hoped-for ReusedExchange never fired
+    because the df subtree aggregates without counts). The array grain
+    is deliberate: caching the aggregated tf table instead serializes
+    the broadcast job behind a full postings materialization (measured
+    1.2→2.0s at sf0.1), while re-exploding a cached array is cheap. The
+    cache is ≈ corpus text sized, bounded by the full-plan gate
+    (≤ scale_threshold docs; the matched plan covers large corpora) and
+    released by the context cleaner once the frame is unreachable."""
     from lakeside_spark.operators.textstats import _parallelize_sized
 
     # under-parallel gate, same as the matched plan: a single-file
     # corpus is ONE split and pins the codegen tokenize/explode to one
     # core (the r8 probe bug class)
     corpus = _parallelize_sized(corpus)
+    w = words(text_col)
+    toks = corpus.select(
+        F.col(id_col).alias("doc_id"),
+        F.filter(w, lambda x: x != F.lit("")).alias("ws"),
+    ).persist()
     tf = (
-        corpus.select(
-            F.col(id_col).alias("doc_id"), F.explode(words(text_col)).alias("term")
-        )
-        .filter(F.col("term") != "")
+        toks.select("doc_id", F.explode("ws").alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .persist()
     )
-    # per-doc length = sum of term frequencies — the same value as the
-    # non-empty words() count, but read from the tf cache instead of a
-    # second tokenize scan; docs with zero tokens have no tf row, which
-    # is exactly the old dl > 0 filter
-    doclen = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    doclen = toks.select(
+        "doc_id", F.size("ws").cast("long").alias("dl")
+    ).filter(F.col("dl") > 0)
     stats = doclen.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     )

@@ -3,8 +3,11 @@ keys at a given sf dir. Usage:
   python tools/quiet_retime.py key1 key2 ... [--sf DIR] [--n 2]
 Prints one JSON line {key: min_sec, ...}."""
 import json
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from lakeside_spark.registry import QUERIES
 from lakeside_spark.session import get_spark
