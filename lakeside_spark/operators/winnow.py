@@ -114,7 +114,14 @@ def winnow_overlap(
     are dropped before pairing (boilerplate guard; a print shared by
     thousands of docs identifies a template, not a pair — the df-cut is
     the published practice in MOSS-scale deployments)."""
-    fps = winnow_fingerprints(docs, k, w, text_col, id_col)
+    # persist the thin (doc_id, fp) frame: the df-cut aggregation and BOTH
+    # sides of the fp self-join reference it, and without the cache each
+    # consumer re-runs the Python winnow kernel from the text scan (4
+    # MapInPandas nodes in the r12 before-plan). Fingerprint density is
+    # ~2/(w+1) of the gram stream, so the cache is a small fraction of
+    # corpus text; released by the context cleaner once unreachable (the
+    # repo's hamming_pairs/bm25 idiom).
+    fps = winnow_fingerprints(docs, k, w, text_col, id_col).persist()
     df_ok = (
         fps.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("_df"))
