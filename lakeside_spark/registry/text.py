@@ -1847,7 +1847,15 @@ def corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("doc_id") % 20 != 0)
         & (quality_expr("text") >= 0.5)
     )
-    gated = gopher_filter(pre, keep=("lang", "source", "n_chars", "text"))
+    # persist the gate-survivor frame: it feeds THREE consumers — the
+    # decontamination hits build (via _overlap_hits), the jaccard shingle
+    # materialization, and the final anti-join's left side — and without
+    # the cache each one re-runs the Gopher Arrow kernel from the scan
+    # (3 MapInPandas chains in the r12 before-plan). The cache is gate
+    # survivors only (quality+length+split already applied at the scan),
+    # a corpus fraction; released by the context cleaner once unreachable
+    # (the repo's bm25/winnow idiom).
+    gated = gopher_filter(pre, keep=("lang", "source", "n_chars", "text")).persist()
     ev = docs.filter(F.col("doc_id") % 20 == 0)
     kept = decontaminate(gated, ev, n=5)
     pairs = ngram_jaccard_pairs(kept, threshold=0.12)

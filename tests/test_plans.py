@@ -248,6 +248,9 @@ def test_corpus_curate_single_scan_gates(spark, sf_dir):
     assert scan_lines, plan
     # the doc_id % 20 split gate reaches the scan as a data filter
     assert any("n_chars" in l for l in scan_lines), scan_lines
+    # the gate-survivor frame is cached (r12): the Gopher Arrow kernel must
+    # run once, not once per consumer (hits build / shingles / final anti-join)
+    assert "InMemoryRelation" in plan, plan[:2000]
 
 
 def test_funnel_no_cartesian_and_pushed_step_filters(spark, sf_dir):
