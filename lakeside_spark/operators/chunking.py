@@ -210,34 +210,51 @@ def span_dedup(
     )
 
 
-def _dup_anchors(
+def _tok_gram_arrays(
     docs: DataFrame,
     k: int,
-    min_count: int,
     text_col: str,
     id_col: str,
+    with_ws: bool = False,
 ) -> DataFrame:
+    """Persisted per-doc arrays ``(doc_id[, ws], gr)``: the normalize +
+    tokenize regexp and the sliding k-gram md5 — the two dominant
+    per-task costs of the ExactSubstr family — run exactly ONCE; every
+    consumer re-explodes the cached arrays (the bm25/winnow idiom).
+    Without the cache the gram subtree was computed twice (the
+    duplicated-gram aggregation and the anchor-join probe side are
+    different plans, so ReusedExchange never fires) and the scrub
+    re-tokenized twice more (token stream + per-doc length). The cache
+    is ≈ corpus-text-sized plus 32 hex chars per token position,
+    spill-safe (MEMORY_AND_DISK) and released by the context cleaner
+    once the frame is unreachable."""
+    from lakeside_spark.operators.similarity import _parallelize
+
+    base = _parallelize(docs).select(
+        F.col(id_col).alias("doc_id"), words(text_col).alias("ws")
+    )
+    ws = F.col("ws")
+    gr = F.when(
+        F.size(ws) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(ws) - k),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(ws, i + 1, k))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    cols = (["ws"] if with_ws else []) + [gr.alias("gr")]
+    return base.select("doc_id", *cols).persist()
+
+
+def _dup_anchors_from(tg: DataFrame, min_count: int) -> DataFrame:
     """(doc_id, pos) of every sliding k-token gram whose md5 occurs at
     least ``min_count`` times corpus-wide — the duplicated-anchor table
     shared by exact_substr_spans (interval-merge report) and
-    exact_substr_scrub (token removal). One map-only gram pass, one
-    gram-count aggregation (map-side combined), one equi-join of the
-    gram stream against the duplicated-gram table (AQE broadcasts when
-    small; never forced)."""
-    from lakeside_spark.operators.similarity import _parallelize
-
-    w = words(text_col)
-    grams_arr = F.when(
-        F.size(w) >= k,
-        F.transform(
-            F.sequence(F.lit(0), F.size(w) - k),
-            lambda i: F.md5(F.concat_ws(" ", F.slice(w, i + 1, k))),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    grams = _parallelize(docs).select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(grams_arr).alias("pos", "g"),
-    )
+    exact_substr_scrub (token removal), derived from the persisted
+    per-doc gram arrays (``_tok_gram_arrays``). One cheap re-explode per
+    consumer, one gram-count aggregation (map-side combined), one
+    equi-join of the gram stream against the duplicated-gram table (AQE
+    broadcasts when small; never forced)."""
+    grams = tg.select("doc_id", F.posexplode("gr").alias("pos", "g"))
     dup = (
         grams.groupBy("g")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -278,12 +295,15 @@ def exact_substr_spans(
     shifted by < span_words), anchors slide one token at a time, so
     alignment cannot hide a duplicate.
 
-    Shape: map-only sliding-gram hashing (codegen: transform + slice +
-    md5) → one gram-count aggregation (map-side combined) → shuffle join
-    of anchors against the duplicated-gram table (AQE picks broadcast
-    when the dup table is small; never forced — a boilerplate-heavy
-    crawl can make it large) → one doc-keyed window + same-keyed
-    aggregate for the interval merge, over duplicated anchors only.
+    Shape: ONE map-only sliding-gram hashing pass (codegen: transform +
+    slice + md5), persisted as per-doc arrays (``_tok_gram_arrays`` —
+    the aggregation and join-probe consumers re-explode the cache
+    instead of recomputing the hashes) → one gram-count aggregation
+    (map-side combined) → shuffle join of anchors against the
+    duplicated-gram table (AQE picks broadcast when the dup table is
+    small; never forced — a boilerplate-heavy crawl can make it large)
+    → one doc-keyed window + same-keyed aggregate for the interval
+    merge, over duplicated anchors only.
     Output: (doc_id, start_pos, end_pos, n_tokens, n_anchors) in
     normalized-token coordinates, one row per maximal duplicated span.
     """
@@ -291,7 +311,8 @@ def exact_substr_spans(
         raise ValueError(f"exact_substr_spans: k={k} — need k >= 2")
     from pyspark.sql import Window
 
-    anchors = _dup_anchors(docs, k, min_count, text_col, id_col)
+    tg = _tok_gram_arrays(docs, k, text_col, id_col)
+    anchors = _dup_anchors_from(tg, min_count)
     # interval merge: all extents are length k, so the running max end is
     # the previous anchor's pos + k − 1 and a new island starts exactly
     # when the gap to the previous anchor exceeds k (extents neither
@@ -340,25 +361,29 @@ def exact_substr_scrub(
     is covered survive with empty clean_text (never silently dropped —
     the span_dedup contract).
 
-    Shape: the shared _dup_anchors plan, anchors exploded to their ≤k
-    covered positions (duplicated anchors only — bounded by true
-    duplication volume, not the corpus), one distinct, one anti-join
-    against the corpus token stream, one doc-keyed reassembly aggregate.
+    Shape: the shared duplicated-anchor plan over the persisted per-doc
+    token+gram arrays (``_tok_gram_arrays`` with tokens kept — the
+    token stream and the per-doc length both re-explode the cache, so
+    the normalize/tokenize regexp runs once instead of four times),
+    anchors exploded to their ≤k covered positions (duplicated anchors
+    only — bounded by true duplication volume, not the corpus), one
+    distinct, one anti-join against the corpus token stream, one
+    doc-keyed reassembly aggregate.
     """
     if k < 2:
         raise ValueError(f"exact_substr_scrub: k={k} — need k >= 2")
-    from lakeside_spark.operators.similarity import _parallelize
 
-    anchors = _dup_anchors(docs, k, min_count, text_col, id_col)
+    tg = _tok_gram_arrays(docs, k, text_col, id_col, with_ws=True)
+    anchors = _dup_anchors_from(tg, min_count)
     covered = anchors.select(
         "doc_id",
         F.explode(
             F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))
         ).alias("pos"),
     ).distinct()
-    toks = _parallelize(docs).select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(words(text_col)).alias("pos", "tok"),
+    toks = tg.select(
+        "doc_id",
+        F.posexplode("ws").alias("pos", "tok"),
     ).withColumn("pos", F.col("pos").cast("long"))
     kept = toks.join(covered, ["doc_id", "pos"], "left_anti")
     surv = kept.groupBy("doc_id").agg(
@@ -371,9 +396,9 @@ def exact_substr_scrub(
         ).alias("clean_text"),
         F.count(F.lit(1)).alias("n_kept"),
     )
-    base = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.size(words(text_col)).cast("long").alias("n_tokens"),
+    base = tg.select(
+        "doc_id",
+        F.size("ws").cast("long").alias("n_tokens"),
     )
     return base.join(surv, "doc_id", "left").select(
         "doc_id",

@@ -537,11 +537,17 @@ def test_exact_substr_plan_shape(spark, sf_dir):
     win_at = plan.find("Window")
     assert win_at != -1, plan[:2000]
     assert "Exchange hashpartitioning(doc_id" not in plan[:win_at], plan[:win_at]
+    # the per-doc gram arrays are cached (r12): the sliding-gram md5 pass
+    # must run once, not once per consumer (count agg / join probe side)
+    assert "InMemoryRelation" in plan, plan[:2000]
     # the removal action shares the anchor plan and must stay equi-join
     # shaped as well (anti-join on (doc_id, pos), never a range/cross)
     plan2 = _plan(spark, sf_dir, "corpus_substr_scrub")
     assert "CartesianProduct" not in plan2
     assert "BroadcastNestedLoopJoin" not in plan2
+    # scrub keeps tokens in the same cache: tokenize runs once, not four
+    # times (gram pass ×2 + token stream + per-doc length)
+    assert "InMemoryRelation" in plan2, plan2[:2000]
 
 
 def test_attribution_chain_plan_shape(spark, sf_dir):
