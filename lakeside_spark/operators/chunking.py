@@ -133,13 +133,29 @@ def span_dedup(
     from lakeside_spark.operators.similarity import _parallelize
 
     docs = _parallelize(docs)
-    # hash each span once at tiling time: the same column feeds the
-    # document-frequency aggregation and the anti-join key, so the join
-    # does not re-run md5 over the corpus side
-    tiled = docs.select(
+    # ONE tokenize+tile+hash pass, persisted as per-doc arrays (r12, the
+    # bm25/ExactSubstr idiom): the document-frequency aggregation, the
+    # anti-join probe side, and the per-doc tile count are SEPARATE
+    # subtrees, so without the cache the corpus was tiled+hashed twice
+    # and tokenized a third time for the tile count (hashing "once at
+    # tiling time" shared the expression, not the pass). The cache is
+    # ≈ corpus-text-sized plus one md5 per span, spill-safe and released
+    # by the context cleaner.
+    tarr = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.posexplode(tiles).alias("span_idx", "span"),
-    ).withColumn("span_hash", F.md5("span"))
+        tiles.alias("sp"),
+        F.transform(tiles, F.md5).alias("sph"),
+        n_tiles.cast("long").alias("n_spans"),
+    ).persist()
+    tiled = tarr.select(
+        "doc_id",
+        F.posexplode(F.arrays_zip("sp", "sph")).alias("span_idx", "z"),
+    ).select(
+        "doc_id",
+        "span_idx",
+        F.col("z.sp").alias("span"),
+        F.col("z.sph").alias("span_hash"),
+    )
     # global document-frequency per span hash: one map-side-combined
     # aggregation; the result is boilerplate-sized (distinct spans), far
     # smaller than the corpus, and joins back on the hash
@@ -195,9 +211,7 @@ def span_dedup(
         ).alias("clean_text"),
         F.count("*").alias("n_spans_kept"),
     )
-    base = docs.select(
-        F.col(id_col).alias("doc_id"), n_tiles.cast("long").alias("n_spans")
-    )
+    base = tarr.select("doc_id", "n_spans")
     # left join: a doc whose every span was boilerplate survives with
     # empty clean_text rather than silently disappearing from the corpus
     return base.join(surv, "doc_id", "left").select(
