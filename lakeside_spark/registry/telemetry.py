@@ -1371,6 +1371,13 @@ def _replay_micro_batches(
     replay key at sf0.1 and proves nothing more."""
     import tempfile
 
+    # NOTE (r12, measured): persisting ``df`` here to fuse the bounds job
+    # and the slice write into one upstream pass is a small REGRESSION —
+    # the bounds aggregation column-prunes to the bare timestamp at the
+    # scan, while a cache forces materializing every recorded column
+    # during the bounds pass (identical-harness A/B on the span
+    # recording: 0.66-0.89s un-cached vs 0.80-1.10s cached). Left
+    # un-cached deliberately.
     bounds = df.agg(
         F.min(ts_col).alias("lo"), F.max(ts_col).alias("hi")
     ).collect()[0]
@@ -1621,13 +1628,30 @@ def streaming_replay_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("name").isNotNull())
     )
-    bounds = ev.agg(F.min("ts_ms").alias("lo"), F.max("ts_ms").alias("hi")).first()
-    lo, hi = bounds["lo"], bounds["hi"]
-    if lo is None:
+    hour = 3_600_000
+    # ONE aggregation job: the raw-ms bounds the cutoffs derive from ride
+    # along as min/max aggregates of the SAME groupBy (global lo/hi =
+    # min/max over the group rows — every raw row belongs to a group), so
+    # the separate bounds scan this key used to pay is gone.
+    rows = (
+        ev.groupBy(
+            (F.col("ts_ms") - F.col("ts_ms") % hour).alias("ts_ms"),
+            "name",
+            (F.col("event_id") % 7 == 0).alias("is7"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("ts_ms").alias("raw_lo"),
+            F.max("ts_ms").alias("raw_hi"),
+        )
+        .collect()
+    )
+    if not rows:
         return spark.createDataFrame(
             [], "step_ts long, name string, n_events bigint"
         )
-    hour = 3_600_000
+    lo = min(r["raw_lo"] for r in rows)
+    hi = max(r["raw_hi"] for r in rows)
     # hour-ALIGNED cutoffs: ts < t1 is then decidable from the hourly
     # grain alone, so ONE aggregation pass + one driver-side split
     # replaces three filtered recomputations of the same groupBy (the
@@ -1636,15 +1660,6 @@ def streaming_replay_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     t1 -= t1 % hour
     t2 = lo + 2 * (hi - lo) // 3
     t2 -= t2 % hour
-    rows = (
-        ev.groupBy(
-            (F.col("ts_ms") - F.col("ts_ms") % hour).alias("ts_ms"),
-            "name",
-            (F.col("event_id") % 7 == 0).alias("is7"),
-        )
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    )
     b0, b1, b2 = [], [(hi + 3 * DAY, "__flush", 0)], []
     for r in rows:
         rec = (r["ts_ms"], r["name"], r["n"])
