@@ -189,18 +189,22 @@ HEADLINE += sorted(k for k in QUERIES if k not in HEADLINE)
 # that justifies the exemption — re-derive the floor before touching the
 # entry.
 TRIPWIRE_EXEMPT_VS_ORACLE = {
-    # Quiet floor 4.5-5.4s at sf0.1 (min-of-4, r11), stable across three
-    # rounds: md5-replay bit-tally Arrow kernel ~1.9s + best-match window
-    # ~1.2s + banded hamming join ~2.1s. The kernel must stay md5 (the
-    # oracle replays the exact bit-mix in SQL; a JVM xxhash64 mix would
-    # move it to codegen but break cross-engine replay), so the Python
-    # floor is structural, not a plan defect; DuckDB's twin runs ~0.7s
-    # because its md5 is a single C call per doc. At 10x data the
-    # engines near-equalize: 1.13x (r11, cold twin) to 2.37x (r12,
-    # min-of-3 warm page-cache twin runs; Spark's 89.9s wall is
-    # unchanged between the reads) — the sf0.1 ratio is pure
-    # fixed-cost accounting.
-    "dedup_simhash": "arrow md5 kernel floor, oracle-replay-pinned; 1.1-2.4x at 10x",
+    # Floor RE-DERIVED r12 (quiet-window min-of-3 through the noop sink):
+    # full simhash_best_match 1.48s = signature agg 0.69 (tokenize+md5
+    # 0.15 + the 60-bit tally groupBy 0.54) + banded hamming join 0.36
+    # + best-match window/assembly ~0.4 — the old "Arrow kernel" note was
+    # stale; the whole path is JVM codegen since the r10 statically-
+    # unrolled tally, and the r12 hamming-join persist removed the
+    # double signature pass. The signature must stay md5-derived (the
+    # oracle replays the exact bit-mix in SQL — a JVM xxhash64 mix would
+    # break cross-engine replay), and a packed-lane tally (30 sums of 2
+    # packed 32-bit lanes) measured a ~5% non-win (0.64→0.60s, r12), so
+    # the remaining wall is the aggregation's honest cost. The key still
+    # swings 2.5-3.5x with co-tenant load (this host's inflation band
+    # hits codegen-heavy aggs hardest), which is what the exemption
+    # absorbs; at 10x data the engines near-equalize (1.1-2.4x, r11/r12
+    # probes).
+    "dedup_simhash": "jvm md5 tally floor, oracle-replay-pinned; 1.1-2.4x at 10x",
     # Quiet floor 1.38s at sf0.1 after the r12 window-chain rework (ONE
     # scan, ONE sort, ZERO joins — N chained last(...) window passes
     # hand each conversion its N most recent touches directly): the
@@ -219,7 +223,7 @@ TRIPWIRE_EXEMPT_VS_ORACLE = {
 # host has shown in driver runs): a regression that doubles the honest
 # cost still fires, while ambient-load swings on a healthy plan do not.
 TRIPWIRE_ABS_CEILING_SF01 = {
-    "dedup_simhash": 11.0,   # quiet floor 4.5-5.4s (r11)
+    "dedup_simhash": 8.0,   # quiet floor 1.48s re-derived r12; worst observed loaded row 5.3s
     "event_attribution": 4.0,  # quiet floor 1.38s (r12 chain plan)
 }
 
