@@ -381,3 +381,52 @@ def test_streaming_funnel_bucketed_matches_per_user_twin(spark):
         assert step_counts == batch_counts
     finally:
         shutil.rmtree(src, ignore_errors=True)
+
+
+def test_late_data_fused_bounds_match_direct_bounds(spark):
+    """The late-data replay derives its batch cutoffs from raw-ms bounds
+    that ride along the hourly groupBy as min/max aggregates (r12: the
+    separate bounds job was folded away). Pin the fusion's invariant:
+    min/max over the group rows equals the direct global min/max, and
+    the derived hour-aligned cutoffs match."""
+    from pyspark.sql import functions as F
+
+    from lakeside_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.01"
+    ev = (
+        load_table(spark, sf, "events")
+        .select(
+            F.unix_millis("ts").alias("ts_ms"),
+            F.col("event_type").alias("name"),
+            "event_id",
+        )
+        .filter(F.col("name").isNotNull())
+    )
+    hour = 3_600_000
+    direct = ev.agg(
+        F.min("ts_ms").alias("lo"), F.max("ts_ms").alias("hi")
+    ).first()
+    rows = (
+        ev.groupBy(
+            (F.col("ts_ms") - F.col("ts_ms") % hour).alias("ts_ms"),
+            "name",
+            (F.col("event_id") % 7 == 0).alias("is7"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("ts_ms").alias("raw_lo"),
+            F.max("ts_ms").alias("raw_hi"),
+        )
+        .collect()
+    )
+    lo = min(r["raw_lo"] for r in rows)
+    hi = max(r["raw_hi"] for r in rows)
+    assert (lo, hi) == (direct["lo"], direct["hi"])
+    # the cutoffs the recording derives from the bounds are identical too
+    for frac in (1, 2):
+        t_direct = direct["lo"] + frac * (direct["hi"] - direct["lo"]) // 3
+        t_fused = lo + frac * (hi - lo) // 3
+        assert t_direct - t_direct % hour == t_fused - t_fused % hour
+    # and the hourly rows still carry the counts the split consumes
+    assert sum(r["n"] for r in rows) == ev.count()
