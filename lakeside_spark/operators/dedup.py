@@ -119,24 +119,34 @@ def _shingled_rows(docs: DataFrame, text_col: str, id_col: str, n: int) -> DataF
     return src.mapInPandas(kernel, schema="doc_id bigint, shingle string")
 
 
-def _gram_pair_counts(sh: DataFrame, threshold: float) -> DataFrame:
-    """Exact all-pairs shingle intersections via row-block-parallel BLAS
-    Gram matmuls.
+def _gram_pair_counts(
+    sh: DataFrame, threshold: float, products_cap: int = 256 * 1024 * 1024
+) -> DataFrame | None:
+    """Exact all-pairs shingle intersections via a row-block-parallel
+    SPARSE Gram: per doc-block, a vectorized merge-join on the shingle
+    runs generates exactly Σ_s f_blk(s)·f(s) candidate products (f = the
+    shingle's document frequency) — never the dense doc×shingle matrix
+    the r5 BLAS kernel built, whose n·m cell budget kept this path off
+    any corpus with a real vocabulary (sf0.1: 5k docs × 27k shingles =
+    136M cells > the old 32M cap, so every jaccard consumer fell through
+    to the 4-exchange explode-join; Σf² there is only 2.8M — the sparse
+    work is ~50× smaller than the dense flops the cap was guarding).
 
-    Input: exploded (doc_id, shingle) rows, distinct per doc. The rows are
-    dictionary-encoded ONCE (shingles first squashed to 64-bit hashes so
-    only two int arrays move, never strings), the compact sparse pair list
-    is broadcast, and every task rebuilds the dense doc×shingle 0/1 matrix
-    M to compute ITS row block of G = M·Mᵀ — the n² work spreads over all
-    cores instead of one task. |A| = diag(G) (shingles are distinct), so
-    the jaccard threshold is applied inside the kernel and only qualifying
-    pairs leave a task — no pair shuffle at all.
+    Input: exploded (doc_id, shingle) rows, distinct per doc. The rows
+    are dictionary-encoded ONCE (shingles squashed to 64-bit hashes so
+    only int arrays move, never strings) and broadcast grouped by
+    shingle run; every task walks ITS doc block's entries, np.repeat-
+    expands each against its full shingle run, counts pairs with one
+    np.unique, applies the jaccard threshold in-task, and only
+    qualifying pairs leave — no pair shuffle at all.
 
-    This is the small/medium-corpus exact path (docs ≲ tens of thousands —
-    the gate in ngram_jaccard_pairs — so the broadcast is tens of MB and
-    the per-task dense M is bounded; task count additionally capped so
-    Σ task M-copies stay ≈24 GB). Larger corpora use the distributed
-    explode-join, or — the real 100 TB path — MinHash LSH.
+    Work and memory are bounded by the TRUE product count: Σf² is
+    computed exactly driver-side before broadcasting, and if it exceeds
+    ``products_cap`` the function returns **None** and the caller falls
+    back to the distributed explode-join (a pathological hot shingle —
+    f ≈ corpus — is exactly the case row-block numpy must not absorb).
+    This stays the small/medium-corpus exact path (docs/nnz gates in
+    ngram_jaccard_pairs); the real 100 TB path is MinHash LSH.
     Output: (id_a, id_b, n_common, n_a, n_b); jaccard math done by the
     caller with the same double-precision expression the oracle uses.
     """
@@ -148,42 +158,71 @@ def _gram_pair_counts(sh: DataFrame, threshold: float) -> DataFrame:
     d_codes, d_ids = pd.factorize(pdf["doc_id"].to_numpy(np.int64))
     s_codes, _ = pd.factorize(pdf["shingle"].to_numpy(np.int64))
     d_ids = np.asarray(d_ids, dtype=np.int64)
-    n, m = len(d_ids), int(s_codes.max()) + 1
+    n = len(d_ids)
+    # group entries by shingle: d_sorted[k] is a doc of run r(k), whose
+    # entries span [start_of[k], start_of[k] + len_of[k])
+    order = np.argsort(s_codes, kind="stable")
+    s_sorted = s_codes[order]
+    d_sorted = d_codes[order].astype(np.int32)
+    run_head = np.empty(len(s_sorted), dtype=bool)
+    run_head[0] = True
+    run_head[1:] = s_sorted[1:] != s_sorted[:-1]
+    run_starts = np.flatnonzero(run_head)
+    run_lens = np.diff(np.append(run_starts, len(s_sorted)))
+    products = int((run_lens.astype(np.int64) ** 2).sum())
+    if products > products_cap:
+        return None
+    start_of = np.repeat(run_starts, run_lens)
+    len_of = np.repeat(run_lens, run_lens).astype(np.int64)
+    sizes = np.bincount(d_codes, minlength=n).astype(np.int64)
     par = spark.sparkContext.defaultParallelism
-    mat_bytes = n * m * 4
-    n_tasks = int(max(1, min(par, 24e9 // max(mat_bytes, 1), n // 64 or 1)))
+    # ~2M products per task bounds per-task arrays to tens of MB
+    n_tasks = int(max(1, min(par, products // (2 * 1024 * 1024) + 1, n)))
     blk = (n + n_tasks - 1) // n_tasks
     bc = spark.sparkContext.broadcast(
-        (d_codes.astype(np.int32), s_codes.astype(np.int32), d_ids, n, m)
+        (d_sorted, start_of, len_of, sizes, d_ids, n)
     )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        dc, sc, ids, n, m = bc.value
-        M = np.zeros((n, m), dtype=np.float32)
-        M[dc, sc] = 1.0
-        sizes = M.sum(axis=1).astype(np.int64)
+        ds, start_of, len_of, sizes, ids, n = bc.value
         for part in batches:
             for k in part["k"].to_numpy(np.int64):
                 lo, hi = int(k) * blk, min(int(k) * blk + blk, n)
                 if lo >= n:
                     continue
-                G = (M[lo:hi] @ M.T).astype(np.int64)  # counts ≤ 2^24: f32 exact
-                na = sizes[lo:hi, None]
-                nb = sizes[None, :]
-                jac = G / (na + nb - G)  # float64, same op as the SQL oracle
-                ii, jj = np.nonzero(jac >= threshold)
-                gi, gj = ii + lo, jj
-                keep = ids[gi] < ids[gj]  # upper triangle by ORIGINAL id
-                gi, gj = gi[keep], jj[keep]
-                if not len(gi):
+                be = np.flatnonzero((ds >= lo) & (ds < hi))
+                if not len(be):
+                    continue
+                rep = len_of[be]
+                total = int(rep.sum())
+                left = np.repeat(ds[be].astype(np.int64), rep)
+                # grouped arange: position of each product within its
+                # entry's shingle run
+                csum = np.cumsum(rep)
+                in_run = np.arange(total, dtype=np.int64) - np.repeat(
+                    csum - rep, rep
+                )
+                right = ds[np.repeat(start_of[be], rep) + in_run].astype(
+                    np.int64
+                )
+                keep = ids[left] < ids[right]  # drops self + orders pairs
+                if not keep.any():
+                    continue
+                key = left[keep] * n + right[keep]
+                uk, cnt = np.unique(key, return_counts=True)
+                la, rb = uk // n, uk % n
+                na, nb = sizes[la], sizes[rb]
+                jac = cnt / (na + nb - cnt)  # float64, same op as the oracle
+                sel = jac >= threshold
+                if not sel.any():
                     continue
                 yield pd.DataFrame(
                     {
-                        "id_a": ids[gi],
-                        "id_b": ids[gj],
-                        "n_common": G[gi - lo, gj],
-                        "n_a": sizes[gi],
-                        "n_b": sizes[gj],
+                        "id_a": ids[la[sel]],
+                        "id_b": ids[rb[sel]],
+                        "n_common": cnt[sel].astype(np.int64),
+                        "n_a": na[sel],
+                        "n_b": nb[sel],
                     }
                 )
 
@@ -208,25 +247,25 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     strategy: str = "auto",
     kernel_max_docs: int = 50_000,
-    kernel_max_cells: int = 32 * 1024 * 1024,
+    kernel_max_nnz: int = 4 * 1024 * 1024,
     eager: bool = True,
 ) -> DataFrame:
     """Exact Jaccard near-dup pairs (id_a < id_b, jaccard ≥ threshold).
 
-    strategy="kernel": row-block-parallel BLAS Gram (see _gram_pair_counts)
-    — wins when the dense doc×shingle matrix is buildable (n_docs·n_dict ≤
-    kernel_max_cells — past ~32M cells the per-task dense-matrix build
-    costs more than the distributed join) and the explode-join fan-out
-    Σ_shingle f² would be quadratic in docs.
-    strategy="join": explode → join on shingle → count — distributed, cheap
-    for diverse corpora where per-shingle doc-frequency is bounded. "auto"
-    probes (n_docs, distinct shingles) with one small agg over the cached
-    shingle rows and picks. Neither is the 100 TB answer — that's
-    minhash_lsh_pairs, which bounds candidates before verifying.
+    strategy="kernel": row-block-parallel sparse Gram (see
+    _gram_pair_counts) — the in-task numpy merge-join whose work is the
+    true product count Σ_shingle f², gated by what must be collected and
+    broadcast (n_docs ≤ kernel_max_docs, shingle rows ≤ kernel_max_nnz)
+    and self-capped on Σf² with a join fallback.
+    strategy="join": explode → join on shingle → count — distributed,
+    the path for anything over the kernel's collect gate. "auto" probes
+    (n_docs, nnz) with one small agg over the cached shingle rows and
+    picks. Neither is the 100 TB answer — that's minhash_lsh_pairs,
+    which bounds candidates before verifying.
     """
     ex = _shingled_rows(docs, text_col, id_col, n).persist()
     out = _jaccard_pairs_from_shingles(
-        ex, threshold, strategy, kernel_max_docs, kernel_max_cells
+        ex, threshold, strategy, kernel_max_docs, kernel_max_nnz
     )
     if not eager:
         # lazy plan, the shingle cache stays owned by the caller — the
@@ -256,23 +295,36 @@ def _jaccard_pairs_from_shingles(
     threshold: float,
     strategy: str = "auto",
     kernel_max_docs: int = 50_000,
-    kernel_max_cells: int = 32 * 1024 * 1024,
+    kernel_max_nnz: int = 4 * 1024 * 1024,
 ) -> DataFrame:
     """Exact jaccard pairs from pre-computed (doc_id, shingle) rows — the
     strategy probe + kernel/join split shared by ngram_jaccard_pairs and
     the MinHash-LSH verification stage (which already owns shingle rows
-    from the signature pass and must not re-shingle)."""
+    from the signature pass and must not re-shingle).
+
+    The auto gate bounds what the kernel COLLECTS (docs and nnz — the
+    (doc, shingle) row count, i.e. the broadcast size); the kernel
+    itself then bounds the WORK (exact Σf² product count, computed
+    driver-side on the collected codes) and declines — returns None —
+    past its cap, falling back to the distributed explode-join. The r5
+    dense gate bounded n_docs·n_dict cells instead, which kept the
+    kernel off every real-vocabulary corpus regardless of how sparse it
+    was."""
     if strategy == "auto":
-        n_docs, n_dict = ex.agg(
-            F.approx_count_distinct("doc_id"), F.approx_count_distinct("shingle")
+        n_docs, nnz = ex.agg(
+            F.approx_count_distinct("doc_id"), F.count(F.lit(1))
         ).first()
         strategy = (
             "kernel"
-            if n_docs <= kernel_max_docs and n_docs * n_dict <= kernel_max_cells
+            if n_docs <= kernel_max_docs and nnz <= kernel_max_nnz
             else "join"
         )
     if strategy == "kernel":
-        return _jaccard_from_counts(_gram_pair_counts(ex, threshold), threshold)
+        counts = _gram_pair_counts(ex, threshold)
+        if counts is not None:
+            return _jaccard_from_counts(counts, threshold)
+        # Σf² over the kernel's products cap (a hot-shingle corpus):
+        # fall through to the distributed explode-join below
     sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     # join on a 64-bit hash of the shingle, not the string: narrower shuffle
     # rows and cheaper key compares; intersection counts are unchanged

@@ -2895,3 +2895,54 @@ def test_avi_frames_extracts_mjpeg_chunks():
     assert (w, h, bpp) == (4, 4, 24)
     assert len(frames) == 1 and frames[0][0] == b"00dc"
     assert frames[0][1] == payload
+
+
+def test_jaccard_sparse_kernel_parity_and_products_cap(spark):
+    """r12 sparse Gram kernel: (a) kernel and join strategies agree
+    exactly on pairs AND jaccard values, (b) the kernel computes exact
+    Σf² driver-side and declines (returns None → auto/kernel falls back
+    to the join) when a hot shingle blows the products cap, still
+    producing identical results."""
+    from lakeside_spark.operators.dedup import (
+        _gram_pair_counts,
+        _shingled_rows,
+        ngram_jaccard_pairs,
+    )
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta iota"),
+        (3, "alpha beta gamma unrelated words here now kappa"),
+        (4, "totally different text with no overlap at all"),
+        (5, "alpha beta gamma delta epsilon zeta eta theta"),  # dup of 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    k = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, 0.1, strategy="kernel").collect()
+    }
+    j = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, 0.1, strategy="join").collect()
+    }
+    assert k == j and (1, 5) in k and k[(1, 5)] == 1.0
+    # hot-shingle corpus: every doc shares one shingle -> Σf² = n² blows
+    # a tiny cap; the kernel must decline rather than absorb the blow-up
+    ex = _shingled_rows(df, "text", "doc_id", 3)
+    assert _gram_pair_counts(ex, 0.1, products_cap=1) is None
+    # and when the kernel declines, the strategy="kernel" public path
+    # falls back to the join and still answers identically
+    import lakeside_spark.operators.dedup as _D
+
+    orig = _D._gram_pair_counts
+    _D._gram_pair_counts = lambda ex, t, products_cap=0: orig(
+        ex, t, products_cap=1
+    )
+    try:
+        via_fallback = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(df, 0.1, strategy="kernel").collect()
+        }
+    finally:
+        _D._gram_pair_counts = orig
+    assert via_fallback == j
