@@ -120,7 +120,10 @@ def _shingled_rows(docs: DataFrame, text_col: str, id_col: str, n: int) -> DataF
 
 
 def _gram_pair_counts(
-    sh: DataFrame, threshold: float, products_cap: int = 256 * 1024 * 1024
+    sh: DataFrame,
+    threshold: float,
+    products_cap: int = 256 * 1024 * 1024,
+    measure: str = "jaccard",
 ) -> DataFrame | None:
     """Exact all-pairs shingle intersections via a row-block-parallel
     SPARSE Gram: per doc-block, a vectorized merge-join on the shingle
@@ -147,8 +150,12 @@ def _gram_pair_counts(
     f ≈ corpus — is exactly the case row-block numpy must not absorb).
     This stays the small/medium-corpus exact path (docs/nnz gates in
     ngram_jaccard_pairs); the real 100 TB path is MinHash LSH.
-    Output: (id_a, id_b, n_common, n_a, n_b); jaccard math done by the
-    caller with the same double-precision expression the oracle uses.
+    ``measure`` picks the in-task threshold filter — "jaccard"
+    (|A∩B|/|A∪B|) or "containment" (|A∩B|/min(|A|,|B|)) — both exact
+    integer counts through the identical double-precision expression
+    their SQL oracles use.
+    Output: (id_a, id_b, n_common, n_a, n_b); final measure math is
+    re-done by the caller with the same expression (bit-identical).
     """
     spark = sh.sparkSession
     schema = "id_a bigint, id_b bigint, n_common bigint, n_a bigint, n_b bigint"
@@ -212,8 +219,11 @@ def _gram_pair_counts(
                 uk, cnt = np.unique(key, return_counts=True)
                 la, rb = uk // n, uk % n
                 na, nb = sizes[la], sizes[rb]
-                jac = cnt / (na + nb - cnt)  # float64, same op as the oracle
-                sel = jac >= threshold
+                if measure == "containment":
+                    score = cnt / np.minimum(na, nb)
+                else:
+                    score = cnt / (na + nb - cnt)  # float64, oracle's op
+                sel = score >= threshold
                 if not sel.any():
                     continue
                 yield pd.DataFrame(
@@ -1011,7 +1021,27 @@ def _containment_pairs_from_shingles(
     """Containment pairs from (doc_id, shingle) rows. With ``candidates``
     (an (id_a, id_b) frame), the shingle pair join runs ONLY over
     candidate docs and the output is semi-joined back to the candidate
-    pairs — the bounded verify stage of the scale path."""
+    pairs — the bounded verify stage of the scale path.
+
+    The exact (no-candidates) path routes through the sparse Gram kernel
+    when the shingle rows fit its collect gate (the r12
+    _gram_pair_counts upgrade — same counts, containment filter), with
+    the explode-join below as the distributed/hot-shingle fallback."""
+    if candidates is None:
+        nnz = ex.count()
+        if nnz <= 4 * 1024 * 1024:
+            counts = _gram_pair_counts(ex, threshold, measure="containment")
+            if counts is not None:
+                cont = F.col("n_common") / F.least(F.col("n_a"), F.col("n_b"))
+                return (
+                    counts.filter(cont >= threshold)
+                    .select(
+                        "id_a",
+                        "id_b",
+                        "n_common",
+                        F.round(cont, 6).alias("containment"),
+                    )
+                )
     if candidates is not None:
         cand_ids = (
             candidates.select(F.col("id_a").alias("__cand_id"))

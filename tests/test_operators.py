@@ -2946,3 +2946,22 @@ def test_jaccard_sparse_kernel_parity_and_products_cap(spark):
     finally:
         _D._gram_pair_counts = orig
     assert via_fallback == j
+    # containment measure: kernel path (exact, small corpus) vs the
+    # forced explode-join produce identical (n_common, containment)
+    from lakeside_spark.operators.dedup import ngram_containment_pairs
+
+    ck = {
+        (r["id_a"], r["id_b"]): (r["n_common"], r["containment"])
+        for r in ngram_containment_pairs(df, 0.5, strategy="exact").collect()
+    }
+    _D._gram_pair_counts = lambda *a, **kw: None
+    try:
+        cj = {
+            (r["id_a"], r["id_b"]): (r["n_common"], r["containment"])
+            for r in ngram_containment_pairs(
+                df, 0.5, strategy="exact"
+            ).collect()
+        }
+    finally:
+        _D._gram_pair_counts = orig
+    assert ck == cj and (1, 5) in ck
