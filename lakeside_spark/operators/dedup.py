@@ -124,6 +124,7 @@ def _gram_pair_counts(
     threshold: float,
     products_cap: int = 256 * 1024 * 1024,
     measure: str = "jaccard",
+    max_df: int | None = None,
 ) -> DataFrame | None:
     """Exact all-pairs shingle intersections via a row-block-parallel
     SPARSE Gram: per doc-block, a vectorized merge-join on the shingle
@@ -151,9 +152,13 @@ def _gram_pair_counts(
     This stays the small/medium-corpus exact path (docs/nnz gates in
     ngram_jaccard_pairs); the real 100 TB path is MinHash LSH.
     ``measure`` picks the in-task threshold filter — "jaccard"
-    (|A∩B|/|A∪B|) or "containment" (|A∩B|/min(|A|,|B|)) — both exact
-    integer counts through the identical double-precision expression
-    their SQL oracles use.
+    (|A∩B|/|A∪B|), "containment" (|A∩B|/min(|A|,|B|)), or "count"
+    (|A∩B| ≥ threshold, the winnow shared-fingerprint rule) — all exact
+    integer counts through the identical expression their SQL oracles
+    use. ``max_df`` (count measure only) drops whole shingle runs with
+    document frequency above the cut BEFORE the products bound — the
+    boilerplate guard the winnow join applies distributed, done here on
+    the driver's run-length array for free.
     Output: (id_a, id_b, n_common, n_a, n_b); final measure math is
     re-done by the caller with the same expression (bit-identical).
     """
@@ -176,6 +181,18 @@ def _gram_pair_counts(
     run_head[1:] = s_sorted[1:] != s_sorted[:-1]
     run_starts = np.flatnonzero(run_head)
     run_lens = np.diff(np.append(run_starts, len(s_sorted)))
+    if max_df is not None:
+        assert measure == "count", "max_df composes with the count measure"
+        keep_runs = run_lens <= max_df
+        entry_keep = np.repeat(keep_runs, run_lens)
+        s_sorted = s_sorted[entry_keep]
+        d_sorted = d_sorted[entry_keep]
+        if not len(s_sorted):
+            return spark.createDataFrame([], schema=schema)
+        run_starts = np.flatnonzero(
+            np.r_[True, s_sorted[1:] != s_sorted[:-1]]
+        )
+        run_lens = np.diff(np.append(run_starts, len(s_sorted)))
     products = int((run_lens.astype(np.int64) ** 2).sum())
     if products > products_cap:
         return None
@@ -221,6 +238,8 @@ def _gram_pair_counts(
                 na, nb = sizes[la], sizes[rb]
                 if measure == "containment":
                     score = cnt / np.minimum(na, nb)
+                elif measure == "count":
+                    score = cnt  # integer ≥ integer: exact
                 else:
                     score = cnt / (na + nb - cnt)  # float64, oracle's op
                 sel = score >= threshold

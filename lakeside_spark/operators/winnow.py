@@ -122,6 +122,28 @@ def winnow_overlap(
     # corpus text; released by the context cleaner once unreachable (the
     # repo's hamming_pairs/bm25 idiom).
     fps = winnow_fingerprints(docs, k, w, text_col, id_col).persist()
+    # r12: the df-cut + fp self-join + pair groupBy collapse into the
+    # shared sparse Gram kernel (operators/dedup._gram_pair_counts,
+    # measure="count": |shared prints| ≥ min_shared, max_df applied to
+    # the driver's run-length array) whenever the fingerprint rows fit
+    # its collect gate — fingerprint density is ~2/(w+1) of the gram
+    # stream, so they usually do. Identical pair multiset (pinned by
+    # the kernel-vs-join pytest); the distributed join below remains
+    # the over-gate / kernel-declined fallback.
+    from lakeside_spark.operators.dedup import _gram_pair_counts
+
+    nnz = fps.count()
+    if nnz <= 4 * 1024 * 1024:
+        counts = _gram_pair_counts(
+            fps.select("doc_id", F.col("fp").alias("shingle")),
+            float(min_shared),
+            measure="count",
+            max_df=max_df,
+        )
+        if counts is not None:
+            return counts.select(
+                "id_a", "id_b", F.col("n_common").alias("n_shared")
+            )
     df_ok = (
         fps.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("_df"))

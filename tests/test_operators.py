@@ -2965,3 +2965,21 @@ def test_jaccard_sparse_kernel_parity_and_products_cap(spark):
     finally:
         _D._gram_pair_counts = orig
     assert ck == cj and (1, 5) in ck
+    # count measure + max_df: the winnow routing — shared-print counts
+    # with hot prints dropped on the driver's run-length array must
+    # equal the distributed df-cut join
+    from lakeside_spark.operators.winnow import winnow_overlap
+
+    wk = {
+        (r["id_a"], r["id_b"]): r["n_shared"]
+        for r in winnow_overlap(df, max_df=2).collect()
+    }
+    _D._gram_pair_counts = lambda *a, **kw: None
+    try:
+        wj = {
+            (r["id_a"], r["id_b"]): r["n_shared"]
+            for r in winnow_overlap(df, max_df=2).collect()
+        }
+    finally:
+        _D._gram_pair_counts = orig
+    assert wk == wj
