@@ -228,6 +228,49 @@ TRIPWIRE_ABS_CEILING_SF01 = {
 }
 
 
+# Key order matters: the round harness records only the LAST 2000 chars
+# of the printed line (BENCH_r06's tail starts mid-map and ends at
+# regression_count — verified), so the big, unbounded maps (per-query
+# times, then error messages) go FIRST and every verdict-relevant summary
+# field goes LAST where the tail is guaranteed to retain it even on a run
+# with many errors. The regressions detail list is capped at
+# REGRESSIONS_DETAIL_CAP rows so a pathological run cannot push the
+# counts out either (r11's record lost its round-over-round comparison to
+# exactly that: a 24-row tripwire dump truncating the JSON line);
+# tests/test_bench_record.py pins the worst-case tail span under 2000.
+REGRESSIONS_DETAIL_CAP = 10
+
+
+def _build_record(
+    duck_query: dict,
+    per_query: dict,
+    errors: dict,
+    sf: float,
+    total: float,
+    oracle_subset: list,
+    spark_subset_wall: float,
+    duck_total: float,
+    ratio: float | None,
+    regressions: list,
+) -> dict:
+    return {
+        "duckdb_queries": duck_query,
+        "queries": per_query,
+        "errors": errors,
+        "sf": sf,
+        "metric": "headline_queries_total_wall_clock",
+        "value": round(total, 4),
+        "unit": "sec",
+        "oracle_subset_queries": len(oracle_subset),
+        "spark_oracle_subset_sec": round(spark_subset_wall, 4),
+        "duckdb_oracle_subset_sec": round(duck_total, 4),
+        "spark_over_duckdb_ratio": ratio,
+        "error_count": len(errors),
+        "regressions": regressions[:REGRESSIONS_DETAIL_CAP],
+        "regression_count": len(regressions),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
@@ -400,29 +443,10 @@ def main() -> None:
     for r in regressions:
         print(f"# REGRESSION {r}", file=sys.stderr)
 
-    # Key order matters: the round harness records only the LAST 2000
-    # chars of this line (BENCH_r06's tail starts mid-map and ends at
-    # regression_count — verified), so the big, unbounded maps (per-query
-    # times, then error messages) go FIRST and every verdict-relevant
-    # summary field goes LAST where the tail is guaranteed to retain it
-    # even on a run with many errors. The regressions detail list is
-    # capped so a pathological run cannot push the counts out either.
-    record = {
-                "duckdb_queries": duck_query,
-                "queries": per_query,
-                "errors": errors,
-                "sf": sf,
-                "metric": "headline_queries_total_wall_clock",
-                "value": round(total, 4),
-                "unit": "sec",
-                "oracle_subset_queries": len(oracle_subset),
-                "spark_oracle_subset_sec": round(spark_subset_wall, 4),
-                "duckdb_oracle_subset_sec": round(duck_total, 4),
-                "spark_over_duckdb_ratio": ratio,
-                "error_count": len(errors),
-                "regressions": regressions[:10],
-                "regression_count": len(regressions),
-    }
+    record = _build_record(
+        duck_query, per_query, errors, sf, total, oracle_subset,
+        spark_subset_wall, duck_total, ratio, regressions,
+    )
     print(json.dumps(record))
     # persist this run as the next run's regression baseline for THIS SF,
     # keeping other SFs' baselines; best-effort (a read-only checkout must

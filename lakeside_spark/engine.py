@@ -368,13 +368,14 @@ class QueryEngine:
             aggs.append(
                 F.count(F.when(conds[label], F.lit(1))).alias(f"__n{i}")
             )
-        # persist: every label (and each formula referencing it) consumes
-        # this frame, and exchange reuse does not reliably dedupe the
-        # subtrees across union branches — without the cache N consumers
-        # mean N scans of the fact table. The frame is post-aggregation
-        # (steps × names rows, KBs); Spark's context cleaner drops the
-        # cache once the DataFrames become unreachable.
-        agged = df.groupBy(*keys).agg(*aggs).persist()
+        # materialized once (eager localCheckpoint): every label (and each
+        # formula referencing it) consumes this frame, and exchange reuse
+        # does not reliably dedupe the subtrees across union branches —
+        # without it N consumers mean N scans of the fact table. The frame
+        # is post-aggregation (steps × names rows, KBs); checkpoint blocks
+        # are context-cleaned once the DataFrames become unreachable
+        # (persist leaked a CacheManager entry per call, r13).
+        agged = df.groupBy(*keys).agg(*aggs).localCheckpoint(eager=True)
         return {
             label: agged.filter(F.col(f"__n{i}") > 0).select(
                 *sel_keys, F.col(f"__v{i}").alias(S.VALUE)

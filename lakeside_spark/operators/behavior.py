@@ -878,17 +878,19 @@ def interval_concurrency(
     )
     wk_order = Window.partitionBy("k").orderBy("b")
     wk = wk_order.rowsBetween(Window.unboundedPreceding, -1)
-    # persisted: consumed twice (the head branch below and the broadcast
-    # side of the body join) — without the cache the whole tot subtree
-    # (a source scan + chunk aggregation + this window) is duplicated in
-    # the plan. keys x active chunks rows, i.e. the same bounded size the
-    # broadcast already assumes; the context cleaner drops it once the
-    # result frame is unreachable.
+    # materialized once (eager localCheckpoint): consumed twice (the head
+    # branch below and the broadcast side of the body join) — without it
+    # the whole tot subtree (a source scan + chunk aggregation + this
+    # window) is duplicated in the plan. keys x active chunks rows, i.e.
+    # the same bounded size the broadcast already assumes. Not persist
+    # (r13): the persisted frame was never unpersisted, so CacheManager
+    # kept it for the session and warm-served later identical calls —
+    # checkpoint blocks are context-cleaned once the result is dropped.
     carry = tot.select(
         "k", "b", "first_t",
         F.coalesce(F.sum("tot").over(wk), F.lit(0)).alias("carry"),
         F.lag("b").over(wk_order).alias("prev_b"),
-    ).persist()
+    ).localCheckpoint(eager=True)
 
     # head segment of each active chunk (chunk start -> first event) +
     # the whole empty gap since the previous active chunk, both at the

@@ -169,19 +169,23 @@ def _bm25_scored_full(
     query-term set (broadcast qterms into the df table, never the
     reverse).
 
-    The per-doc token ARRAY is persisted and everything downstream
-    derives from it (tf/df re-explode the cached arrays; doclen is the
-    array size; stats come off doclen) — so the regexp tokenize, the
-    dominant per-task cost, runs exactly once where the former shape
-    re-tokenized the corpus four times (tf, df, per-doc dl, avgdl were
-    four separate scans; the hoped-for ReusedExchange never fired
-    because the df subtree aggregates without counts). The array grain
-    is deliberate: caching the aggregated tf table instead serializes
-    the broadcast job behind a full postings materialization (measured
-    1.2→2.0s at sf0.1), while re-exploding a cached array is cheap. The
-    cache is ≈ corpus text sized, bounded by the full-plan gate
-    (≤ scale_threshold docs; the matched plan covers large corpora) and
-    released by the context cleaner once the frame is unreachable."""
+    The per-doc token ARRAY is materialized once (eager localCheckpoint)
+    and everything downstream derives from it (tf/df re-explode the
+    arrays; doclen is the array size; stats come off doclen) — so the
+    regexp tokenize, the dominant per-task cost, runs exactly once where
+    the former shape re-tokenized the corpus four times (tf, df, per-doc
+    dl, avgdl were four separate scans; the hoped-for ReusedExchange
+    never fired because the df subtree aggregates without counts). The
+    array grain is deliberate: caching the aggregated tf table instead
+    serializes the broadcast job behind a full postings materialization
+    (measured 1.2→2.0s at sf0.1), while re-exploding a cached array is
+    cheap. localCheckpoint, not persist (r13): a persisted frame here
+    was never unpersisted, so CacheManager kept it for the session
+    lifetime and plan-matched it on every later call over the same
+    corpus — the checkpoint's blocks are owned by the returned frame and
+    reclaimed by the context cleaner once it is dropped. Bounded by the
+    full-plan gate (≤ scale_threshold docs; the matched plan covers
+    large corpora)."""
     from lakeside_spark.operators.textstats import _parallelize_sized
 
     # under-parallel gate, same as the matched plan: a single-file
@@ -192,7 +196,7 @@ def _bm25_scored_full(
     toks = corpus.select(
         F.col(id_col).alias("doc_id"),
         F.filter(w, lambda x: x != F.lit("")).alias("ws"),
-    ).persist()
+    ).localCheckpoint(eager=True)
     tf = (
         toks.select("doc_id", F.explode("ws").alias("term"))
         .groupBy("doc_id", "term")
@@ -420,49 +424,20 @@ def _rrf_fuse(
     return fused
 
 
-_POOL_CACHE: "OrderedDict" = None  # initialized below
-_POOL_CACHE_LOCK = None
-_POOL_CACHE_SLOTS = 8
-
-
 def _leg_pools(
     docs: DataFrame, emb: DataFrame, query_ids_below: int, pool: int
 ):
-    """Collect both legs' top-``pool`` tables (concurrent driver jobs),
-    memoized per (docs plan, emb plan, panel, pool) for the session —
-    hybrid_rrf_topk and retrieval_eval over the same tables share one
-    leg computation instead of re-running bm25 and the cosine scan.
-    The cached value is the ~|queries|×pool collected rows (driver
-    memory, nothing persisted JVM-side). The 32-bit semanticHash key is
-    verified with plan.sameResult before serving, falling through to an
-    honest recompute on mismatch (the span-cache collision rule)."""
-    global _POOL_CACHE, _POOL_CACHE_LOCK
-    import threading
-    from collections import OrderedDict
+    """Collect both legs' top-``pool`` tables as concurrent driver jobs
+    (the §2.6 overlap: the bm25 leg's stragglers back-fill with cosine
+    tasks and vice versa). Computed fresh per call (r13): the r9-era
+    session memo keyed on the input plans served hybrid_rrf_topk's
+    collected pools to retrieval_eval — and to the bench's second timed
+    iteration of either key — so neither key's reported time was its own
+    cost."""
     from concurrent.futures import ThreadPoolExecutor
 
     from lakeside_spark.operators.similarity import cosine_topk
 
-    if _POOL_CACHE is None:
-        _POOL_CACHE = OrderedDict()
-        _POOL_CACHE_LOCK = threading.Lock()
-    try:
-        ad = docs._jdf.queryExecution().analyzed()
-        ae = emb._jdf.queryExecution().analyzed()
-        app = docs.sparkSession.sparkContext.applicationId
-        key = (app, ad.semanticHash(), ae.semanticHash(), query_ids_below, pool)
-    except Exception:
-        ad = ae = key = None
-    if key is not None:
-        with _POOL_CACHE_LOCK:
-            hit = _POOL_CACHE.get(key)
-            if (
-                hit is not None
-                and hit[0].sameResult(ad)
-                and hit[1].sameResult(ae)
-            ):
-                _POOL_CACHE.move_to_end(key)
-                return hit[2], hit[3]
     with ThreadPoolExecutor(2) as ex:
         f_cs = ex.submit(
             lambda: cosine_topk(
@@ -478,14 +453,7 @@ def _leg_pools(
                 k=pool,
             ).collect()
         )
-        cs_rows, bm_rows = f_cs.result(), f_bm.result()
-    if key is not None:
-        with _POOL_CACHE_LOCK:
-            _POOL_CACHE[key] = (ad, ae, cs_rows, bm_rows)
-            _POOL_CACHE.move_to_end(key)
-            while len(_POOL_CACHE) > _POOL_CACHE_SLOTS:
-                _POOL_CACHE.popitem(last=False)
-    return cs_rows, bm_rows
+        return f_cs.result(), f_bm.result()
 
 
 def hybrid_rrf_topk(

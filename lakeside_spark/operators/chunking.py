@@ -22,36 +22,10 @@ oracle (string_split on the same normalization) agrees byte-for-byte.
 
 from __future__ import annotations
 
-import threading
-from collections import OrderedDict
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from lakeside_spark.functions.text import words
-
-# span_dedup's cached boilerplate tables, keyed by (input plan, params) in
-# a small LRU: repeated calls over the same corpus REUSE the persisted span
-# table instead of re-aggregating, interleaved lazy pipelines over different
-# corpora no longer evict each other (the round-5 single global slot forced
-# a silent recompute there), and the lock makes concurrent driver threads
-# safe. Each entry is boilerplate-sized; capacity bounds session memory.
-_SPAN_CACHE: OrderedDict[tuple, tuple] = OrderedDict()  # key -> (span_df, analyzed plan)
-_SPAN_CACHE_LOCK = threading.Lock()
-_SPAN_CACHE_SLOTS = 4
-
-
-def _span_cache_key(
-    docs: DataFrame, span_words: int, max_df: int, text_col: str, id_col: str
-) -> tuple:
-    try:
-        h = docs._jdf.queryExecution().analyzed().semanticHash()
-    except Exception:
-        h = hash(docs._jdf.queryExecution().analyzed().toString())
-    # applicationId scopes entries to the live SparkContext: a cached
-    # DataFrame from a stopped session must never be served to a new one
-    app = docs.sparkSession.sparkContext.applicationId
-    return (app, h, span_words, max_df, text_col, id_col)
 
 
 def chunk_documents(
@@ -116,9 +90,9 @@ def span_dedup(
     similarity.embedding_dup_pairs): ≤ ``broadcast_limit`` distinct
     over-represented spans → broadcast anti-join (map-only, no corpus
     shuffle); above it → plain shuffled anti-join and let AQE pick the
-    strategy. The span-hash table is persisted before the probe so the
+    strategy. The span-hash table is checkpointed before the probe so the
     count and the subsequent anti-join share ONE tiling+aggregation pass
-    over the corpus instead of recomputing it — persisting the
+    over the corpus instead of recomputing it — materializing the
     boilerplate-sized table is safe at any scale; it is the corpus we
     must never cache."""
     w = words(text_col)
@@ -133,20 +107,22 @@ def span_dedup(
     from lakeside_spark.operators.similarity import _parallelize
 
     docs = _parallelize(docs)
-    # ONE tokenize+tile+hash pass, persisted as per-doc arrays (r12, the
-    # bm25/ExactSubstr idiom): the document-frequency aggregation, the
-    # anti-join probe side, and the per-doc tile count are SEPARATE
-    # subtrees, so without the cache the corpus was tiled+hashed twice
-    # and tokenized a third time for the tile count (hashing "once at
-    # tiling time" shared the expression, not the pass). The cache is
-    # ≈ corpus-text-sized plus one md5 per span, spill-safe and released
-    # by the context cleaner.
+    # ONE tokenize+tile+hash pass, materialized as per-doc arrays (r12,
+    # the bm25/ExactSubstr idiom): the document-frequency aggregation,
+    # the anti-join probe side, and the per-doc tile count are SEPARATE
+    # subtrees, so without it the corpus was tiled+hashed twice and
+    # tokenized a third time for the tile count (hashing "once at tiling
+    # time" shared the expression, not the pass). Eager localCheckpoint,
+    # not persist (r13): the persisted frame was never unpersisted, so
+    # CacheManager kept it alive for the session — checkpoint blocks are
+    # ≈ corpus-text-sized plus one md5 per span, spill to disk, and are
+    # context-cleaned once the result frame is dropped.
     tarr = docs.select(
         F.col(id_col).alias("doc_id"),
         tiles.alias("sp"),
         F.transform(tiles, F.md5).alias("sph"),
         n_tiles.cast("long").alias("n_spans"),
-    ).persist()
+    ).localCheckpoint(eager=True)
     tiled = tarr.select(
         "doc_id",
         F.posexplode(F.arrays_zip("sp", "sph")).alias("span_idx", "z"),
@@ -158,46 +134,21 @@ def span_dedup(
     )
     # global document-frequency per span hash: one map-side-combined
     # aggregation; the result is boilerplate-sized (distinct spans), far
-    # smaller than the corpus, and joins back on the hash
-    # (input plan, params)-keyed LRU: a repeat call over the same corpus
-    # reuses the persisted table (no re-aggregation); distinct pipelines
-    # each keep their own entry until capacity evicts the least recent.
-    # Caveat (bounded): a pipeline left lazy past _SPAN_CACHE_SLOTS newer
-    # distinct calls recomputes its span table when finally executed —
-    # results unchanged, one extra aggregation pass.
-    key = _span_cache_key(docs, span_words, max_df, text_col, id_col)
-    analyzed = docs._jdf.queryExecution().analyzed()
-    with _SPAN_CACHE_LOCK:
-        hit = _SPAN_CACHE.get(key)
-        # the key's semanticHash is 32-bit: confirm the hit really is the
-        # same input plan with sameResult before serving it — a collision
-        # between two corpora would silently return the wrong boilerplate
-        # table (results corrupted, no error); mismatch falls through to
-        # an honest recompute under a collision-proofed key
-        if hit is not None and not hit[1].sameResult(analyzed):
-            hit = None
-            key = key + (analyzed.toString(),)
-            hit = _SPAN_CACHE.get(key)
-            if hit is not None and not hit[1].sameResult(analyzed):
-                hit = None
-        if hit is not None:
-            _SPAN_CACHE.move_to_end(key)
-            span_df = hit[0]
-        else:
-            span_df = (
-                tiled.groupBy("span_hash")
-                .agg(F.count_distinct("doc_id").alias("df"))
-                .filter(F.col("df") > max_df)
-                .select("span_hash")
-                .persist()
-            )
-            _SPAN_CACHE[key] = (span_df, analyzed)
-            while len(_SPAN_CACHE) > _SPAN_CACHE_SLOTS:
-                _, (evicted, _plan) = _SPAN_CACHE.popitem(last=False)
-                try:
-                    evicted.unpersist(blocking=False)
-                except Exception:
-                    pass
+    # smaller than the corpus, and joins back on the hash. Materialized
+    # with an eager localCheckpoint so the count probe below and the
+    # anti-join share ONE aggregation pass. The r5-era LRU that memoized
+    # the persisted table across CALLS keyed on the input plan is gone
+    # (r13): it served later identical calls — including a bench's second
+    # timed iteration — a warm table, and pinned up to 4 persisted frames
+    # for the session. The table is cheap to rebuild per call now that it
+    # reads the checkpointed tile arrays, not the raw corpus.
+    span_df = (
+        tiled.groupBy("span_hash")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("span_hash")
+        .localCheckpoint(eager=True)
+    )
     if span_df.count() <= broadcast_limit:
         span_df = span_df.hint("broadcast")
     kept = tiled.join(span_df, "span_hash", "left_anti")
@@ -231,17 +182,19 @@ def _tok_gram_arrays(
     id_col: str,
     with_ws: bool = False,
 ) -> DataFrame:
-    """Persisted per-doc arrays ``(doc_id[, ws], gr)``: the normalize +
-    tokenize regexp and the sliding k-gram md5 — the two dominant
+    """Checkpointed per-doc arrays ``(doc_id[, ws], gr)``: the normalize
+    + tokenize regexp and the sliding k-gram md5 — the two dominant
     per-task costs of the ExactSubstr family — run exactly ONCE; every
-    consumer re-explodes the cached arrays (the bm25/winnow idiom).
-    Without the cache the gram subtree was computed twice (the
+    consumer re-explodes the materialized arrays (the bm25/winnow
+    idiom). Without it the gram subtree was computed twice (the
     duplicated-gram aggregation and the anchor-join probe side are
     different plans, so ReusedExchange never fires) and the scrub
-    re-tokenized twice more (token stream + per-doc length). The cache
-    is ≈ corpus-text-sized plus 32 hex chars per token position,
-    spill-safe (MEMORY_AND_DISK) and released by the context cleaner
-    once the frame is unreachable."""
+    re-tokenized twice more (token stream + per-doc length). Eager
+    localCheckpoint, not persist (r13): the persisted frame was never
+    unpersisted, so CacheManager kept it for the session and warm-served
+    later identical calls. Blocks are ≈ corpus-text-sized plus 32 hex
+    chars per token position, spill to disk, and are context-cleaned
+    once the result frame is dropped."""
     from lakeside_spark.operators.similarity import _parallelize
 
     base = _parallelize(docs).select(
@@ -256,7 +209,7 @@ def _tok_gram_arrays(
         ),
     ).otherwise(F.array().cast("array<string>"))
     cols = (["ws"] if with_ws else []) + [gr.alias("gr")]
-    return base.select("doc_id", *cols).persist()
+    return base.select("doc_id", *cols).localCheckpoint(eager=True)
 
 
 def _dup_anchors_from(tg: DataFrame, min_count: int) -> DataFrame:

@@ -60,29 +60,6 @@ def _doc_grams(docs: DataFrame, n: int, text_col: str, id_col: str) -> DataFrame
     return src.mapInPandas(kernel, schema="doc_id long, gram string")
 
 
-# Overlap-table cache: decontam_overlap (the screen) and corpus_decontam
-# (the filter pass) over the same corpus/eval tables share ONE gram
-# kernel + broadcast join instead of rebuilding both sides. The cached
-# value is a PERSISTED hits frame (contamination-rate-sized, never the
-# corpus); ≤2 slots with unpersist-on-eviction so nothing leaks for the
-# session lifetime. 32-bit semanticHash keys are verified with
-# plan.sameResult before serving (the span-cache collision rule).
-_OVERLAP_CACHE: dict = {}
-_OVERLAP_CACHE_SLOTS = 2
-
-
-def clear_overlap_cache() -> None:
-    """Drop all cached gram-overlap tables (use after rewriting an input
-    parquet at the same path mid-session — plan-equality keys cannot see
-    on-disk changes)."""
-    while _OVERLAP_CACHE:
-        old = _OVERLAP_CACHE.pop(next(iter(_OVERLAP_CACHE)))
-        try:
-            old[2].unpersist()
-        except Exception:
-            pass
-
-
 def _overlap_hits(
     corpus: DataFrame,
     eval_docs: DataFrame,
@@ -90,39 +67,16 @@ def _overlap_hits(
     text_col: str,
     id_col: str,
 ) -> DataFrame:
-    """(doc_id, gram) matched pairs: corpus grams ⋈ broadcast eval grams,
-    memoized per (application, corpus plan, eval plan, n)."""
-    try:
-        ac = corpus._jdf.queryExecution().analyzed()
-        ae = eval_docs._jdf.queryExecution().analyzed()
-        key = (
-            corpus.sparkSession.sparkContext.applicationId,
-            ac.semanticHash(), ae.semanticHash(), n, text_col, id_col,
-        )
-    except Exception:
-        ac = ae = key = None
-    if key is not None:
-        hit = _OVERLAP_CACHE.get(key)
-        if hit is not None and hit[0].sameResult(ac) and hit[1].sameResult(ae):
-            return hit[2]
+    """(doc_id, gram) matched pairs: corpus grams ⋈ broadcast eval grams.
+
+    Lazy, built fresh per call (r13): the r6-era memo that persisted the
+    hits frame per (corpus plan, eval plan) served a warm table to every
+    later identical call — including a bench's second timed iteration —
+    and each consumer reads the frame exactly once per query, so the
+    persist bought nothing within a single plan."""
     eval_grams = _doc_grams(eval_docs, n, text_col, id_col).select("gram").distinct()
     corpus_grams = _doc_grams(corpus, n, text_col, id_col)
-    hits = corpus_grams.join(F.broadcast(eval_grams), "gram")
-    if key is not None:
-        hits = hits.persist()
-        while len(_OVERLAP_CACHE) >= _OVERLAP_CACHE_SLOTS:
-            # evict OLDEST first (popitem() is LIFO and would pin the
-            # first-inserted entry forever under slot rotation)
-            old = _OVERLAP_CACHE.pop(next(iter(_OVERLAP_CACHE)))
-            try:
-                old[2].unpersist()
-            except Exception:
-                # the frame is being discarded anyway; after a SparkSession
-                # restart in the same process the stale entry's DataFrame
-                # belongs to a stopped context and unpersist() raises
-                pass
-        _OVERLAP_CACHE[key] = (ac, ae, hits)
-    return hits
+    return corpus_grams.join(F.broadcast(eval_grams), "gram")
 
 
 def ngram_overlap(
@@ -136,12 +90,6 @@ def ngram_overlap(
 
     Returns (doc_id, n_overlap_grams, first_gram) — first_gram (the
     lexicographic minimum) pins a human-checkable witness per hit.
-
-    Staleness caveat: the shared gram-overlap table is memoized per
-    (application, corpus plan, eval plan) — rewriting the parquet at the
-    same path mid-session returns the cached result (same contract as the
-    chunking span cache). Call :func:`clear_overlap_cache` after rewriting
-    inputs in place.
     """
     hits = _overlap_hits(corpus, eval_docs, n, text_col, id_col)
     return hits.groupBy("doc_id").agg(
@@ -158,10 +106,7 @@ def decontaminate(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """The filter pass: corpus minus eval docs minus any doc overlapping
-    the eval set — a broadcast anti-join, no wide shuffle of doc bodies.
-
-    Shares :func:`ngram_overlap`'s memoized hits table and inherits its
-    staleness caveat (see :func:`clear_overlap_cache`)."""
+    the eval set — a broadcast anti-join, no wide shuffle of doc bodies."""
     dirty = _overlap_hits(corpus, eval_docs, n, text_col, id_col).select(
         F.col("doc_id").alias("_dirty_id")
     )

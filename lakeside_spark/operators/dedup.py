@@ -56,6 +56,13 @@ MINHASH_AB = [
     (33_614, 95_070_637),
 ]
 
+#: Collect gate for the sparse Gram pair kernel (_gram_pair_counts): the
+#: maximum (doc_id, shingle) row count the driver will pull before the
+#: kernel path is even considered. ONE constant shared by every gate site
+#: (jaccard auto-probe, containment exact path, winnow pair stage) so a
+#: retune cannot leave the sites disagreeing (r12 ADVICE).
+GRAM_KERNEL_MAX_NNZ = 4 * 1024 * 1024
+
 
 # Single shared under-parallel gate: one implementation (the kernels in
 # multimodal/audiofp/chunking import it from similarity too) so the
@@ -125,6 +132,7 @@ def _gram_pair_counts(
     products_cap: int = 256 * 1024 * 1024,
     measure: str = "jaccard",
     max_df: int | None = None,
+    products_per_task: int = 2 * 1024 * 1024,
 ) -> DataFrame | None:
     """Exact all-pairs shingle intersections via a row-block-parallel
     SPARSE Gram: per doc-block, a vectorized merge-join on the shingle
@@ -201,18 +209,35 @@ def _gram_pair_counts(
     sizes = np.bincount(d_codes, minlength=n).astype(np.int64)
     par = spark.sparkContext.defaultParallelism
     # ~2M products per task bounds per-task arrays to tens of MB
-    n_tasks = int(max(1, min(par, products // (2 * 1024 * 1024) + 1, n)))
-    blk = (n + n_tasks - 1) // n_tasks
+    n_tasks = int(max(1, min(par, products // products_per_task + 1, n)))
+    # block boundaries by cumulative per-doc PRODUCT MASS (Σ run_len of
+    # the doc's entries), not equal doc counts (r12 ADVICE): with equal
+    # doc ranges one skewed block — e.g. a doc holding most entries of
+    # hot shingles — could own nearly the whole products budget, making
+    # its per-task expansion arrays multi-GB instead of the documented
+    # tens of MB. searchsorted on the mass prefix sum cuts blocks at
+    # ~products/n_tasks each; a block emptied by the cut is skipped.
+    doc_mass = np.bincount(
+        d_sorted, weights=len_of.astype(np.float64), minlength=n
+    )
+    cut = np.cumsum(doc_mass)
+    targets = (products / n_tasks) * np.arange(1, n_tasks)
+    bounds = np.minimum(
+        np.concatenate(
+            ([0], np.searchsorted(cut, targets, side="left") + 1, [n])
+        ).astype(np.int64),
+        n,
+    )
     bc = spark.sparkContext.broadcast(
-        (d_sorted, start_of, len_of, sizes, d_ids, n)
+        (d_sorted, start_of, len_of, sizes, d_ids, n, bounds)
     )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        ds, start_of, len_of, sizes, ids, n = bc.value
+        ds, start_of, len_of, sizes, ids, n, bounds = bc.value
         for part in batches:
             for k in part["k"].to_numpy(np.int64):
-                lo, hi = int(k) * blk, min(int(k) * blk + blk, n)
-                if lo >= n:
+                lo, hi = int(bounds[k]), int(bounds[k + 1])
+                if lo >= hi:
                     continue
                 be = np.flatnonzero((ds >= lo) & (ds < hi))
                 if not len(be):
@@ -276,7 +301,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     strategy: str = "auto",
     kernel_max_docs: int = 50_000,
-    kernel_max_nnz: int = 4 * 1024 * 1024,
+    kernel_max_nnz: int = GRAM_KERNEL_MAX_NNZ,
     eager: bool = True,
 ) -> DataFrame:
     """Exact Jaccard near-dup pairs (id_a < id_b, jaccard ≥ threshold).
@@ -324,7 +349,7 @@ def _jaccard_pairs_from_shingles(
     threshold: float,
     strategy: str = "auto",
     kernel_max_docs: int = 50_000,
-    kernel_max_nnz: int = 4 * 1024 * 1024,
+    kernel_max_nnz: int = GRAM_KERNEL_MAX_NNZ,
 ) -> DataFrame:
     """Exact jaccard pairs from pre-computed (doc_id, shingle) rows — the
     strategy probe + kernel/join split shared by ngram_jaccard_pairs and
@@ -839,15 +864,18 @@ def hamming_pairs(
     to be small): at corpus scale the caller must tighten the budget (so
     bits // (max_hamming+1) >= 8) or widen the signature.
     """
-    # persisted: the self-join below references this frame on BOTH sides,
-    # and without the cache the whole upstream signature subtree (often a
-    # Python fingerprint kernel — simhash md5 tally, image pHash DCT,
-    # audio FFT) is duplicated per side. Two thin columns (id + one
-    # int64), so the cache is corpus-count × ~16B and spills gracefully;
-    # the context cleaner drops it once the result frame is unreachable.
+    # materialized once (eager localCheckpoint): the self-join below
+    # references this frame on BOTH sides, and without it the whole
+    # upstream signature subtree (often a Python fingerprint kernel —
+    # simhash md5 tally, image pHash DCT, audio FFT) is duplicated per
+    # side. Two thin columns (id + one int64), so the blocks are
+    # corpus-count × ~16B. Not persist (r13): the persisted frame was
+    # never unpersisted, so CacheManager kept it for the session and
+    # warm-served later identical calls — checkpoint blocks are
+    # context-cleaned once the result frame is dropped.
     sh = hashes.select(
         F.col(id_col).alias("doc_id"), F.col(hash_col).alias("__h")
-    ).persist()
+    ).localCheckpoint(eager=True)
     bands = max_hamming + 1
     band_bits = bits // bands
     hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
@@ -1048,7 +1076,7 @@ def _containment_pairs_from_shingles(
     the explode-join below as the distributed/hot-shingle fallback."""
     if candidates is None:
         nnz = ex.count()
-        if nnz <= 4 * 1024 * 1024:
+        if nnz <= GRAM_KERNEL_MAX_NNZ:
             counts = _gram_pair_counts(ex, threshold, measure="containment")
             if counts is not None:
                 cont = F.col("n_common") / F.least(F.col("n_a"), F.col("n_b"))
@@ -1071,6 +1099,13 @@ def _containment_pairs_from_shingles(
             F.broadcast(cand_ids), F.col("doc_id") == F.col("__cand_id"), "leftsemi"
         )
     sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    # join on the 64-bit shingle hash, not the string (r13, the jaccard
+    # fallback's rule): narrower shuffle rows and cheaper key compares,
+    # and BOTH strategies (kernel and join) now share the same accepted
+    # ~n²/2^65 collision tolerance — previously the kernel intersected on
+    # xxhash64 while this fallback joined raw strings, an asymmetry a
+    # collision could have exposed as a strategy-dependent count
+    ex = ex.select("doc_id", F.xxhash64("shingle").alias("shingle"))
     a, b = ex.alias("a"), ex.alias("b")
     inter = (
         a.join(
@@ -1106,6 +1141,7 @@ def ngram_containment_pairs(
     id_col: str = "doc_id",
     strategy: str = "auto",
     exact_max_docs: int = 50_000,
+    eager: bool = True,
 ) -> DataFrame:
     """n-gram CONTAINMENT pairs: containment(a,b) =
     |A∩B| / min(|A|, |B|) ≥ threshold (id_a < id_b).
@@ -1136,18 +1172,28 @@ def ngram_containment_pairs(
     "auto" probes the corpus size with one agg over the cached shingle
     rows and takes "prefix" above ``exact_max_docs``.
 
-    Shingle rows persist for the session lifetime (same contract as
-    ngram_jaccard_pairs — the pass is shared by prefixes and verify).
-    The candidate frame is NOT persisted: both of its consumers sit in
-    one final plan, where Catalyst reuses the candidate exchange, and
-    recomputation starts from the persisted shingles anyway.
+    Shingle rows are persisted for the duration of the call only (the
+    ngram_jaccard_pairs idiom, r13): the pair-sized result is
+    materialized with an eager localCheckpoint and the corpus-sized
+    shingle cache released before returning — previously it leaked one
+    CacheManager entry per call for the session lifetime. ``eager=False``
+    returns the lazy plan with the shingle cache left to the caller
+    (plan-inspection tests). The candidate frame is NOT persisted: both
+    of its consumers sit in one final plan, where Catalyst reuses the
+    candidate exchange, and recomputation starts from the persisted
+    shingles anyway.
     """
     ex = _shingled_rows(docs, text_col, id_col, n).persist()
     if strategy == "auto":
         n_docs = ex.agg(F.approx_count_distinct("doc_id")).first()[0]
         strategy = "exact" if n_docs <= exact_max_docs else "prefix"
     if strategy == "exact":
-        return _containment_pairs_from_shingles(ex, threshold)
+        out = _containment_pairs_from_shingles(ex, threshold)
+        if not eager:
+            return out
+        out = out.localCheckpoint(eager=True)
+        ex.unpersist()
+        return out
     if strategy != "prefix":
         raise ValueError(
             f"ngram_containment_pairs: unknown strategy {strategy!r} "
@@ -1179,4 +1225,9 @@ def ngram_containment_pairs(
         )
         .distinct()
     )
-    return _containment_pairs_from_shingles(ex, threshold, candidates=candidates)
+    out = _containment_pairs_from_shingles(ex, threshold, candidates=candidates)
+    if not eager:
+        return out
+    out = out.localCheckpoint(eager=True)
+    ex.unpersist()
+    return out

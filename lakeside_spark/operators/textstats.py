@@ -191,12 +191,16 @@ def ngram_novelty(
         ),
         bytes_per_task=64 << 10,
     )
-    # persisted at the per-doc shingle-ARRAY grain: the exploded stream
-    # has two consumers (the DF-count shuffle and the scoring join), and
-    # without the cache each re-runs the shingle-building codegen — the
-    # dominant cost — from the scan. Re-exploding a cached array is
-    # cheap; the cache is ≈ corpus text sized and spills gracefully.
-    arrs = src.select("doc_id", shingles("__t", n).alias("__ngs")).persist()
+    # materialized once at the per-doc shingle-ARRAY grain (eager
+    # localCheckpoint): the exploded stream has two consumers (the
+    # DF-count shuffle and the scoring join), and without it each re-runs
+    # the shingle-building codegen — the dominant cost — from the scan.
+    # Re-exploding the array is cheap; blocks ≈ corpus text sized, spill
+    # to disk, and are context-cleaned once the result frame is dropped
+    # (persist leaked a CacheManager entry per call, r13).
+    arrs = src.select(
+        "doc_id", shingles("__t", n).alias("__ngs")
+    ).localCheckpoint(eager=True)
     pairs = arrs.select("doc_id", F.explode("__ngs").alias("ng"))
     common = (
         pairs.groupBy("ng")
@@ -350,12 +354,17 @@ def bigram_nll(
         bytes_per_task=64 << 10,
     )
     ws = F.filter(words("__t"), lambda w: w.isNotNull() & (w != F.lit("")))
-    # persisted: five consumers below (firsts x2, pairs-derived uni/big/
-    # ctx/scoring) would each re-run the regexp tokenize — the dominant
-    # per-task cost — where re-exploding a cached token array is cheap.
-    # Token-array-sized (≈ corpus text), spills gracefully; the context
-    # cleaner drops it once the result frame is unreachable.
-    seqs = raw.select("doc_id", ws.alias("ws")).filter(F.size("ws") > 0).persist()
+    # materialized once (eager localCheckpoint): five consumers below
+    # (firsts x2, pairs-derived uni/big/ctx/scoring) would each re-run
+    # the regexp tokenize — the dominant per-task cost — where
+    # re-exploding the token array is cheap. Token-array-sized (≈ corpus
+    # text), spills to disk; context-cleaned once the result frame is
+    # dropped (persist leaked a CacheManager entry per call, r13).
+    seqs = (
+        raw.select("doc_id", ws.alias("ws"))
+        .filter(F.size("ws") > 0)
+        .localCheckpoint(eager=True)
+    )
     firsts = seqs.select(
         "doc_id", F.try_element_at("ws", F.lit(1)).alias("w")
     )

@@ -114,14 +114,18 @@ def winnow_overlap(
     are dropped before pairing (boilerplate guard; a print shared by
     thousands of docs identifies a template, not a pair — the df-cut is
     the published practice in MOSS-scale deployments)."""
-    # persist the thin (doc_id, fp) frame: the df-cut aggregation and BOTH
-    # sides of the fp self-join reference it, and without the cache each
-    # consumer re-runs the Python winnow kernel from the text scan (4
-    # MapInPandas nodes in the r12 before-plan). Fingerprint density is
-    # ~2/(w+1) of the gram stream, so the cache is a small fraction of
-    # corpus text; released by the context cleaner once unreachable (the
-    # repo's hamming_pairs/bm25 idiom).
-    fps = winnow_fingerprints(docs, k, w, text_col, id_col).persist()
+    # materialize the thin (doc_id, fp) frame once (eager localCheckpoint):
+    # the df-cut aggregation and BOTH sides of the fp self-join reference
+    # it, and without it each consumer re-runs the Python winnow kernel
+    # from the text scan (4 MapInPandas nodes in the r12 before-plan).
+    # Fingerprint density is ~2/(w+1) of the gram stream, so the blocks
+    # are a small fraction of corpus text. localCheckpoint, not persist
+    # (r13): the persisted frame was never unpersisted, so CacheManager
+    # held it for the session and served it to every later identical plan
+    # — the checkpoint is owned by the returned frame and context-cleaned.
+    fps = winnow_fingerprints(docs, k, w, text_col, id_col).localCheckpoint(
+        eager=True
+    )
     # r12: the df-cut + fp self-join + pair groupBy collapse into the
     # shared sparse Gram kernel (operators/dedup._gram_pair_counts,
     # measure="count": |shared prints| ≥ min_shared, max_df applied to
@@ -130,10 +134,13 @@ def winnow_overlap(
     # stream, so they usually do. Identical pair multiset (pinned by
     # the kernel-vs-join pytest); the distributed join below remains
     # the over-gate / kernel-declined fallback.
-    from lakeside_spark.operators.dedup import _gram_pair_counts
+    from lakeside_spark.operators.dedup import (
+        GRAM_KERNEL_MAX_NNZ,
+        _gram_pair_counts,
+    )
 
     nnz = fps.count()
-    if nnz <= 4 * 1024 * 1024:
+    if nnz <= GRAM_KERNEL_MAX_NNZ:
         counts = _gram_pair_counts(
             fps.select("doc_id", F.col("fp").alias("shingle")),
             float(min_shared),

@@ -200,9 +200,12 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakeside_spark.operators.similarity import ann_ivf as _ann_ivf
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # no cache_key (r13): a single call trains its quantizer once anyway;
+    # the sf_dir-keyed module cache only served RETRAINING-FREE repeat
+    # calls — including the bench's second timed iteration, which must
+    # pay the full cost from the parquet inputs
     return _ann_ivf(
         emb, emb.filter(F.col("vec_id") < 5), k=5, n_cells=16, n_probe=6,
-        cache_key=f"{sf_dir}:embeddings",
     )
 
 
@@ -218,9 +221,9 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakeside_spark.operators.similarity import ann_pq as _ann_pq
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # no cache_key (r13): see ann_ivf — repeat calls must retrain
     return _ann_pq(
         emb, emb.filter(F.col("vec_id") < 5), k=5, m_subs=16, n_codes=64,
-        cache_key=f"{sf_dir}:embeddings",
     )
 
 
@@ -450,10 +453,11 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    # persisted: consumed twice (directly and under the perturbation
-    # kernel); the frame is corpus-count × ~1KB PNGs and Spark's context
-    # cleaner drops it once unreachable
-    base = synthesize_images(docs, width=32, height=32).persist()
+    # materialized once (eager localCheckpoint): consumed twice (directly
+    # and under the perturbation kernel); the blocks are corpus-count ×
+    # ~1KB PNGs, owned by the returned frame and context-cleaned once it
+    # is dropped (persist leaked a CacheManager entry per call, r13)
+    base = synthesize_images(docs, width=32, height=32).localCheckpoint(eager=True)
     variants = perturb_images(base.filter(F.col("doc_id") % 50 == 0))
     return phash_pairs(base.select("doc_id", "media").unionByName(variants), max_hamming=6)
 
@@ -472,9 +476,10 @@ def multimodal_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    # persisted: consumed twice (directly and under the perturbation
-    # kernel) — without the cache the synth kernel runs twice per query
-    base = synthesize_audio(docs).persist()
+    # materialized once (eager localCheckpoint): consumed twice (directly
+    # and under the perturbation kernel) — without it the synth kernel
+    # runs twice per query; not persist (r13, the CacheManager leak)
+    base = synthesize_audio(docs).localCheckpoint(eager=True)
     variants = perturb_audio(base.filter(F.col("doc_id") % 50 == 0))
     return audio_pairs(base.unionByName(variants), max_hamming=5)
 
@@ -572,9 +577,9 @@ def multimodal_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") % 20 == 0
     )
-    # persisted: consumed twice (directly and under the perturbation
-    # kernel) — same pattern as the audio dedup key
-    base = synthesize_videos(docs, n_frames=6, size=16).persist()
+    # materialized once (eager localCheckpoint): consumed twice (directly
+    # and under the perturbation kernel) — same pattern as the audio key
+    base = synthesize_videos(docs, n_frames=6, size=16).localCheckpoint(eager=True)
     variants = perturb_videos(base.filter(F.col("doc_id") % 100 == 0))
     return video_pairs(base.unionByName(variants), max_hamming=6)
 
@@ -832,7 +837,15 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     qs = emb.filter(F.col("vec_id") < 20)
-    ck = f"{sf_dir}:embeddings"
+    # per-CALL cache scope (r13): the key is a fresh uuid so the panel's
+    # siblings (ivf↔ivf_ma quantizer, pq↔pq_opq training sample) still
+    # train exactly once WITHIN this call, but a later call — the bench's
+    # second timed iteration — retrains from the parquet inputs instead
+    # of reading a module-level memo keyed on the testdata path; the
+    # entries are purged before returning
+    import uuid as _uuid
+
+    ck = f"recall-panel-{_uuid.uuid4()}"
     # The panel rows are independent Spark jobs over the same corpus —
     # submit them from driver threads so local/cluster task slots stay
     # saturated instead of paying seven serial job latencies. The IVF
@@ -883,6 +896,13 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         exact = {(r["q_id"], r["n_id"]): r["cos"] for r in f_exact.result()}
         results = {m: f.result() for m, f in futs.items()}
+
+    # drop this call's training entries (small numpy arrays, but a
+    # per-call uuid key would otherwise accumulate one set per call)
+    from lakeside_spark.operators.similarity import _CODEBOOK_CACHE
+
+    for k in [k for k in _CODEBOOK_CACHE if ck in k]:
+        _CODEBOOK_CACHE.pop(k, None)
 
     rows = []
     for method in sorted(results):

@@ -1626,7 +1626,11 @@ def streaming_replay_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_type").alias("name"),
             "event_id",
         )
-        .filter(F.col("name").isNotNull())
+        # ts guard (r12 ADVICE): a null ts passes the name-only filter as
+        # a null-hour group whose raw_lo/raw_hi are None, and the driver
+        # min()/max() below would raise TypeError — the pre-fused code
+        # ignored such rows via its bounds job, so keep ignoring them
+        .filter(F.col("name").isNotNull() & F.col("ts_ms").isNotNull())
     )
     hour = 3_600_000
     # ONE aggregation job: the raw-ms bounds the cutoffs derive from ride

@@ -1822,7 +1822,9 @@ WHERE doc_id NOT IN (SELECT doc_id FROM drop_ids)""",
 )
 
 
-def corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+def corpus_curate(
+    spark: SparkSession, sf_dir: str, eager: bool = True
+) -> DataFrame:
     """The full training-data curation pipeline in one query: quality gate
     (score ≥ 0.5, length band) → Gopher repetition/shape gate → benchmark
     decontamination (eval split = doc_id % 20 == 0) → near-dup removal
@@ -1847,15 +1849,25 @@ def corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("doc_id") % 20 != 0)
         & (quality_expr("text") >= 0.5)
     )
-    # persist the gate-survivor frame: it feeds THREE consumers — the
-    # decontamination hits build (via _overlap_hits), the jaccard shingle
-    # materialization, and the final anti-join's left side — and without
-    # the cache each one re-runs the Gopher Arrow kernel from the scan
-    # (3 MapInPandas chains in the r12 before-plan). The cache is gate
-    # survivors only (quality+length+split already applied at the scan),
-    # a corpus fraction; released by the context cleaner once unreachable
-    # (the repo's bm25/winnow idiom).
-    gated = gopher_filter(pre, keep=("lang", "source", "n_chars", "text")).persist()
+    # materialize the gate-survivor frame once (eager localCheckpoint):
+    # it feeds THREE consumers — the decontamination hits build (via
+    # _overlap_hits), the jaccard shingle materialization, and the final
+    # anti-join's left side — and without it each one re-runs the Gopher
+    # Arrow kernel from the scan (3 MapInPandas chains in the r12
+    # before-plan). Gate survivors only (quality+length+split already
+    # applied at the scan), a corpus fraction. localCheckpoint, not
+    # persist (r13): the persisted frame was never unpersisted, so
+    # CacheManager kept it for the session lifetime — checkpoint blocks
+    # are owned by the returned frame and context-cleaned once dropped.
+    gated = gopher_filter(pre, keep=("lang", "source", "n_chars", "text"))
+    if eager:
+        gated = gated.localCheckpoint(eager=True)
+    else:
+        # plan-inspection escape hatch (the dedup eager=False convention):
+        # the lazy plan keeps the gate filters and the single Gopher
+        # kernel visible; the duplicate subtrees it would execute with
+        # are exactly what the eager checkpoint exists to avoid
+        gated = gated.persist()
     ev = docs.filter(F.col("doc_id") % 20 == 0)
     kept = decontaminate(gated, ev, n=5)
     pairs = ngram_jaccard_pairs(kept, threshold=0.12)

@@ -2115,6 +2115,46 @@ class TestEmbeddingWhitening:
         emb = load_table(spark, sf_dir, "embeddings").filter("vec_id < 0")
         assert embedding_whitening(emb).count() == 0
 
+    def test_reduce_packed9_byte_gate_fallback_is_bit_identical(
+        self, spark, sf_dir
+    ):
+        """The byte-bound collect gate (r13): the distributed
+        decimal(38,0) fallback must produce the IDENTICAL integer moments
+        as the driver-side Python-int collect — forced here by shrinking
+        max_collect_bytes to 0 so any real packed row overflows the
+        gate."""
+        from pyspark.sql import functions as F
+
+        from lakeside_spark.operators.similarity import (
+            _parallelize,
+            _reduce_packed9,
+        )
+        from lakeside_spark.sources.tables import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings").filter("vec_id < 40")
+        mapped = _parallelize(emb.select("embedding")).select(
+            F.array(
+                F.size("embedding").cast("long"),
+                F.aggregate(
+                    F.transform(
+                        "embedding",
+                        lambda x: F.round(x * 1e9).cast("long"),
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda a, x: a + x,
+                ),
+            ).alias("p")
+        )
+        via_collect = _reduce_packed9(mapped, packed_len=2)
+        # packed_len known and over budget -> distributed decimal path
+        via_dist = _reduce_packed9(mapped, packed_len=2, max_collect_bytes=0)
+        assert via_collect is not None and via_dist is not None
+        assert via_collect == via_dist
+        # parts-bound backstop still forces the fallback when length is
+        # unknown
+        via_parts = _reduce_packed9(mapped, max_collect_parts=0)
+        assert via_parts == via_collect
+
 
 class TestCollocations:
     def test_short_docs_and_pmi_ordering(self, spark):
@@ -2523,8 +2563,12 @@ def test_containment_prefix_gate(spark):
             df, threshold=0.5, strategy="exact"
         ).collect()
     }
-    # exact_max_docs=0 forces the auto probe over the gate
-    gated = ngram_containment_pairs(df, threshold=0.5, exact_max_docs=0)
+    # exact_max_docs=0 forces the auto probe over the gate; eager=False
+    # keeps the lazy plan inspectable (the eager localCheckpoint would
+    # truncate it to a checkpoint scan, r13)
+    gated = ngram_containment_pairs(
+        df, threshold=0.5, exact_max_docs=0, eager=False
+    )
     plan = gated._jdf.queryExecution().executedPlan().toString()
     assert "LeftSemi" in plan, plan
     got = {
@@ -2983,3 +3027,37 @@ def test_jaccard_sparse_kernel_parity_and_products_cap(spark):
     finally:
         _D._gram_pair_counts = orig
     assert wk == wj
+
+
+def test_jaccard_sparse_kernel_mass_balanced_blocks(spark):
+    """r13 (ADVICE): kernel block boundaries follow cumulative per-doc
+    PRODUCT MASS, not equal doc counts. A corpus where the low-id docs
+    carry all the hot-shingle mass and the high-id docs are near-unique
+    must still produce join-identical pairs — the boundary math (prefix
+    sum + searchsorted, empty-block skip) is what this pins, with
+    products_per_task shrunk so the boundaries really cut many blocks."""
+    from lakeside_spark.operators.dedup import (
+        _gram_pair_counts,
+        _jaccard_from_counts,
+        _shingled_rows,
+        ngram_jaccard_pairs,
+    )
+
+    hot = "alpha beta gamma delta epsilon zeta"
+    rows = [(i, hot + f" tail{i % 3}") for i in range(12)] + [
+        (100 + i, f"unique{i} solitary{i} words{i} never{i} shared{i} once{i}")
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    ex = _shingled_rows(df, "text", "doc_id", 3)
+    counts = _gram_pair_counts(ex, 0.2, products_per_task=20)
+    assert counts is not None
+    k = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in _jaccard_from_counts(counts, 0.2).collect()
+    }
+    j = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, 0.2, strategy="join").collect()
+    }
+    assert k == j and len(k) > 0

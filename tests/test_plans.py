@@ -241,16 +241,31 @@ def test_parallelize_passthrough_when_already_parallel(spark, sf_dir):
 def test_corpus_curate_single_scan_gates(spark, sf_dir):
     """The quality/length/split gates must be filters at the documents
     scan (no semi-joins against derived projections), and decontamination
-    must broadcast its dirty-id side."""
-    plan = _plan(spark, sf_dir, "corpus_curate")
+    must broadcast its dirty-id side. eager=False keeps the gate subtree
+    inspectable (the default eager localCheckpoint truncates it, r13)."""
+    from lakeside_spark.registry.text import corpus_curate
+
+    df = corpus_curate(spark, sf_dir, eager=False)
+    plan = df._jdf.queryExecution().executedPlan().toString()
     assert "LeftSemi" not in plan, plan
     scan_lines = [l for l in plan.splitlines() if "FileScan" in l and "documents" in l]
     assert scan_lines, plan
     # the doc_id % 20 split gate reaches the scan as a data filter
     assert any("n_chars" in l for l in scan_lines), scan_lines
-    # the gate-survivor frame is cached (r12): the Gopher Arrow kernel must
-    # run once, not once per consumer (hits build / shingles / final anti-join)
+    # the gate-survivor frame is shared (one InMemoryRelation): the
+    # Gopher kernel runs once inside it, not once per consumer — the
+    # lazy-plan kernel census is gopher(1, shared) + decontam gram
+    # kernels + the jaccard shingle kernel; the r12 before-plan carried
+    # 3 duplicated gopher chains on top of that
     assert "InMemoryRelation" in plan, plan[:2000]
+    assert plan.count("MapInPandas") <= 4, plan[:2000]
+    # the DEFAULT (benched) path materializes the gate survivors at build
+    # time: the returned plan reads the checkpoint (no gopher re-run; the
+    # decontam gram kernels legitimately remain — they feed the final
+    # anti-join's broadcast side once)
+    plan_eager = _plan(spark, sf_dir, "corpus_curate")
+    assert "Scan ExistingRDD" in plan_eager, plan_eager[:2000]
+    assert plan_eager.count("MapInPandas") <= 3, plan_eager[:2000]
 
 
 def test_funnel_no_cartesian_and_pushed_step_filters(spark, sf_dir):
@@ -537,17 +552,21 @@ def test_exact_substr_plan_shape(spark, sf_dir):
     win_at = plan.find("Window")
     assert win_at != -1, plan[:2000]
     assert "Exchange hashpartitioning(doc_id" not in plan[:win_at], plan[:win_at]
-    # the per-doc gram arrays are cached (r12): the sliding-gram md5 pass
-    # must run once, not once per consumer (count agg / join probe side)
-    assert "InMemoryRelation" in plan, plan[:2000]
+    # the per-doc gram arrays are checkpointed once (r13, was persisted
+    # in r12): the sliding-gram md5 pass runs at build time and must not
+    # reappear per consumer (count agg / join probe side)
+    assert "Scan ExistingRDD" in plan, plan[:2000]
+    assert "md5" not in plan, plan[:2000]
     # the removal action shares the anchor plan and must stay equi-join
     # shaped as well (anti-join on (doc_id, pos), never a range/cross)
     plan2 = _plan(spark, sf_dir, "corpus_substr_scrub")
     assert "CartesianProduct" not in plan2
     assert "BroadcastNestedLoopJoin" not in plan2
-    # scrub keeps tokens in the same cache: tokenize runs once, not four
-    # times (gram pass ×2 + token stream + per-doc length)
-    assert "InMemoryRelation" in plan2, plan2[:2000]
+    # scrub keeps tokens in the same checkpointed arrays: tokenize runs
+    # once at build time, not four times (gram pass ×2 + token stream +
+    # per-doc length)
+    assert "Scan ExistingRDD" in plan2, plan2[:2000]
+    assert "regexp" not in plan2, plan2[:2000]
 
 
 def test_attribution_chain_plan_shape(spark, sf_dir):
