@@ -53,6 +53,22 @@ def _band_energies(mono: np.ndarray) -> np.ndarray:
     return out
 
 
+def _fp_val(e: np.ndarray) -> int:
+    """Pack the [N_WINDOWS, N_BANDS] band energies into the 49-bit
+    double-difference signature — shared by audio_fingerprint (decoded
+    media) and the fused synth_audio_fingerprint."""
+    val = 0
+    bit = 0
+    for wi in range(1, N_WINDOWS):
+        for bi in range(N_BANDS - 1):
+            if (e[wi, bi] - e[wi - 1, bi]) - (
+                e[wi, bi + 1] - e[wi - 1, bi + 1]
+            ) > 0:
+                val |= 1 << bit
+            bit += 1
+    return val
+
+
 def audio_fingerprint(
     df: DataFrame, binary_col: str = "media", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -70,17 +86,8 @@ def audio_fingerprint(
                     e = _band_energies(samples.mean(axis=1))
                 except (ValueError, EOFError, wave_error):
                     continue
-                val = 0
-                bit = 0
-                for wi in range(1, N_WINDOWS):
-                    for bi in range(N_BANDS - 1):
-                        if (e[wi, bi] - e[wi - 1, bi]) - (
-                            e[wi, bi + 1] - e[wi - 1, bi + 1]
-                        ) > 0:
-                            val |= 1 << bit
-                        bit += 1
                 ids.append(int(did))
-                fps.append(val)
+                fps.append(_fp_val(e))
             yield pd.DataFrame(
                 {
                     id_col: pd.Series(ids, dtype="int64"),
@@ -122,8 +129,6 @@ def synthesize_audio(
     construction, which is what the window-difference fingerprint keys
     on (a flat tone has no spectral dynamics to sign). Encoded with the
     stdlib PCM codec."""
-    import hashlib
-
     schema = f"{id_col} bigint, media binary"
     n = int(rate * seconds)
 
@@ -133,22 +138,97 @@ def synthesize_audio(
         for pdf in it:
             ids, blobs = [], []
             for did, text in zip(pdf[id_col], pdf[text_col]):
-                seed = (text or "").encode()
-                d = hashlib.md5(seed).digest() + hashlib.md5(seed + b"1").digest()
-                sig = np.zeros(n)
-                for k in range(3):
-                    freq = 100 + (d[k * 3] << 4 | d[k * 3 + 1] >> 4)
-                    freq = min(freq, rate // 2 - 100)
-                    phase = d[k * 3 + 2] / 255.0 * 2 * np.pi
-                    env_bytes = d[9 + k * N_WINDOWS - k : 9 + (k + 1) * N_WINDOWS - k]
-                    env = 0.1 + 0.9 * (
-                        np.frombuffer(bytes(env_bytes), dtype=np.uint8) / 255.0
-                    )
-                    sig += env[win] * np.sin(2 * np.pi * freq * t + phase)
+                sig = _synth_signal(text, n, rate, t, win)
                 ids.append(int(did))
-                blobs.append(codecs.wav_encode(sig / 3.0, rate=rate))
+                blobs.append(codecs.wav_encode(sig, rate=rate))
             yield pd.DataFrame(
                 {id_col: pd.Series(ids, dtype="int64"), "media": blobs}
+            )
+
+    return _parallelize(docs.select(id_col, text_col)).mapInPandas(batches, schema)
+
+
+def _synth_signal(
+    text: str | None, n: int, rate: int, t: np.ndarray, win: np.ndarray
+) -> np.ndarray:
+    """The float signal stage of synthesize_audio (already scaled by 1/3,
+    i.e. exactly what wav_encode receives) — split out so the fused
+    text→fingerprint kernel shares one definition with the WAV emitter."""
+    import hashlib
+
+    seed = (text or "").encode()
+    d = hashlib.md5(seed).digest() + hashlib.md5(seed + b"1").digest()
+    sig = np.zeros(n)
+    for k in range(3):
+        freq = 100 + (d[k * 3] << 4 | d[k * 3 + 1] >> 4)
+        freq = min(freq, rate // 2 - 100)
+        phase = d[k * 3 + 2] / 255.0 * 2 * np.pi
+        env_bytes = d[9 + k * N_WINDOWS - k : 9 + (k + 1) * N_WINDOWS - k]
+        env = 0.1 + 0.9 * (
+            np.frombuffer(bytes(env_bytes), dtype=np.uint8) / 255.0
+        )
+        sig += env[win] * np.sin(2 * np.pi * freq * t + phase)
+    return sig / 3.0
+
+
+def _pcm_roundtrip(x: np.ndarray) -> np.ndarray:
+    """float signal → exactly what wav_decode returns after wav_encode:
+    16-bit PCM quantization (clip to int16 range) scaled back by 1/32768.
+    The fused kernels apply this wherever the chained path crosses a WAV
+    encode/decode boundary, so fused and chained fingerprints see
+    bit-identical samples."""
+    return (
+        np.clip(x * 32767.0, -32768, 32767).astype("<i2").astype(np.float64)
+        / 32768.0
+    )
+
+
+def synth_audio_fingerprint(
+    docs: DataFrame,
+    rate: int = 8000,
+    seconds: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    perturb: bool = False,
+    gain: float = 0.7,
+    noise: float = 0.002,
+    id_offset: int = 1_000_000,
+) -> DataFrame:
+    """text → 49-bit audio fingerprint in ONE Arrow kernel: the fused
+    form of synthesize_audio → [perturb_audio →] audio_fingerprint for
+    synthetic corpora (guide §4). The chained shape ships an ~8KB WAV per
+    doc to the JVM, checkpoints it, then ships it back to a second kernel
+    that immediately PCM-decodes it; _pcm_roundtrip replays the int16
+    quantization at every encode/decode boundary the chain crosses, so
+    the fused fingerprints are bit-identical (parity pytest) with no blob
+    traffic. ``perturb=True`` applies perturb_audio's exact edit (gain +
+    doc_id-seeded noise, clipped, re-quantized) and id shift."""
+    schema = f"{id_col} bigint, afp bigint"
+    n = int(rate * seconds)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        t = np.arange(n) / rate
+        win = (np.arange(n) * N_WINDOWS // n).clip(0, N_WINDOWS - 1)
+        for pdf in it:
+            ids, fps = [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                mono = _pcm_roundtrip(_synth_signal(text, n, rate, t, win))
+                if perturb:
+                    rng = np.random.default_rng(int(did))
+                    mono = _pcm_roundtrip(
+                        np.clip(mono * gain + rng.normal(0, noise, n), -1, 1)
+                    )
+                try:
+                    e = _band_energies(mono)
+                except ValueError:
+                    continue
+                ids.append(int(did) + (id_offset if perturb else 0))
+                fps.append(_fp_val(e))
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "afp": pd.Series(fps, dtype="int64"),
+                }
             )
 
     return _parallelize(docs.select(id_col, text_col)).mapInPandas(batches, schema)

@@ -64,6 +64,22 @@ def synthesize_media(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("media", F.encode(F.col(text_col), "UTF-8"))
 
 
+def _synth_gray(text: str | None, width: int, height: int) -> np.ndarray:
+    """The pixel stage of synthesize_images: md5 stream of the text seeds
+    a (height, width) uint8 gray image. Split out so the fused text→hash
+    kernel (synth_phash64) and the PNG-emitting synthesize_images share
+    one definition — the two must stay byte-identical for the fusion's
+    parity contract."""
+    n = width * height
+    seed = (text or "").encode()
+    stream = bytearray()
+    counter = 0
+    while len(stream) < n:
+        stream += hashlib.md5(seed + counter.to_bytes(4, "big")).digest()
+        counter += 1
+    return np.frombuffer(bytes(stream[:n]), dtype=np.uint8).reshape(height, width)
+
+
 def synthesize_images(
     df: DataFrame,
     text_col: str = "text",
@@ -78,20 +94,11 @@ def synthesize_images(
     schema = f"{id_col} bigint, {text_col} string, media binary"
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        n = width * height
         for pdf in it:
-            blobs = []
-            for text in pdf[text_col]:
-                seed = (text or "").encode()
-                stream = bytearray()
-                counter = 0
-                while len(stream) < n:
-                    stream += hashlib.md5(seed + counter.to_bytes(4, "big")).digest()
-                    counter += 1
-                px = np.frombuffer(bytes(stream[:n]), dtype=np.uint8).reshape(
-                    height, width
-                )
-                blobs.append(codecs.png_encode(px))
+            blobs = [
+                codecs.png_encode(_synth_gray(text, width, height))
+                for text in pdf[text_col]
+            ]
             yield pd.DataFrame(
                 {id_col: pdf[id_col], text_col: pdf[text_col], "media": blobs}
             )
@@ -259,6 +266,32 @@ def _dct_matrix(n: int) -> np.ndarray:
     return d
 
 
+def _phash_bits(gray: np.ndarray, D: np.ndarray) -> np.ndarray:
+    """63 pHash bits of a 2-D float gray image: 32×32 nearest-resize →
+    2-D DCT → 8×8 low-frequency block minus DC, thresholded at its
+    median. One definition shared by phash64/video_phash (decoded media)
+    and the fused synth_* kernels (synthesized pixels) so their bits can
+    never drift apart."""
+    h, w = gray.shape
+    ys = (np.arange(32) * h // 32).clip(0, h - 1)
+    xs = (np.arange(32) * w // 32).clip(0, w - 1)
+    small = gray[ys][:, xs]
+    coef = (D @ small @ D.T)[:8, :8].flatten()[1:]  # drop DC
+    return coef > np.median(coef)
+
+
+def _pack_bits(bits: np.ndarray) -> int:
+    val = 0
+    for i, b in enumerate(bits):
+        if b:
+            val |= 1 << i
+    return val
+
+
+def _phash_val(gray: np.ndarray, D: np.ndarray) -> int:
+    return _pack_bits(_phash_bits(gray, D))
+
+
 def phash64(
     df: DataFrame, binary_col: str = "media", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -283,18 +316,8 @@ def phash64(
                 if px is None:
                     continue
                 gray = px.astype(np.float64).mean(axis=2)
-                h, w = gray.shape
-                ys = (np.arange(32) * h // 32).clip(0, h - 1)
-                xs = (np.arange(32) * w // 32).clip(0, w - 1)
-                small = gray[ys][:, xs]
-                coef = (D @ small @ D.T)[:8, :8].flatten()[1:]  # drop DC
-                bits = coef > np.median(coef)
-                val = 0
-                for i, b in enumerate(bits):
-                    if b:
-                        val |= 1 << i
                 ids.append(int(did))
-                hashes.append(val)
+                hashes.append(_phash_val(gray, D))
             yield pd.DataFrame(
                 {
                     id_col: pd.Series(ids, dtype="int64"),
@@ -303,6 +326,52 @@ def phash64(
             )
 
     return _parallelize(df.select(id_col, binary_col)).mapInPandas(batches, schema)
+
+
+def synth_phash64(
+    df: DataFrame,
+    width: int,
+    height: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    perturb: bool = False,
+    brightness: int = 60,
+    rows_frac: float = 0.25,
+    id_offset: int = 1_000_000,
+) -> DataFrame:
+    """text → 63-bit pHash in ONE Arrow kernel: the fused form of
+    synthesize_images → [perturb_images →] phash64 for synthetic corpora
+    (guide §4 — eliminate the Python↔JVM boundary). The chained shape
+    ships ~1KB of PNG per doc to the JVM, checkpoints it, then ships it
+    back to a second Python kernel that immediately decodes it; PNG
+    encode/decode is LOSSLESS for uint8 gray, so hashing the synthesized
+    pixels directly yields bit-identical signatures while the blobs never
+    exist (pinned by the fused-vs-chained parity pytest). ``perturb=True``
+    applies perturb_images' exact edit (top-rows brighten on the int16
+    widening, clipped) and id shift before hashing."""
+    D = _dct_matrix(32)
+    schema = f"{id_col} bigint, phash bigint"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, hashes = [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                px = _synth_gray(text, width, height)
+                if perturb:
+                    n = max(1, int(px.shape[0] * rows_frac))
+                    edited = px.astype(np.int16)
+                    edited[:n] = np.clip(edited[:n] + brightness, 0, 255)
+                    px = edited.astype(np.uint8)
+                ids.append(int(did) + (id_offset if perturb else 0))
+                hashes.append(_phash_val(px.astype(np.float64), D))
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "phash": pd.Series(hashes, dtype="int64"),
+                }
+            )
+
+    return _parallelize(df.select(id_col, text_col)).mapInPandas(batches, schema)
 
 
 def perturb_images(
@@ -441,15 +510,10 @@ def synthesize_videos(
         for pdf in it:
             ids, blobs = [], []
             for did, text in zip(pdf[id_col], pdf[text_col]):
-                frames = []
-                for fi in range(n_frames):
-                    rng = np.random.default_rng(
-                        (int(did) * 1_000_003 + fi) % (2**63)
-                        + len(text or "") % 97
-                    )
-                    frames.append(
-                        rng.integers(0, 256, (size, size, 3), dtype=np.uint8)
-                    )
+                frames = [
+                    _synth_video_frame(did, fi, text, size)
+                    for fi in range(n_frames)
+                ]
                 ids.append(did)
                 blobs.append(avi_encode(frames))
             yield pd.DataFrame(
@@ -484,15 +548,6 @@ def video_phash(
     D = _dct_matrix(32)
     schema = f"{id_col} bigint, phash bigint"
 
-    def frame_bits(px: np.ndarray) -> np.ndarray:
-        gray = px.astype(np.float64).mean(axis=2)
-        h, w = gray.shape
-        ys = (np.arange(32) * h // 32).clip(0, h - 1)
-        xs = (np.arange(32) * w // 32).clip(0, w - 1)
-        small = gray[ys][:, xs]
-        coef = (D @ small @ D.T)[:8, :8].flatten()[1:]
-        return coef > np.median(coef)
-
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             ids, hashes = [], []
@@ -505,19 +560,17 @@ def video_phash(
                         0, min(len(chunks), every_n * max_frames), every_n
                     ):
                         px = dib_decode(chunks[fi][1], w, h, bpp)
-                        votes += frame_bits(px)
+                        votes += _phash_bits(
+                            px.astype(np.float64).mean(axis=2), D
+                        )
                         n_sampled += 1
                 except ValueError:
                     continue
                 if not n_sampled:
                     continue
                 bits = votes * 2 > n_sampled  # strict majority
-                val = 0
-                for i, b in enumerate(bits):
-                    if b:
-                        val |= 1 << i
                 ids.append(int(did))
-                hashes.append(val)
+                hashes.append(_pack_bits(bits))
             yield pd.DataFrame(
                 {
                     id_col: pd.Series(ids, dtype="int64"),
@@ -526,6 +579,74 @@ def video_phash(
             )
 
     return _parallelize(df.select(id_col, binary_col)).mapInPandas(batches, schema)
+
+
+def _synth_video_frame(
+    did: int, fi: int, text: str | None, size: int
+) -> np.ndarray:
+    """One synthesized (size, size, 3) RGB frame — the frame stage of
+    synthesize_videos, split out so the fused text→hash kernel
+    (synth_video_phash) and the AVI-emitting synthesize_videos share one
+    definition."""
+    rng = np.random.default_rng(
+        (int(did) * 1_000_003 + fi) % (2**63) + len(text or "") % 97
+    )
+    return rng.integers(0, 256, (size, size, 3), dtype=np.uint8)
+
+
+def synth_video_phash(
+    df: DataFrame,
+    n_frames: int,
+    size: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    every_n: int = 2,
+    max_frames: int = 4,
+    perturb: bool = False,
+    brightness: int = 40,
+    id_offset: int = 1_000_000,
+) -> DataFrame:
+    """text → temporally-pooled 63-bit video pHash in ONE Arrow kernel:
+    the fused form of synthesize_videos → [perturb_videos →] video_phash
+    for synthetic corpora (guide §4). The chained shape ships an
+    uncompressed AVI per doc (n_frames · size² · 3 bytes) to the JVM,
+    checkpoints it, then ships it back to a second kernel that RIFF-walks
+    and DIB-decodes it; the AVI/DIB roundtrip is lossless for uint8 RGB,
+    so hashing the synthesized frames directly is bit-identical (parity
+    pytest) — and only the SAMPLED frames (every_n/max_frames) are ever
+    synthesized, where the chain encodes all n_frames. ``perturb=True``
+    applies perturb_videos' exact edit (whole-frame brighten on the int16
+    widening, clipped) and id shift before hashing."""
+    D = _dct_matrix(32)
+    schema = f"{id_col} bigint, phash bigint"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, hashes = [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                votes = np.zeros(63, dtype=np.int64)
+                n_sampled = 0
+                for fi in range(0, min(n_frames, every_n * max_frames), every_n):
+                    px = _synth_video_frame(did, fi, text, size)
+                    if perturb:
+                        px = np.clip(
+                            px.astype(np.int16) + brightness, 0, 255
+                        ).astype(np.uint8)
+                    votes += _phash_bits(px.astype(np.float64).mean(axis=2), D)
+                    n_sampled += 1
+                if not n_sampled:
+                    continue
+                bits = votes * 2 > n_sampled  # strict majority
+                ids.append(int(did) + (id_offset if perturb else 0))
+                hashes.append(_pack_bits(bits))
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "phash": pd.Series(hashes, dtype="int64"),
+                }
+            )
+
+    return _parallelize(df.select(id_col, text_col)).mapInPandas(batches, schema)
 
 
 def perturb_videos(

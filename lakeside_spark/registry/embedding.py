@@ -446,20 +446,23 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     2-8; the distance-8 tail is honestly past the near-dup budget);
     unrelated md5-noise images sit ≥14 bits apart, so zero false pairs.
     DCT hashing is not SQL-expressible."""
-    from lakeside_spark.operators.multimodal import (
-        perturb_images,
-        phash_pairs,
-        synthesize_images,
-    )
+    from lakeside_spark.operators.dedup import hamming_pairs
+    from lakeside_spark.operators.multimodal import synth_phash64
 
     docs = load_table(spark, sf_dir, "documents")
-    # materialized once (eager localCheckpoint): consumed twice (directly
-    # and under the perturbation kernel); the blocks are corpus-count ×
-    # ~1KB PNGs, owned by the returned frame and context-cleaned once it
-    # is dropped (persist leaked a CacheManager entry per call, r13)
-    base = synthesize_images(docs, width=32, height=32).localCheckpoint(eager=True)
-    variants = perturb_images(base.filter(F.col("doc_id") % 50 == 0))
-    return phash_pairs(base.select("doc_id", "media").unionByName(variants), max_hamming=6)
+    # FUSED text→hash kernels (r13, guide §4): the chained shape
+    # (synthesize → checkpoint ~1KB PNG/doc → perturb → phash decode)
+    # shipped every blob across the Python↔JVM boundary twice and paid a
+    # PNG encode+decode per doc; the PNG roundtrip is lossless for uint8
+    # gray, so hashing the synthesized pixels directly is bit-identical
+    # (fused-vs-chained parity pytest) and no media frame exists at all
+    base = synth_phash64(docs, width=32, height=32)
+    variants = synth_phash64(
+        docs.filter(F.col("doc_id") % 50 == 0), width=32, height=32, perturb=True
+    )
+    return hamming_pairs(
+        base.unionByName(variants), max_hamming=6, bits=63, hash_col="phash"
+    )
 
 
 def multimodal_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -469,19 +472,23 @@ def multimodal_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     difference scheme (Haitsma-Kalker style, 49 bits = 7 windows × 7
     band-pairs), and pair via the shared banded hamming join. FFT fingerprinting is not
     SQL-expressible."""
-    from lakeside_spark.operators.audiofp import (
-        audio_pairs,
-        perturb_audio,
-        synthesize_audio,
-    )
+    from lakeside_spark.operators.audiofp import BITS, synth_audio_fingerprint
+    from lakeside_spark.operators.dedup import hamming_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    # materialized once (eager localCheckpoint): consumed twice (directly
-    # and under the perturbation kernel) — without it the synth kernel
-    # runs twice per query; not persist (r13, the CacheManager leak)
-    base = synthesize_audio(docs).localCheckpoint(eager=True)
-    variants = perturb_audio(base.filter(F.col("doc_id") % 50 == 0))
-    return audio_pairs(base.unionByName(variants), max_hamming=5)
+    # FUSED text→fingerprint kernels (r13, guide §4): the chained shape
+    # (synthesize → checkpoint ~8KB WAV/doc → perturb → FFT decode)
+    # shipped every clip across the Python↔JVM boundary twice and paid a
+    # PCM encode+decode per doc; _pcm_roundtrip replays the int16
+    # quantization in-kernel, so the fused fingerprints are bit-identical
+    # (fused-vs-chained parity pytest) and no media frame exists at all
+    base = synth_audio_fingerprint(docs)
+    variants = synth_audio_fingerprint(
+        docs.filter(F.col("doc_id") % 50 == 0), perturb=True
+    )
+    return hamming_pairs(
+        base.unionByName(variants), max_hamming=5, bits=BITS, hash_col="afp"
+    )
 
 
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -568,20 +575,26 @@ def multimodal_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pigeonhole-banded hamming join the text-SimHash and image-pHash
     paths use. Recall on the planted variants is pinned by pytest; the
     banded join never goes all-pairs."""
-    from lakeside_spark.operators.multimodal import (
-        perturb_videos,
-        synthesize_videos,
-        video_pairs,
-    )
+    from lakeside_spark.operators.dedup import hamming_pairs
+    from lakeside_spark.operators.multimodal import synth_video_phash
 
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") % 20 == 0
     )
-    # materialized once (eager localCheckpoint): consumed twice (directly
-    # and under the perturbation kernel) — same pattern as the audio key
-    base = synthesize_videos(docs, n_frames=6, size=16).localCheckpoint(eager=True)
-    variants = perturb_videos(base.filter(F.col("doc_id") % 100 == 0))
-    return video_pairs(base.unionByName(variants), max_hamming=6)
+    # FUSED text→hash kernels (r13, guide §4): the chained shape
+    # (synthesize → checkpoint an uncompressed AVI/doc → perturb →
+    # RIFF-walk + DIB decode) shipped every container across the
+    # Python↔JVM boundary twice; the AVI/DIB roundtrip is lossless for
+    # uint8 RGB, so hashing the synthesized frames directly is
+    # bit-identical (parity pytest) — and only the SAMPLED frames are
+    # synthesized (the chain encoded all 6)
+    base = synth_video_phash(docs, n_frames=6, size=16)
+    variants = synth_video_phash(
+        docs.filter(F.col("doc_id") % 100 == 0), n_frames=6, size=16, perturb=True
+    )
+    return hamming_pairs(
+        base.unionByName(variants), max_hamming=6, bits=63, hash_col="phash"
+    )
 
 
 def kmeans_names(spark: SparkSession, sf_dir: str) -> DataFrame:

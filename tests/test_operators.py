@@ -1763,6 +1763,98 @@ def test_audio_fingerprint_dedup(spark):
     assert pairs == want
 
 
+def test_fused_media_fingerprints_match_chained(spark):
+    """r13 (guide §4): the fused text→hash kernels must be BIT-IDENTICAL
+    to the synthesize → [perturb →] decode → hash chains they replaced in
+    the multimodal dedup keys. The fusion's whole correctness argument —
+    PNG and AVI/DIB roundtrips are lossless for uint8, WAV's int16
+    quantization is replayed by _pcm_roundtrip at every boundary the
+    chain crossed — is pinned here for base AND perturbed paths."""
+    from lakeside_spark.operators.audiofp import (
+        audio_fingerprint,
+        perturb_audio,
+        synth_audio_fingerprint,
+        synthesize_audio,
+    )
+    from lakeside_spark.operators.multimodal import (
+        perturb_images,
+        perturb_videos,
+        phash64,
+        synth_phash64,
+        synth_video_phash,
+        synthesize_images,
+        synthesize_videos,
+        video_phash,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} body with words " * (i % 5 + 1)) for i in range(24)],
+        "doc_id long, text string",
+    )
+    sub = docs.filter("doc_id % 3 = 0")
+
+    # image: base and perturbed
+    imgs = synthesize_images(docs, width=32, height=32)
+    chained = {(r["doc_id"], r["phash"]) for r in phash64(imgs).collect()}
+    fused = {
+        (r["doc_id"], r["phash"])
+        for r in synth_phash64(docs, width=32, height=32).collect()
+    }
+    assert fused == chained and len(fused) == 24
+    chained_v = {
+        (r["doc_id"], r["phash"])
+        for r in phash64(
+            perturb_images(imgs.filter("doc_id % 3 = 0"))
+        ).collect()
+    }
+    fused_v = {
+        (r["doc_id"], r["phash"])
+        for r in synth_phash64(sub, width=32, height=32, perturb=True).collect()
+    }
+    assert fused_v == chained_v and len(fused_v) == 8
+
+    # audio: base and perturbed
+    wavs = synthesize_audio(docs)
+    chained = {(r["doc_id"], r["afp"]) for r in audio_fingerprint(wavs).collect()}
+    fused = {
+        (r["doc_id"], r["afp"]) for r in synth_audio_fingerprint(docs).collect()
+    }
+    assert fused == chained and len(fused) == 24
+    chained_v = {
+        (r["doc_id"], r["afp"])
+        for r in audio_fingerprint(
+            perturb_audio(wavs.filter("doc_id % 3 = 0"))
+        ).collect()
+    }
+    fused_v = {
+        (r["doc_id"], r["afp"])
+        for r in synth_audio_fingerprint(sub, perturb=True).collect()
+    }
+    assert fused_v == chained_v and len(fused_v) == 8
+
+    # video: base and perturbed
+    vids = synthesize_videos(docs, n_frames=6, size=16)
+    chained = {(r["doc_id"], r["phash"]) for r in video_phash(vids).collect()}
+    fused = {
+        (r["doc_id"], r["phash"])
+        for r in synth_video_phash(docs, n_frames=6, size=16).collect()
+    }
+    assert fused == chained and len(fused) == 24
+    chained_v = {
+        (r["doc_id"], r["phash"])
+        for r in video_phash(
+            perturb_videos(vids.filter("doc_id % 3 = 0"))
+        ).collect()
+    }
+    fused_v = {
+        (r["doc_id"], r["phash"])
+        for r in synth_video_phash(
+            sub, n_frames=6, size=16, perturb=True
+        ).collect()
+    }
+    assert fused_v == chained_v and len(fused_v) == 8
+
+
 class TestBehavior:
     def test_funnel_strict_order_and_window(self, spark):
         from lakeside_spark.operators.behavior import funnel
