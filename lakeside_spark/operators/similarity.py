@@ -507,6 +507,31 @@ def _train_mat_sample(
     return mat
 
 
+def _ivf_centroids9(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_cells: int,
+    train_sample: int,
+    cache_key: str | None,
+) -> np.ndarray | None:
+    """The trained (snapped) IVF coarse quantizer, cached under
+    ("ivf", cache_key, n_cells, train_sample) — split out of ann_ivf so
+    a caller submitting ivf variants from CONCURRENT driver threads
+    (ann_recall_report) can pre-train it once synchronously instead of
+    serializing one variant behind the other. None on an empty corpus."""
+    ck = None if cache_key is None else ("ivf", cache_key, n_cells, train_sample)
+    cents9 = _CODEBOOK_CACHE.get(ck) if ck is not None else None
+    if cents9 is None:
+        mat = _train_mat_sample(corpus, id_col, vec_col, train_sample, cache_key)
+        if mat is None:
+            return None
+        cents9 = spherical_kmeans_snapped(unit9(mat), n_cells)
+        if ck is not None:
+            _CODEBOOK_CACHE[ck] = cents9
+    return cents9
+
+
 def ann_ivf(
     corpus: DataFrame,
     queries: DataFrame,
@@ -549,15 +574,11 @@ def ann_ivf(
     (ann_recall_report) pins this quantizer's recall floors."""
     spark = corpus.sparkSession
     empty = "q_id bigint, n_id bigint, cos double, rank int"
-    ck = None if cache_key is None else ("ivf", cache_key, n_cells, train_sample)
-    cents9 = _CODEBOOK_CACHE.get(ck) if ck is not None else None
+    cents9 = _ivf_centroids9(
+        corpus, id_col, vec_col, n_cells, train_sample, cache_key
+    )
     if cents9 is None:
-        mat = _train_mat_sample(corpus, id_col, vec_col, train_sample, cache_key)
-        if mat is None:
-            return spark.createDataFrame([], schema=empty)
-        cents9 = spherical_kmeans_snapped(unit9(mat), n_cells)
-        if ck is not None:
-            _CODEBOOK_CACHE[ck] = cents9
+        return spark.createDataFrame([], schema=empty)
     bc = spark.sparkContext.broadcast(cents9)
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -882,31 +882,29 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         df = builders[name]()
         return df.columns, df.collect()
 
-    # warm the shared training samples SYNCHRONOUSLY: ivf and pq are
-    # submitted concurrently below, and a cold cache would make both
-    # run the driver-side collect before either writes the entry
-    # (_train_mat_sample feeds the snapped ivf/pq quantizers,
-    # _train_unit_sample the float OPQ variant)
+    # warm the shared training state SYNCHRONOUSLY so every builder below
+    # is independent and the pool runs all seven jobs truly concurrently:
+    # the two sample collects (fed to the snapped ivf/pq quantizers and
+    # the float OPQ variant) AND the ivf coarse quantizer itself — ivf and
+    # ivf_ma share its cache entry, and chaining ivf_ma behind ivf (the
+    # r11 shape) put ~2s of index build on the critical path to protect a
+    # 0.5s driver-side k-means (r13 profile: ivf+ivf_ma serial 3.6s was
+    # the longest chain ≈ the whole key's 4.5s quiet floor). pq and
+    # pq_opq cache under DIFFERENT keys (rotation is in the key), so they
+    # never shared training and their chain was pure serialization.
     from lakeside_spark.operators.similarity import (
+        _ivf_centroids9,
         _train_mat_sample,
         _train_unit_sample,
     )
 
     _train_mat_sample(emb, "vec_id", "embedding", 10_000, ck)
     _train_unit_sample(emb, "embedding", 10_000, ck)
+    _ivf_centroids9(emb, "vec_id", "embedding", 16, 10_000, ck)
 
     with ThreadPoolExecutor(max_workers=7) as pool:
         f_exact = pool.submit(lambda: cosine_topk(emb, qs, k=5).collect())
-        # cache-independent variants all at once; each cache-sharing
-        # sibling (ivf→ivf_ma quantizer, pq→pq_opq sample) chains off
-        # its writer so training happens exactly once
-        futs = {m: pool.submit(run, m) for m in ("lsh", "ivf", "pq", "sq8")}
-        futs["ivf_ma"] = pool.submit(
-            lambda: (futs["ivf"].result(), run("ivf_ma"))[1]
-        )
-        futs["pq_opq"] = pool.submit(
-            lambda: (futs["pq"].result(), run("pq_opq"))[1]
-        )
+        futs = {m: pool.submit(run, m) for m in builders}
         exact = {(r["q_id"], r["n_id"]): r["cos"] for r in f_exact.result()}
         results = {m: f.result() for m, f in futs.items()}
 

@@ -1870,6 +1870,14 @@ def corpus_curate(
         gated = gated.persist()
     ev = docs.filter(F.col("doc_id") % 20 == 0)
     kept = decontaminate(gated, ev, n=5)
+    # materialize the decontaminated survivors once (r13): kept feeds TWO
+    # consumers — the jaccard shingle materialization and the final
+    # anti-join's left side — and without the barrier the decontamination
+    # stage (gram kernel over the gated corpus + eval grams + broadcast
+    # anti-join, ~1.4s of the key's 6.4s profile) runs once per consumer.
+    # Same eager/lazy contract as `gated` above.
+    if eager:
+        kept = kept.localCheckpoint(eager=True)
     pairs = ngram_jaccard_pairs(kept, threshold=0.12)
     clusters = connected_components(pairs)
     drop = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
