@@ -533,6 +533,8 @@ def minhash_lsh_match(
     id_col: str = "doc_id",
     best_only: bool = True,
     eager: bool = True,
+    shingle_rows_incoming: DataFrame | None = None,
+    shingle_rows_index: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental dedup: match an incoming shard against an existing
     corpus index WITHOUT re-pairing the corpus with itself — the shape a
@@ -549,10 +551,28 @@ def minhash_lsh_match(
     equi-join — never index×index — and verification feeds shingle rows
     through the candidate pair list, so its cost is bounded by
     |candidates| × shingles-per-doc, not corpus².
-    """
+
+    ``shingle_rows_incoming`` / ``shingle_rows_index`` (r13): a caller
+    whose two doc sets SPLIT ONE TABLE can pass pre-computed
+    (doc_id, shingle) frames (e.g. filters of one shingled+checkpointed
+    pass) so the tokenize+shingle kernel runs once instead of once per
+    side — per the r13 profile the two per-side kernels cost 1.32s where
+    one whole-table pass costs 0.57s at sf0.1. The caller owns the
+    supplied frames' cache lifetime; each side's rows must cover exactly
+    that side's docs."""
     rows = num_hashes // bands
-    ex_in = _shingled_rows(incoming_docs, text_col, id_col, n).persist()
-    ex_ix = _shingled_rows(index_docs, text_col, id_col, n).persist()
+    own_in = shingle_rows_incoming is None
+    own_ix = shingle_rows_index is None
+    ex_in = (
+        _shingled_rows(incoming_docs, text_col, id_col, n).persist()
+        if own_in
+        else shingle_rows_incoming
+    )
+    ex_ix = (
+        _shingled_rows(index_docs, text_col, id_col, n).persist()
+        if own_ix
+        else shingle_rows_index
+    )
 
     def _banded(docs: DataFrame, ex: DataFrame) -> DataFrame:
         sig = minhash_signatures(
@@ -634,8 +654,10 @@ def minhash_lsh_match(
     # blocks are match-sized (not corpus-sized) and reclaimed by
     # Spark's ContextCleaner once the returned DataFrame is dropped.
     out = out.localCheckpoint(eager=True)
-    ex_in.unpersist()
-    ex_ix.unpersist()
+    if own_in:
+        ex_in.unpersist()
+    if own_ix:
+        ex_ix.unpersist()
     return out
 
 

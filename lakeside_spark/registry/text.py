@@ -156,12 +156,24 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     once and persisted in production; candidates are incoming×index
     banded equi-joins, never index×index (see
     operators/dedup.py:minhash_lsh_match)."""
-    from lakeside_spark.operators.dedup import minhash_lsh_match
+    from lakeside_spark.operators.dedup import _shingled_rows, minhash_lsh_match
 
     docs = load_table(spark, sf_dir, "documents")
     incoming = docs.filter(F.col("doc_id") % 5 == 0)
     index = docs.filter(F.col("doc_id") % 5 != 0)
-    return minhash_lsh_match(index, incoming, threshold=0.12)
+    # ONE tokenize+shingle pass over the whole table (r13): both sides
+    # split one table, so shingling per side ran the kernel twice (1.32s
+    # vs 0.57s for the single pass at sf0.1 — tools/incremental_profile).
+    # The checkpointed thin (doc_id, shingle) frame is filtered per side;
+    # its blocks are context-cleaned once the result frame is dropped.
+    ex_all = _shingled_rows(docs, "text", "doc_id", 3).localCheckpoint(eager=True)
+    return minhash_lsh_match(
+        index,
+        incoming,
+        threshold=0.12,
+        shingle_rows_incoming=ex_all.filter(F.col("doc_id") % 5 == 0),
+        shingle_rows_index=ex_all.filter(F.col("doc_id") % 5 != 0),
+    )
 
 
 DEDUP_INCREMENTAL_SQL = _SHINGLE_CTE + _sig_banded_cte() + """, cands AS (

@@ -1763,6 +1763,39 @@ def test_audio_fingerprint_dedup(spark):
     assert pairs == want
 
 
+def test_minhash_lsh_match_supplied_shingles_parity(spark):
+    """r13: a caller may pass pre-computed per-side (doc_id, shingle)
+    frames (one whole-table shingle pass, filtered per side) — the match
+    output must be identical to the operator shingling each side itself,
+    and the supplied frames' cache lifetime stays with the caller."""
+    from pyspark.sql import functions as F
+
+    from lakeside_spark.operators.dedup import _shingled_rows, minhash_lsh_match
+
+    body = "the quick brown fox jumps over the lazy dog again and again"
+    rows_in = [(i, body + (f" tail{i}" if i % 4 else "")) for i in range(24)]
+    docs = spark.createDataFrame(rows_in, "doc_id long, text string")
+    incoming = docs.filter(F.col("doc_id") % 2 == 0)
+    index = docs.filter(F.col("doc_id") % 2 != 0)
+
+    own = sorted(
+        tuple(r)
+        for r in minhash_lsh_match(index, incoming, threshold=0.3).collect()
+    )
+    ex = _shingled_rows(docs, "text", "doc_id", 3).localCheckpoint(eager=True)
+    supplied = sorted(
+        tuple(r)
+        for r in minhash_lsh_match(
+            index,
+            incoming,
+            threshold=0.3,
+            shingle_rows_incoming=ex.filter(F.col("doc_id") % 2 == 0),
+            shingle_rows_index=ex.filter(F.col("doc_id") % 2 != 0),
+        ).collect()
+    )
+    assert own == supplied and len(own) > 0
+
+
 def test_fused_media_fingerprints_match_chained(spark):
     """r13 (guide §4): the fused text→hash kernels must be BIT-IDENTICAL
     to the synthesize → [perturb →] decode → hash chains they replaced in
