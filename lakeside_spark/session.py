@@ -30,6 +30,18 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # honor the 64MB advisory target when coalescing (r13): the
+        # default (true) keeps post-shuffle parallelism pinned near core
+        # count even for kilobyte shuffles, which is exactly the
+        # task-dispatch overhead that made the heavy keys run FASTER at
+        # 8 cores than 32 at bench scale (r12 scaling block). false is
+        # the scale-adaptive setting Spark's docs recommend once AQE is
+        # trusted: partition counts derive from shuffle BYTES, so a
+        # 100 TB shuffle still gets ~16k partitions/TB while a 100 KB
+        # one collapses to a task or two. Measured r13: 30/32 keys
+        # faster or flat, none slower, on an A/B over every key family
+        # (dedup, tpch, window, ANN, text kernels).
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # testdata parquet encodes TIMESTAMP(NANOS); Spark reads them as
