@@ -223,8 +223,14 @@ TRIPWIRE_EXEMPT_VS_ORACLE = {
 # host has shown in driver runs): a regression that doubles the honest
 # cost still fires, while ambient-load swings on a healthy plan do not.
 TRIPWIRE_ABS_CEILING_SF01 = {
-    "dedup_simhash": 8.0,   # quiet floor 1.48s re-derived r12; worst observed loaded row 5.3s
-    "event_attribution": 4.0,  # quiet floor 1.38s (r12 chain plan)
+    # r13: tightened 8.0 → 4.5 (VERDICT item). Driver-harness rows after
+    # the r13 cache fix + AQE size-based coalescing: 3.23s (quiet-start
+    # full run) / 5.27s (run overlapping a co-tenant wave, the prior
+    # ceiling's worst case); quiet floor 1.48s (r12) — 4.5 ≈ 3× floor,
+    # inside the host's documented inflation band, while a plan
+    # regression that doubles the honest cost now fires.
+    "dedup_simhash": 4.5,
+    "event_attribution": 4.0,  # quiet floor 1.38s (r12 chain plan); r13 row 1.18s
 }
 
 
