@@ -411,7 +411,16 @@ def main() -> None:
             )
     # the history file keys records by SF, so a quick sf0.01 CLI check
     # can never clobber the sf0.1 regression baseline (a flat record is
-    # migrated on read)
+    # migrated on read). r13 (measurement-bug fix): NON-DEFAULT core
+    # counts key separately ("0.1@c8") — the driver also benches at a
+    # lower $SPARK_GRAFT_CPUS, and an 8-core run's rows in the 32-core
+    # window made the vs-prev tripwire compare across core counts in
+    # both directions (a faster 8-core row tightens the 32-core baseline
+    # below anything a healthy 32-core run can hit, and vice versa). The
+    # default count keeps the legacy plain-SF key so history carries
+    # over; the timed region is untouched.
+    bench_cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    hist_key = str(sf) if bench_cpus == "32" else f"{sf}@c{bench_cpus}"
     prev_by_sf: dict = {}
     try:
         with open(prev_path) as fh:
@@ -428,7 +437,7 @@ def main() -> None:
         # baseline and fire ~20 spurious tripwires. queries_hist holds
         # the last-3 window; legacy records (flat queries map) migrate
         # as single-sample histories.
-        prev_sf_rec = prev_by_sf.get(str(sf), {})
+        prev_sf_rec = prev_by_sf.get(hist_key, {})
         hist = dict(prev_sf_rec.get("queries_hist", {}))
         if not hist:
             hist = {
@@ -461,7 +470,7 @@ def main() -> None:
     # would leave them with no prev entry, and a genuine 2x regression on
     # them next run would sail through undetected.
     try:
-        prev_queries = prev_by_sf.get(str(sf), {}).get("queries", {})
+        prev_queries = prev_by_sf.get(hist_key, {}).get("queries", {})
         history = dict(record)
         history["queries"] = {**prev_queries, **per_query}
         # roll the last-3 window forward: push this run's time per key,
@@ -471,7 +480,7 @@ def main() -> None:
         for name, s in per_query.items():
             new_hist[name] = ([s] + list(new_hist.get(name, [])))[:3]
         history["queries_hist"] = new_hist
-        prev_by_sf[str(sf)] = history
+        prev_by_sf[hist_key] = history
         with open(prev_path, "w") as fh:
             json.dump(prev_by_sf, fh)
     except OSError as exc:
