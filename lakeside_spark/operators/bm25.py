@@ -197,8 +197,21 @@ def _bm25_scored_full(
         F.col(id_col).alias("doc_id"),
         F.filter(w, lambda x: x != F.lit("")).alias("ws"),
     ).localCheckpoint(eager=True)
+    qt = _qterms(queries, text_col, id_col)
+    # cut the exploded token stream to QUERY terms before the (doc, term)
+    # shuffle (r13): a query term's df is its full posting-list doc count,
+    # which survives the cut intact, and every non-query term's tf/df row
+    # was dropped by the q_scored_terms join below anyway — so the
+    # exchange carries |query terms| × their postings instead of the
+    # whole corpus token table, and the df aggregation runs over query
+    # terms instead of the full vocabulary. Results are bit-identical
+    # (full-vs-matched parity pytest covers this plan); n_docs/avgdl
+    # still come from the uncut doclen. This is the matched plan's cut
+    # applied WITH the shared tokenize checkpoint (matched itself
+    # tokenizes twice — measured slower at bench scale).
     tf = (
         toks.select("doc_id", F.explode("ws").alias("term"))
+        .join(F.broadcast(qt.select("term").distinct()), "term")
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
@@ -210,7 +223,7 @@ def _bm25_scored_full(
     )
     df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     q_scored_terms = (
-        df_t.join(F.broadcast(_qterms(queries, text_col, id_col)), "term")
+        df_t.join(F.broadcast(qt), "term")
         .crossJoin(F.broadcast(stats))
         .withColumn(
             "idf",
